@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: tokenization,
+  * shingling, quality stats, language-ID heuristics, fingerprints, MinHash
+  * signatures. All pure built-in expressions (codegen-friendly; no UDFs),
+  * so they vectorize over a 100 TB documents table as plain projections.
+  */
+object TextFns {
+
+  /** Whitespace tokenization of lowercased text, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword-count proxy: word-boundary pieces + digits + punct.
+    * Counts regex matches without materializing an array.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(filter(split(text, "(?=[\\s\\p{Punct}])|(?<=[\\s\\p{Punct}])"),
+      t => length(trim(t)) > 0))
+
+  /** Word n-gram shingles over a token array (n >= 1). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Character n-grams of normalized text (for language-ID profiles). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = lower(regexp_replace(text, "\\s+", " "))
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
+      .otherwise(array(s))
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+
+  /** Ratio of tokens found in `stopwords` (small broadcast set inlined as a
+    * literal array — no join needed).
+    */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation density + mean word length band. A deterministic,
+    * explainable heuristic in the Gopher/C4-filter style.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val meanLen = when(nTok > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val punctRatio = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text)).otherwise(lit(0.0))
+    val lenOk   = when(nTok.between(10, 100000), lit(0.25)).otherwise(lit(0.0))
+    val stopOk  = when(stopwordRatio(toks, stopwords) > 0.01, lit(0.25)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio < 0.2, lit(0.25)).otherwise(lit(0.0))
+    val wordOk  = when(meanLen.between(2.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+    round(lenOk + stopOk + punctOk + wordOk, 2)
+  }
+
+  /** Exact-content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** One MinHash value: min over shingles of md5(seed:shingle).
+    * Hex-string min is a valid uniform min-hash (md5 is uniform on hex
+    * strings and lexicographic order on fixed-width hex = numeric order).
+    * Using md5 keeps bit-exact parity with any other engine's md5.
+    */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
+
+  /** Full MinHash signature as an array of `k` hex hashes. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingleArr, _)): _*)
+
+  /** SimHash-style 16-bit signature from token md5s: for each of 16 hex
+    * positions, the majority bit of (first hex nibble >= 8) across tokens.
+    * Compact locality-sensitive bit signature with engine-portable hashing.
+    */
+  def simhash16(toks: Column): Column = {
+    val hashes = transform(toks, t => md5(t))
+    val bits = (0 until 16).map { i =>
+      val ones = size(filter(hashes, h =>
+        substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
+      when(ones * 2 >= size(hashes), lit(1)).otherwise(lit(0)) * lit(1L << i)
+    }
+    bits.reduce(_ + _)
+  }
+}

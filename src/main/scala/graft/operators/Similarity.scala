@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column.
+  *
+  * Scale design: brute force is queries × corpus — fine when the query set
+  * is small and broadcast (each corpus partition streams against the
+  * broadcast queries; no shuffle of the corpus). For all-pairs at 100 TB,
+  * use `lshTopK`: corpus is bucketed by a sign-bit LSH signature, the join
+  * happens only within buckets (hash-partitioned by bucket id), cutting the
+  * candidate space by ~2^nBits at some recall cost.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries`/`corpus`: (id, embedding). Output: (query_id, rank,
+    * neighbor_id, score). Self-matches excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", VectorFns.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+
+  /** LSH-bucketed ANN: join queries to corpus only within the same
+    * sign-bit bucket, then top-k per query. Recall < 1.0; candidate set
+    * (and shuffle volume) shrinks ~2^nBits-fold.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", VectorFns.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("score"), 4).as("score"))
+  }
+}
