@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.Relational
+import graft.queries.{Relational, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,11 +20,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + document-dedup queries over `documents` — the
+  * training-data-pipeline operator family (language-ID, quality scoring,
+  * token stats, fingerprinting, exact/near-dup detection).
+  *
+  * All per-document work is a pure projection (no shuffle); dedup variants
+  * shuffle only on compact keys (fingerprints, band hashes, block keys) —
+  * never on the document text itself.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // ---- per-document stats + quality score ----
+  def txtStats(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        TextFns.punctCount(col("text")).cast("long").as("punct_cnt"),
+        round(TextFns.stopwordRatio(toks, Stopwords), 4).as("stop_ratio"),
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks), 4).as("mean_wlen"),
+        TextFns.qualityScore(col("text"), Stopwords).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val txtStatsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), base AS (
+      |  SELECT doc_id, text, tk,
+      |         len(tk) AS n_tok,
+      |         len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS punct,
+      |         CASE WHEN len(tk) > 0 THEN
+      |           len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |             / len(tk) ELSE 0.0 END AS stop_r,
+      |         CASE WHEN len(tk) > 0 THEN
+      |           CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+      |           ELSE 0.0 END AS mean_w,
+      |         CASE WHEN len(text) > 0 THEN
+      |           (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |             / len(text) ELSE 0.0 END AS punct_r
+      |  FROM toks
+      |)
+      |SELECT doc_id,
+      |       CAST(n_tok AS BIGINT) AS n_tokens,
+      |       CAST(len(text) AS BIGINT) AS n_chars_calc,
+      |       CAST(punct AS BIGINT) AS punct_cnt,
+      |       round(stop_r, 4) AS stop_ratio,
+      |       round(mean_w, 4) AS mean_wlen,
+      |       round((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+      |             (CASE WHEN stop_r > 0.01 THEN 0.25 ELSE 0.0 END) +
+      |             (CASE WHEN punct_r < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |             (CASE WHEN mean_w BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2)
+      |         AS quality
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  // ---- language-ID heuristic (marker-token voting) ----
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"),
+    "de" -> Seq("der", "die", "und"))
+
+  def txtLangid(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    }
+    val Seq(en, fr, es, de) = scores.map(_._2)
+    val predicted =
+      when(en > 0 && en >= fr && en >= es && en >= de, lit("en"))
+        .when(fr > 0 && fr >= es && fr >= de, lit("fr"))
+        .when(es > 0 && es >= de, lit("es"))
+        .when(de > 0, lit("de"))
+        .otherwise(lit("und"))
+    Tables.documents(s, d).select(
+        col("doc_id"), predicted.as("predicted"),
+        en.cast("long").as("en_hits"), col("lang").as("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  val txtLangidSql: String =
+    """WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(tk, t -> t IN ('the','a','is'))) AS en,
+      |    len(list_filter(tk, t -> t IN ('le','la','et'))) AS fr,
+      |    len(list_filter(tk, t -> t IN ('el','los','y'))) AS es,
+      |    len(list_filter(tk, t -> t IN ('der','die','und'))) AS de
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN en > 0 AND en >= fr AND en >= es AND en >= de THEN 'en'
+      |            WHEN fr > 0 AND fr >= es AND fr >= de THEN 'fr'
+      |            WHEN es > 0 AND es >= de THEN 'es'
+      |            WHEN de > 0 THEN 'de'
+      |            ELSE 'und' END AS predicted,
+      |       CAST(en AS BIGINT) AS en_hits,
+      |       lang AS labeled_lang
+      |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---- content fingerprint ----
+  def txtFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(TextFns.shingles(toks, 3))).cast("long").as("n_shingles3"))
+      .orderBy("doc_id")
+  }
+
+  val txtFingerprintSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       CAST(len(tk) AS BIGINT) AS n_tokens,
+      |       CAST(len(list_distinct(
+      |         CASE WHEN len(tk) >= 3
+      |           THEN list_transform(range(1, len(tk) - 1),
+      |                               i -> array_to_string(tk[i:i+2], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END)) AS BIGINT) AS n_shingles3
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  // ---- exact dedup by fingerprint ----
+  def ddExact(s: SparkSession, d: String): DataFrame =
+    TextDedup.exactGroups(Tables.documents(s, d)).orderBy("fp")
+
+  val ddExactSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       min(doc_id) AS keep_doc_id,
+      |       CAST(count(*) AS BIGINT) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // ---- near-dup: exact n-gram jaccard within (lang, length) blocks ----
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame =
+    TextDedup.ngramJaccardPairs(Tables.documents(s, d),
+        shingleN = 2, lenBand = 100, minJaccard = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  val ddNgramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+      |         list_distinct(CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END) AS s
+      |  FROM (SELECT doc_id, lang, n_chars,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+      |  FROM sh a JOIN sh b
+      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      |)
+      |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- near-dup: MinHash + LSH banding ----
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashLshPairs(Tables.documents(s, d),
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .orderBy("doc_a", "doc_b")
+
+  val ddMinhashLshSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |), sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+      |  FROM sh
+      |), banded AS (
+      |  SELECT doc_id, sg, b AS band,
+      |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard FROM pairs
+      |WHERE est >= 0.25 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- near-dup: simhash signature groups ----
+  def ddSimhash(s: SparkSession, d: String): DataFrame =
+    TextDedup.simhashGroups(Tables.documents(s, d)).orderBy("simhash")
+
+  val ddSimhashSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id, list_transform(tk, t -> md5(t)) AS h, len(tk) AS n
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |), sim AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 16), i ->
+      |      CASE WHEN 2 * len(list_filter(h,
+      |             x -> x[i+1:i+1] IN ('8','9','a','b','c','d','e','f'))) >= n
+      |           THEN CAST(round(2 ** i) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM hs
+      |)
+      |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
+      |FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "txt_stats" -> (txtStats _),
+    "txt_langid" -> (txtLangid _),
+    "txt_fingerprint" -> (txtFingerprint _),
+    "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_simhash" -> (ddSimhash _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "txt_stats" -> txtStatsSql,
+    "txt_langid" -> txtLangidSql,
+    "txt_fingerprint" -> txtFingerprintSql,
+    "dd_exact" -> ddExactSql,
+    "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_simhash" -> ddSimhashSql
+  )
+}
