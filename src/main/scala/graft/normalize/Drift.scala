@@ -60,8 +60,11 @@ object Drift {
     coalesce(viaFormats :+ epochSecs: _*)
   }
 
-  /** Numeric coercion with 0.0 default (reference `src/transformer.py:31`). */
-  def toDoubleOrZero(c: Column): Column = coalesce(c.cast("double"), lit(0.0))
+  /** Numeric coercion with 0.0 default (reference `src/transformer.py:31`).
+    * `try_cast` (not `cast`) — Spark 4 runs ANSI mode by default, where a
+    * plain cast throws on malformed input instead of yielding null.
+    */
+  def toDoubleOrZero(c: Column): Column = coalesce(c.try_cast("double"), lit(0.0))
 
   /** sha256 deterministic id over `prefix:naturalKey`
     * (reference `src/bootstrap_loader.py:22-24`).

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Output sinks with the reference's three write modes
+  * (`README.md:112-114`, `src/bq_loader.py:139-142`):
+  * append-only logs, latest-wins upsert, full truncate-rebuild.
+  *
+  * The warehouse is plain Parquet (the reference's own stated migration
+  * path away from BigQuery). Upsert without a transactional table format
+  * is read-union-dedup-rewrite: correct and idempotent, one shuffle on
+  * the key. On a real lakehouse swap `upsertParquet` for a MERGE INTO.
+  */
+object Sinks {
+
+  /** S5-append: append-only fact log. */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S7: truncate-load (WRITE_TRUNCATE analogue). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S5-upsert: idempotent latest-wins upsert by key — the Mongo
+    * `UpdateOne(upsert=True)` analogue. Re-running with the same batch
+    * changes nothing.
+    */
+  def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
+                    keys: Seq[String], order: Seq[Column]): Unit = {
+    val existing =
+      try Some(spark.read.parquet(path).select(batch.columns.map(org.apache.spark.sql.functions.col): _*))
+      catch { case _: Exception => None }
+    val merged = existing match {
+      case Some(old) =>
+        graft.operators.Dedup.latestWins(old.unionByName(batch), keys, order)
+      case None => batch
+    }
+    // write to a temp dir then swap would be the production pattern; for
+    // a local lakehouse, cache-materialize then overwrite is sufficient
+    val m = merged.cache()
+    m.count()
+    m.write.mode("overwrite").parquet(path)
+    m.unpersist()
+  }
+
+  /** S6: single-file CSV report sink. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+}
