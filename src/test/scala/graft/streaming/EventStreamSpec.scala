@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSuite
+import java.nio.file.{Files, Paths}
+
+class EventStreamSpec extends SparkSuite {
+
+  private def writeFixture(dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val lines = Seq(
+      """{"event_id":"s1","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"vendor_a","payload":"{\"orderRef\":\"A-1\",\"created\":\"2024-01-01 10:00\",\"total\":100.0}","ingested_at":"2024-01-01T11:00:00"}""",
+      """{"event_id":"s1","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"vendor_a","payload":"{\"orderRef\":\"A-1\",\"created\":\"2024-01-01 10:00\",\"total\":100.0}","ingested_at":"2024-01-01T12:00:00"}""",
+      """{"event_id":"s2","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"created_at\":\"2024-01-02T10:00:00\",\"totalAmount\":200.0}","ingested_at":"2024-01-02T11:00:00"}""",
+      """{"event_id":"s3","event_type":"payment_succeeded","event_time":"2024-01-02T12:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"paid_at\":\"2024-01-02T12:00:00\",\"payment_status\":\"success\",\"amountPaid\":200.0,\"transaction_id\":\"TX-1\"}","ingested_at":"2024-01-02T13:00:00"}"""
+    )
+    Files.writeString(Paths.get(s"$dir/events.jsonl"), lines.mkString("\n"))
+  }
+
+  test("streaming dedup + windowed daily agg matches batch semantics") {
+    val dir = Files.createTempDirectory("stream_in").toString
+    writeFixture(dir)
+    val stream = EventStream.readLiveStream(spark, dir)
+    assert(stream.isStreaming)
+    val agg = EventStream.dailyWindowAgg(EventStream.dedupWithWatermark(stream))
+    val q = agg.writeStream
+      .format("memory").queryName("daily_agg").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_date, vendor, n_events FROM daily_agg ORDER BY 1, 2")
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    // duplicate s1 collapsed -> 1 event on 01-01; two distinct events on 01-02
+    assert(got.toSeq == Seq(
+      ("2024-01-01", "vendor_a", 1L),
+      ("2024-01-02", "vendor_b", 2L)))
+  }
+
+  test("foreachBatch order upsert: streaming writes the same warehouse state as batch") {
+    val dir = Files.createTempDirectory("stream_in2").toString
+    writeFixture(dir)
+    val out = Files.createTempDirectory("stream_out").toString
+    val cp = Files.createTempDirectory("stream_cp").toString
+    val stream = EventStream.readLiveStream(spark, dir)
+    val q = EventStream.startOrderUpsert(spark,
+      EventStream.dedupWithWatermark(stream), s"$out/fact_orders", cp)
+    q.awaitTermination(60000)
+    val orders = spark.read.parquet(s"$out/fact_orders")
+    val ids = orders.select("order_id").collect().map(_.getString(0)).toSet
+    assert(ids == Set("A-1", "B-1"))
+    assert(orders.count() == 2) // duplicate envelope did not double A-1
+  }
+}
