@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.normalize.Drift
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of operator coverage: source/sink round-trips (S1/S2/S3/S6),
+  * string-function surface (§2.7), the SQL entry point (A6), window
+  * analytics, and TPC-H-style headline aggregates used as bench anchors.
+  *
+  * Float-determinism doctrine (learned the hard way):
+  *  - sums of 2-decimal data rounded to 2 decimals are safe under any
+  *    fold order (accumulated ulp error << the distance to a midpoint);
+  *  - sums of >=4-decimal products (price*discount) must be summed as
+  *    integer-scaled longs, then divided — never re-rounded coarser.
+  */
+object Extended {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def moneySum(c: org.apache.spark.sql.Column, scale: Long) =
+    sum(round(c * scale).cast("long")) / scale.toDouble
+
+  // ---- S1/S2/S6: JSONL round-trip with corrupt-line skip ----
+  def s1JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/tmp/graft_roundtrip_json_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    val ev = Tables.events(s, d).select(
+      col("event_id"), col("event_type"), col("value"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("event_time"))
+    ev.select(to_json(struct(col("*"))).as("line"))
+      .write.mode("overwrite").text(tmp)
+    // append corrupt + id-less lines that the reader must skip
+    import s.implicits._
+    Seq("{corrupt json", """{"event_type":"noise"}""", "")
+      .toDF("line").write.mode("append").text(tmp)
+    val schema = "event_id LONG, event_type STRING, value DOUBLE, event_time STRING"
+    s.read.schema(schema).json(tmp)
+      .filter(col("event_id").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (moneySum(col("value"), 10000L)).as("sum_value"),
+        max(Drift.parseTimestampMulti(col("event_time")).cast("date")).as("max_date"))
+      .orderBy("event_type")
+  }
+
+  val s1JsonRoundtripSql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+      |         AS sum_value,
+      |       max(CAST(strftime(ts, '%Y-%m-%dT%H:%M:%S')::TIMESTAMP AS DATE)) AS max_date
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- S3/S6: CSV sink + scan round-trip ----
+  def s3CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/tmp/graft_roundtrip_csv_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    Tables.customer(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .csv(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val s3CsvRoundtripSql: String =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |       round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- P2/§2.7: string-function surface ----
+  def p2StringFns(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+        col("c_custkey"),
+        format_string("CUST-%07d", col("c_custkey")).as("cust_code"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        length(trim(col("c_name"))).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("name_prefix"))
+      .orderBy("c_custkey")
+
+  val p2StringFnsSql: String =
+    """SELECT c_custkey,
+      |       printf('CUST-%07d', c_custkey) AS cust_code,
+      |       upper(c_mktsegment) AS seg_upper,
+      |       c_mktsegment || '|' || c_name AS joined,
+      |       CAST(len(trim(c_name)) AS BIGINT) AS name_len,
+      |       substr(c_name, 1, 8) AS name_prefix
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---- P6/P13: numeric coercion with defaults + constant columns ----
+  def p6Defaults(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+        Drift.toDoubleOrZero(get_json_object(col("props"), "$.missing")).as("missing_k"),
+        Drift.toDoubleOrZero(get_json_object(col("props"), "$.k")).as("k"),
+        coalesce(col("event_type"), lit("unknown")).as("etype"),
+        lit("live_stream").as("source"))
+      .groupBy("etype", "source")
+      .agg(count(lit(1)).as("n"),
+        round(sum("k"), 2).as("sum_k"),       // integers: exact under any fold
+        round(sum("missing_k"), 2).as("sum_missing"))
+      .orderBy("etype")
+
+  val p6DefaultsSql: String =
+    """SELECT coalesce(event_type, 'unknown') AS etype, 'live_stream' AS source,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)), 2) AS sum_k,
+      |       round(sum(coalesce(TRY_CAST(json_extract_string(props, '$.missing') AS DOUBLE), 0.0)), 2) AS sum_missing
+      |FROM events GROUP BY 1, 2 ORDER BY etype""".stripMargin
+
+  // ---- A6: the SQL entry point (spark.sql over registered views) ----
+  def a6SqlApi(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM v_orders
+        |GROUP BY 1 ORDER BY order_date""".stripMargin)
+  }
+
+  val a6SqlApiSql: String =
+    """SELECT CAST(o_orderdate AS DATE) AS order_date,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY order_date""".stripMargin
+
+  // ---- W1: general window analytics (running count, lag) ----
+  def w1WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rn"),
+        lag("value", 1).over(w).as("prev_value"),
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+          .as("running_value"))
+      .orderBy("user_id", "rn")
+  }
+
+  val w1WindowRunningSql: String =
+    """SELECT user_id, event_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS rn,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
+  // ---- TPC-H Q1-style pricing summary (bench anchor) ----
+  def tpchQ1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 1000000L)
+          .as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 1000000L).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val tpchQ1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 AS sum_disc_price,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- TPC-H Q3-style shipping-priority top-k (bench anchor) ----
+  def tpchQ3(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1995-01-01"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 1000000L)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1995-01-01 00:00:00'
+      |GROUP BY l.l_orderkey, order_date
+      |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "s1_json_roundtrip" -> (s1JsonRoundtrip _),
+    "s3_csv_roundtrip" -> (s3CsvRoundtrip _),
+    "p2_string_fns" -> (p2StringFns _),
+    "p6_defaults" -> (p6Defaults _),
+    "a6_sql_api" -> (a6SqlApi _),
+    "w1_window_running" -> (w1WindowRunning _),
+    "tpch_q1" -> (tpchQ1 _),
+    "tpch_q3" -> (tpchQ3 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_json_roundtrip" -> s1JsonRoundtripSql,
+    "s3_csv_roundtrip" -> s3CsvRoundtripSql,
+    "p2_string_fns" -> p2StringFnsSql,
+    "p6_defaults" -> p6DefaultsSql,
+    "a6_sql_api" -> a6SqlApiSql,
+    "w1_window_running" -> w1WindowRunningSql,
+    "tpch_q1" -> tpchQ1Sql,
+    "tpch_q3" -> tpchQ3Sql
+  )
+}
