@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan of one query.
+  * `sbt "runMain graft.Explain <query> [sfDir]"`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    spark.stop()
+  }
+}

@@ -86,11 +86,16 @@ object TextFns {
     array((0 until k).map(minhash(shingleArr, _)): _*)
 
   /** SimHash-style 16-bit signature from token md5s: for each of 16 hex
-    * positions, the majority bit of (first hex nibble >= 8) across tokens.
+    * positions, the majority bit of (hex digit >= 8) across tokens.
     * Compact locality-sensitive bit signature with engine-portable hashing.
     */
-  def simhash16(toks: Column): Column = {
-    val hashes = transform(toks, t => md5(t))
+  def simhash16(toks: Column): Column =
+    simhash16FromHashes(transform(toks, t => md5(t)))
+
+  /** Same, over a precomputed md5-hash array column — callers that refer
+    * to the hash array 16 times should project it once first.
+    */
+  def simhash16FromHashes(hashes: Column): Column = {
     val bits = (0 until 16).map { i =>
       val ones = size(filter(hashes, h =>
         substring(h, i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))

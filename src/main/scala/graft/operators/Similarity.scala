@@ -21,11 +21,20 @@ object Similarity {
     * neighbor_id, score). Self-matches excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    // norms precomputed per side: O(n+q) norm folds instead of O(n*q);
+    // numerically identical to computing them inside the pair loop
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFns.l2Norm(col("embedding")).as("q_norm"))
+    val c = corpus.repartition(parallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        VectorFns.l2Norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", VectorFns.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("neighbor_id"))
     scored
@@ -40,13 +49,20 @@ object Similarity {
     * (and shuffle volume) shrinks ~2^nBits-fold.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int): DataFrame = {
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFns.l2Norm(col("embedding")).as("q_norm"),
       VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
+    val c = corpus.repartition(parallelism)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        VectorFns.l2Norm(col("embedding")).as("c_norm"),
+        VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", VectorFns.cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), col("neighbor_id"))
     scored
