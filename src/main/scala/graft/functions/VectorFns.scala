@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Elementwise product then ordered sum: dot(a, b) in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise product then ordered sum: dot(a, b) in double.
+    * Native codegen'd expression (`graft.plans.DotProductF`) — bit-identical
+    * to the higher-order-function formulation `dotHof`, ~an order of
+    * magnitude cheaper (no intermediate array, no lambda interpretation).
+    */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProductF.dotF(a, b)
+
+  /** Reference formulation of `dot` via built-in higher-order functions;
+    * kept for cross-checking the native expression bit-for-bit.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -44,6 +44,52 @@ object Similarity {
         col("neighbor_id"), round(col("score"), 4).as("score"))
   }
 
+  /** IVF-style ANN: a deterministic representative per partition (the
+    * min-id vector of each `label` — a rule-based medoid, so there is no
+    * float averaging to disagree about), queries probe their nearest
+    * representative by cosine, then search exactly within that one
+    * partition. The 100 TB shape: partitions are co-located by label, the
+    * representative table is tiny and broadcast, and each query touches
+    * 1/nlist of the corpus.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val w = Window.partitionBy("label").orderBy("vec_id")
+    val reps = corpus
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("label").as("rep_label"), col("embedding").as("rep_emb"),
+        VectorFns.l2Norm(col("embedding")).as("rep_norm"))
+    // probe: nearest representative per query (broadcast reps both ways)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      VectorFns.l2Norm(col("embedding")).as("q_norm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("rep_score"), col("rep_label"))
+    val probed = q.crossJoin(broadcast(reps))
+      .withColumn("rep_score",
+        when(col("q_norm") > 0 && col("rep_norm") > 0,
+          VectorFns.dot(col("q_emb"), col("rep_emb")) / (col("q_norm") * col("rep_norm"))))
+      .withColumn("__pr", row_number().over(probeW)).filter(col("__pr") === 1)
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("rep_label").as("probe_label"))
+    // search only inside the probed partition
+    val c = corpus.repartition(parallelism)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("probe_label"),
+        col("embedding").as("c_emb"), VectorFns.l2Norm(col("embedding")).as("c_norm"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    c.join(broadcast(probed), "probe_label")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        when(col("q_norm") > 0 && col("c_norm") > 0,
+          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("probe_label").cast("long").as("probe_label"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed ANN: join queries to corpus only within the same
     * sign-bit bucket, then top-k per query. Recall < 1.0; candidate set
     * (and shuffle volume) shrinks ~2^nBits-fold.

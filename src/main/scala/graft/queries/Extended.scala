@@ -208,7 +208,48 @@ object Extended {
       |GROUP BY l.l_orderkey, order_date
       |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
 
+  // ---- A7: rollup (multi-grain aggregate in one pass) ----
+  def a7Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val a7RollupSql: String =
+    """SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  // ---- O6: intersect / except set operations ----
+  def o6SetOps(s: SparkSession, d: String): DataFrame = {
+    val buyers = Tables.orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+    val bigSpenders = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val both = buyers.intersect(bigSpenders)
+    val onlySmall = buyers.except(bigSpenders)
+    both.withColumn("bucket", lit("big"))
+      .unionByName(onlySmall.withColumn("bucket", lit("small_only")))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  val o6SetOpsSql: String =
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+      |     big AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |             WHERE o_totalprice > 300000),
+      |     labeled AS (
+      |       SELECT custkey, 'big' AS bucket FROM (SELECT custkey FROM buyers INTERSECT SELECT custkey FROM big)
+      |       UNION ALL
+      |       SELECT custkey, 'small_only' AS bucket FROM (SELECT custkey FROM buyers EXCEPT SELECT custkey FROM big)
+      |     )
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM labeled
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "a7_rollup" -> (a7Rollup _),
+    "o6_setops" -> (o6SetOps _),
     "s1_json_roundtrip" -> (s1JsonRoundtrip _),
     "s3_csv_roundtrip" -> (s3CsvRoundtrip _),
     "p2_string_fns" -> (p2StringFns _),
@@ -220,6 +261,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "a7_rollup" -> a7RollupSql,
+    "o6_setops" -> o6SetOpsSql,
     "s1_json_roundtrip" -> s1JsonRoundtripSql,
     "s3_csv_roundtrip" -> s3CsvRoundtripSql,
     "p2_string_fns" -> p2StringFnsSql,

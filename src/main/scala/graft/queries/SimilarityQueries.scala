@@ -83,13 +83,65 @@ object SimilarityQueries {
       |  FROM scored
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-style ANN: probe the nearest label-representative, then search
+    * only that label partition.
+    */
+  def simIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 30), emb, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfTopkSql: String =
+    """WITH reps AS (
+      |  SELECT label AS rep_label, embedding AS rep_emb FROM (
+      |    SELECT label, embedding,
+      |           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |    FROM embeddings
+      |  ) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 30
+      |), probed AS (
+      |  SELECT query_id, qe, rep_label AS probe_label FROM (
+      |    SELECT q.query_id, q.qe, r.rep_label,
+      |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |        (list_sum(list_transform(range(1, len(q.qe)+1),
+      |                                 i -> q.qe[i]::DOUBLE * r.rep_emb[i]::DOUBLE)) /
+      |         (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+      |                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
+      |          sqrt(list_sum(list_transform(range(1, len(r.rep_emb)+1),
+      |                                 i -> r.rep_emb[i]::DOUBLE * r.rep_emb[i]::DOUBLE)))))
+      |        DESC, r.rep_label) AS pr
+      |    FROM q, reps r
+      |  ) WHERE pr = 1
+      |), scored AS (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id, p.probe_label,
+      |    list_sum(list_transform(range(1, len(p.qe)+1),
+      |                            i -> p.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(p.qe)+1),
+      |                            i -> p.qe[i]::DOUBLE * p.qe[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS score
+      |  FROM probed p JOIN embeddings e ON e.label = p.probe_label
+      |  WHERE e.vec_id <> p.query_id
+      |)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+      |       CAST(probe_label AS BIGINT) AS probe_label, round(score, 4) AS score
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
-    "sim_lsh_bucket" -> (simLshBucket _)
+    "sim_lsh_bucket" -> (simLshBucket _),
+    "sim_ivf_topk" -> (simIvfTopk _)
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
-    "sim_lsh_bucket" -> simLshBucketSql
+    "sim_lsh_bucket" -> simLshBucketSql,
+    "sim_ivf_topk" -> simIvfTopkSql
   )
 }
