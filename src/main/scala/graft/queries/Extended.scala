@@ -208,6 +208,22 @@ object Extended {
       |GROUP BY l.l_orderkey, order_date
       |ORDER BY revenue DESC, l.l_orderkey LIMIT 10""".stripMargin
 
+  // ---- S7: managed-table DDL + truncate-load + read-back ----
+  def s7TableRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_nation_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    Tables.nation(s, d).write.mode("overwrite").saveAsTable(tbl)
+    s.table(tbl)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n_nations"),
+        min("n_name").as("first_name"))
+      .orderBy("n_regionkey")
+  }
+
+  val s7TableRoundtripSql: String =
+    """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+      |       min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ---- A7: rollup (multi-grain aggregate in one pass) ----
   def a7Rollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -248,6 +264,7 @@ object Extended {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "s7_table_roundtrip" -> (s7TableRoundtrip _),
     "a7_rollup" -> (a7Rollup _),
     "o6_setops" -> (o6SetOps _),
     "s1_json_roundtrip" -> (s1JsonRoundtrip _),
@@ -261,6 +278,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "s7_table_roundtrip" -> s7TableRoundtripSql,
     "a7_rollup" -> a7RollupSql,
     "o6_setops" -> o6SetOpsSql,
     "s1_json_roundtrip" -> s1JsonRoundtripSql,
