@@ -22,14 +22,16 @@ object Relational {
   def a1FactOrderDaily(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
-    DailyRevenue.dailyAggregate(
+    // payments and refunds both derive from lineitem -> single-pass form:
+    // one scan + one attribution join (bit-identical to the two-frame form)
+    DailyRevenue.dailyAggregateFromItems(
       orders = o, orderId = "o_orderkey",
       orderDate = col("o_orderdate").cast("date"), dim = col("o_orderpriority"),
-      payments = l, payOrderId = "l_orderkey",
+      items = l, itemOrderId = "l_orderkey",
       payAmount = col("l_extendedprice"),
       payStatus = when(col("l_returnflag") === "N", lit("success")).otherwise(lit("failed")),
-      refunds = l.filter(col("l_returnflag") === "R"), refOrderId = "l_orderkey",
-      refAmount = col("l_extendedprice") * col("l_discount")
+      refundFlag = col("l_returnflag") === "R",
+      refundAmount = col("l_extendedprice") * col("l_discount")
     ).orderBy("order_date", "vendor")
   }
 
