@@ -48,6 +48,28 @@ object EventStream {
       .select(col("day.start").cast("date").as("event_date"),
         col("vendor"), col("n_events"))
 
+  /** Sliding-window per-vendor counts: windows of `size` every `slide`
+    * (size > slide ⇒ overlapping windows; each event lands in
+    * size/slide windows).
+    */
+  def slidingWindowAgg(deduped: DataFrame, size: String, slide: String): DataFrame =
+    deduped
+      .groupBy(window(col("event_ts"), size, slide).as("w"), col("vendor"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("vendor"), col("n_events"))
+
+  /** Session windows: events for one vendor that arrive within `gap` of
+    * each other merge into one session row (state closes `gap` past the
+    * watermark).
+    */
+  def sessionAgg(deduped: DataFrame, gap: String): DataFrame =
+    deduped
+      .groupBy(session_window(col("event_ts"), gap).as("s"), col("vendor"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
+        col("vendor"), col("n_events"))
+
   /** foreachBatch upsert of normalized current-order state — streaming
     * writes through the same idempotent sink as batch.
     */

@@ -33,6 +33,28 @@ class EventStreamSpec extends SparkSuite {
       ("2024-01-02", "vendor_b", 2L)))
   }
 
+  test("sliding and session windows over the deduped stream") {
+    val dir = Files.createTempDirectory("stream_in3").toString
+    writeFixture(dir)
+    val deduped = EventStream.dedupWithWatermark(EventStream.readLiveStream(spark, dir))
+
+    val sq = EventStream.slidingWindowAgg(deduped, "2 days", "1 day").writeStream
+      .format("memory").queryName("sliding").outputMode("complete").start()
+    sq.processAllAvailable(); sq.stop()
+    val sliding = spark.sql("SELECT vendor, sum(n_events) FROM sliding GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // size/slide = 2 -> every event counted twice across overlapping windows
+    assert(sliding.toSeq == Seq(("vendor_a", 2L), ("vendor_b", 4L)))
+
+    val ssq = EventStream.sessionAgg(deduped, "6 hours").writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    ssq.processAllAvailable(); ssq.stop()
+    val sessions = spark.sql("SELECT vendor, count(*) FROM sessions GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // vendor_b's two events are 2h apart -> one merged session
+    assert(sessions.toSeq == Seq(("vendor_a", 1L), ("vendor_b", 1L)))
+  }
+
   test("foreachBatch order upsert: streaming writes the same warehouse state as batch") {
     val dir = Files.createTempDirectory("stream_in2").toString
     writeFixture(dir)
