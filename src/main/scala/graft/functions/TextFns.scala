@@ -14,12 +14,13 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** BPE-ish subword-count proxy: word-boundary pieces + digits + punct.
-    * Counts regex matches without materializing an array.
+  /** BPE-ish subword-count proxy: alphabetic runs + digit runs + each
+    * punctuation mark as its own token. RE2-compatible pattern (no
+    * lookarounds) so other engines' regexp_extract_all reproduces it.
     */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def tokenCountRegex(text: Column): Column =
-    size(filter(split(text, "(?=[\\s\\p{Punct}])|(?<=[\\s\\p{Punct}])"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
   /** Word n-gram shingles over a token array (n >= 1). */
   def shingles(toks: Column, n: Int): Column =

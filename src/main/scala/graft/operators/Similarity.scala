@@ -90,6 +90,32 @@ object Similarity {
         round(col("score"), 4).as("score"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
+    * buckets (all pairs within a bucket), kept when cosine >= minCos.
+    * The dedup-by-embedding operator for training corpora: candidate
+    * generation is linear in bucket sizes, never all-pairs.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, nBits: Int, minCos: Double): DataFrame = {
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val b = corpus.repartition(parallelism).select(
+        col("vec_id"), col("embedding"),
+        VectorFns.l2Norm(col("embedding")).as("norm"),
+        VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
+      .persist()
+    val a = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("e_a"), col("norm").as("n_a"))
+    val c = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("e_b"), col("norm").as("n_b"))
+    a.join(c, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))))
+      .filter(col("score") >= minCos)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+  }
+
   /** LSH-bucketed ANN: join queries to corpus only within the same
     * sign-bit bucket, then top-k per query. Recall < 1.0; candidate set
     * (and shuffle volume) shrinks ~2^nBits-fold.

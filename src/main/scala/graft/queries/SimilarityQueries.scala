@@ -133,15 +133,44 @@ object SimilarityQueries {
       |  FROM scored
       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Embedding-cosine near-dup pairs (dedup family): sign-LSH candidate
+    * buckets, exact cosine verification at >= 0.35.
+    */
+  def ddEmbedCosine(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d), nBits = 8, minCos = 0.35)
+      .orderBy("vec_a", "vec_b")
+
+  val ddEmbedCosineSql: String =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_sum(list_transform(range(0, 8), i ->
+      |           CASE WHEN embedding[i+1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
+      |           AS bucket
+      |  FROM embeddings
+      |)
+      |SELECT vec_a, vec_b, round(score, 4) AS score FROM (
+      |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      |    list_sum(list_transform(range(1, len(a.embedding)+1),
+      |                            i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+      |                            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+      |                            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS score
+      |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |)
+      |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_bucket" -> (simLshBucket _),
-    "sim_ivf_topk" -> (simIvfTopk _)
+    "sim_ivf_topk" -> (simIvfTopk _),
+    "dd_embed_cosine" -> (ddEmbedCosine _)
   )
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_lsh_bucket" -> simLshBucketSql,
-    "sim_ivf_topk" -> simIvfTopkSql
+    "sim_ivf_topk" -> simIvfTopkSql,
+    "dd_embed_cosine" -> ddEmbedCosineSql
   )
 }

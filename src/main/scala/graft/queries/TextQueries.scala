@@ -31,6 +31,7 @@ object TextQueries {
         round(TextFns.stopwordRatio(toks, Stopwords), 4).as("stop_ratio"),
         round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / size(toks), 4).as("mean_wlen"),
+        TextFns.tokenCountRegex(col("text")).cast("long").as("bpe_tokens"),
         TextFns.qualityScore(col("text"), Stopwords).as("quality"))
       .orderBy("doc_id")
   }
@@ -62,6 +63,8 @@ object TextQueries {
       |       CAST(punct AS BIGINT) AS punct_cnt,
       |       round(stop_r, 4) AS stop_ratio,
       |       round(mean_w, 4) AS mean_wlen,
+      |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+      |         AS bpe_tokens,
       |       round((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
       |             (CASE WHEN stop_r > 0.01 THEN 0.25 ELSE 0.0 END) +
       |             (CASE WHEN punct_r < 0.2 THEN 0.25 ELSE 0.0 END) +
