@@ -211,6 +211,14 @@ object Extended {
   // ---- S7: managed-table DDL + truncate-load + read-back ----
   def s7TableRoundtrip(s: SparkSession, d: String): DataFrame = {
     val tbl = "graft_nation_" + d.replaceAll("[^0-9a-zA-Z]", "_")
+    // a fresh session has an empty in-memory catalog, but the managed
+    // location on disk survives earlier sessions — drop both or the
+    // overwrite fails with LOCATION_ALREADY_EXISTS on re-runs
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     Tables.nation(s, d).write.mode("overwrite").saveAsTable(tbl)
     s.table(tbl)
       .groupBy("n_regionkey")
