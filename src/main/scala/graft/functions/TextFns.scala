@@ -74,6 +74,29 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Per-char-k-gram md5 hashes of normalized text — materialize this as
+    * its own projected column before calling [[winnowFromHashes]]: lambda
+    * bodies are re-evaluated per element with no common-subexpression
+    * elimination, so windowing directly over this expression would
+    * recompute every hash per window (O(len²) md5 calls).
+    */
+  def kgramHashes(text: Column, k: Int): Column =
+    transform(charNgrams(text, k), g => md5(g))
+
+  /** Winnowing fingerprint set (rolling-hash document fingerprinting in
+    * the MOSS style) over a precomputed hash-array column: slide a window
+    * of `w` hashes, keep each window's minimum, dedupe. Guarantees any
+    * shared substring of length >= k + w - 1 contributes a shared
+    * fingerprint. md5-hex hashes keep the selection engine-portable.
+    */
+  def winnowFromHashes(hs: Column, w: Int): Column = {
+    val wins = when(size(hs) >= w,
+      transform(sequence(lit(1), size(hs) - (w - 1)),
+        i => array_min(slice(hs, i, lit(w)))))
+      .otherwise(array(array_min(hs)))
+    array_distinct(wins)
+  }
+
   /** One MinHash value: min over shingles of md5(seed:shingle).
     * Hex-string min is a valid uniform min-hash (md5 is uniform on hex
     * strings and lexicographic order on fixed-width hex = numeric order).

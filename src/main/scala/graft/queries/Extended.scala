@@ -232,6 +232,38 @@ object Extended {
       |       min(n_name) AS first_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---- S9: ORC sink + scan round-trip ----
+  def s9OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/tmp/graft_roundtrip_orc_${d.replaceAll("[^0-9a-zA-Z.]", "_")}"
+    Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val s9OrcRoundtripSql: String =
+    """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |       round(sum(s_acctbal), 2) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---- A8: exact interpolated percentiles ----
+  def a8Percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val a8PercentilesSql: String =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- A7: rollup (multi-grain aggregate in one pass) ----
   def a7Rollup(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -272,6 +304,8 @@ object Extended {
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
+    "a8_percentiles" -> (a8Percentiles _),
     "s7_table_roundtrip" -> (s7TableRoundtrip _),
     "a7_rollup" -> (a7Rollup _),
     "o6_setops" -> (o6SetOps _),
@@ -286,6 +320,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "s9_orc_roundtrip" -> s9OrcRoundtripSql,
+    "a8_percentiles" -> a8PercentilesSql,
     "s7_table_roundtrip" -> s7TableRoundtripSql,
     "a7_rollup" -> a7RollupSql,
     "o6_setops" -> o6SetOpsSql,

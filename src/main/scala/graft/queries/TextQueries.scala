@@ -147,6 +147,44 @@ object TextQueries {
       |           ELSE [array_to_string(tk, ' ')] END)) AS BIGINT) AS n_shingles3
       |FROM toks ORDER BY doc_id""".stripMargin
 
+  // ---- winnowing fingerprints (rolling-hash k-gram windows) ----
+  def txtWinnow(s: SparkSession, d: String): DataFrame = {
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Tables.documents(s, d)
+      .repartition(parallelism)
+      // hashes projected once, then windowed — see TextFns.kgramHashes
+      .select(col("doc_id"), TextFns.kgramHashes(col("text"), 8).as("h"))
+      .select(col("doc_id"), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
+  val txtWinnowSql: String =
+    """WITH hs AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           CASE WHEN len(s) >= 8
+      |             THEN list_transform(range(1, len(s) - 6), i -> s[i:i+7])
+      |             ELSE [s] END,
+      |           g -> md5(g)) AS h
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s
+      |        FROM documents)
+      |), wins AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(h) >= 4
+      |           THEN list_transform(range(1, len(h) - 2),
+      |                               i -> list_min(h[i:i+3]))
+      |           ELSE [list_min(h)] END) AS fps
+      |  FROM hs
+      |)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM wins ORDER BY doc_id""".stripMargin
+
   // ---- exact dedup by fingerprint ----
   def ddExact(s: SparkSession, d: String): DataFrame =
     TextDedup.exactGroups(Tables.documents(s, d)).orderBy("fp")
@@ -247,6 +285,7 @@ object TextQueries {
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_winnow" -> (txtWinnow _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -257,6 +296,7 @@ object TextQueries {
     "txt_stats" -> txtStatsSql,
     "txt_langid" -> txtLangidSql,
     "txt_fingerprint" -> txtFingerprintSql,
+    "txt_winnow" -> txtWinnowSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
