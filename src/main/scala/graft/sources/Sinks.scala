@@ -46,4 +46,25 @@ object Sinks {
   /** S6: single-file CSV report sink. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Date-partitioned fact layout: one directory per partition value, so
+    * date-ranged queries prune at the file listing (PartitionFilters in
+    * the scan) — the default physical layout for 100 TB fact tables.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, dateCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(dateCol).parquet(path)
+
+  /** Bucketed managed tables: co-locates both sides of a recurring
+    * equi-join at write time; joins between tables bucketed by the same
+    * key and count run with NO shuffle exchange on either side.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 }
