@@ -56,6 +56,18 @@ object CommercePulse {
       .withColumn("source", coalesce(col("source"), lit("live_stream")))
       .filter(col("event_id").isNotNull)
 
+  /** Count of unparseable lines in a JSONL feed (the reference logs a
+    * skip per corrupt line, `src/live_event_loader.py:36-41`): lines that
+    * fail JSON parsing entirely or carry no event_id.
+    */
+  def corruptLineCount(spark: SparkSession, path: String): Long = {
+    val parsed = spark.read
+      .schema(EnvelopeSchema.add("_corrupt_record", "string"))
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+    parsed.filter(col("_corrupt_record").isNotNull || col("event_id").isNull).count()
+  }
+
   /** O4 + D3: unify feeds and collapse duplicates/replays idempotently —
     * the upsert-by-event_id store (reference `src/live_event_loader.py:51-64`).
     */

@@ -70,6 +70,34 @@ object EventStream {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("vendor"), col("n_events"))
 
+  /** Stream-static enrichment: join the live stream against a static
+    * dimension snapshot (broadcast per micro-batch; no stream state).
+    */
+  def enrichWithDim(deduped: DataFrame, dim: DataFrame, key: String): DataFrame =
+    deduped.join(broadcast(dim), Seq(key), "left")
+
+  /** Incremental fact_order_daily refresh: each micro-batch re-derives the
+    * daily aggregate for the batch's affected (date, vendor) grains and
+    * upserts them — the streaming continuation of the batch aggregate,
+    * sharing its exact semantics via the same library call.
+    */
+  def startDailyRefresh(spark: SparkSession, deduped: DataFrame, outPath: String,
+                        checkpoint: String): StreamingQuery =
+    deduped.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val daily = CommercePulse.factOrderDaily(
+          CommercePulse.normalizeOrders(batch),
+          CommercePulse.normalizePayments(batch),
+          CommercePulse.normalizeRefunds(batch))
+        graft.sources.Sinks.upsertParquet(spark, daily, outPath,
+          Seq("order_date", "vendor"),
+          Seq(col("order_count").desc)) // latest batch state wins per grain
+      }
+      .start()
+
   /** foreachBatch upsert of normalized current-order state — streaming
     * writes through the same idempotent sink as batch.
     */

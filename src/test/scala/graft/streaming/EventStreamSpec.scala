@@ -55,6 +55,56 @@ class EventStreamSpec extends SparkSuite {
     assert(sessions.toSeq == Seq(("vendor_a", 1L), ("vendor_b", 1L)))
   }
 
+  test("stream-static dim enrichment joins without stream state") {
+    val dir = Files.createTempDirectory("stream_in4").toString
+    writeFixture(dir)
+    import SparkSuite.session.implicits._
+    val dim = Seq(("vendor_a", "Alpha Corp"), ("vendor_b", "Beta GmbH"))
+      .toDF("vendor", "vendor_name")
+    val enriched = EventStream.enrichWithDim(
+      EventStream.dedupWithWatermark(EventStream.readLiveStream(spark, dir)),
+      dim, "vendor")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT DISTINCT vendor, vendor_name FROM enriched ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("vendor_a", "Alpha Corp"), ("vendor_b", "Beta GmbH")))
+  }
+
+  test("streaming daily refresh upserts the same grains as the batch aggregate") {
+    val dir = Files.createTempDirectory("stream_in5").toString
+    writeFixture(dir)
+    val out = Files.createTempDirectory("stream_daily").toString
+    val cp = Files.createTempDirectory("stream_daily_cp").toString
+    val q = EventStream.startDailyRefresh(spark,
+      EventStream.dedupWithWatermark(EventStream.readLiveStream(spark, dir)),
+      s"$out/fact_order_daily", cp)
+    q.awaitTermination(60000)
+    val daily = spark.read.parquet(s"$out/fact_order_daily")
+    val rows = daily.collect().map(r =>
+      (r.getAs[java.sql.Date]("order_date").toString, r.getAs[String]("vendor"),
+        r.getAs[Double]("gross_revenue"))).toSet
+    // A-1 on 01-01 (no payment rows attributed besides TX-1 -> gross 200 on B-1's date)
+    assert(rows.map(t => (t._1, t._2)) ==
+      Set(("2024-01-01", "vendor_a"), ("2024-01-02", "vendor_b")))
+    val b = rows.find(_._2 == "vendor_b").get
+    assert(b._3 == 200.0)
+  }
+
+  test("corrupt line accounting matches the reference's skip counting") {
+    val dir = Files.createTempDirectory("stream_in6").toString
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/events.jsonl"), Seq(
+      """{"event_id":"ok1","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"v","payload":"{}","ingested_at":"2024-01-01T11:00:00"}""",
+      """{broken""",
+      """{"event_type":"no_id","vendor":"v","payload":"{}"}""",
+      """{"event_id":"ok2","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"v","payload":"{}","ingested_at":"2024-01-01T11:00:00"}"""
+    ).mkString("\n"))
+    assert(graft.pipeline.CommercePulse.corruptLineCount(spark, s"$dir/events.jsonl") == 2)
+    assert(graft.pipeline.CommercePulse.readLive(spark, s"$dir/events.jsonl").count() == 2)
+  }
+
   test("foreachBatch order upsert: streaming writes the same warehouse state as batch") {
     val dir = Files.createTempDirectory("stream_in2").toString
     writeFixture(dir)
