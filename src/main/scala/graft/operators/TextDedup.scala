@@ -109,8 +109,13 @@ object TextDedup {
     // produce an unordered pair-count aggregate
     a.join(b.hint("shuffle_hash"), Seq("lang", "len_bucket", "sh_h"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      // pack the pair into one long: halves the groupBy key width and
+      // hashing cost on the widest shuffle of the query (doc ids < 2^31)
+      .select((col("doc_a") * 4294967296L + col("doc_b")).as("pair"))
+      .groupBy("pair")
       .agg(count(lit(1)).as("inter"))
+      .select((col("pair") / 4294967296L).cast("long").as("doc_a"),
+        pmod(col("pair"), lit(4294967296L)).cast("long").as("doc_b"), col("inter"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
