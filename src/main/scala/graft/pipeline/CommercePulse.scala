@@ -171,6 +171,16 @@ object CommercePulse {
   def dimDate(spark: SparkSession): DataFrame =
     Dimensions.dateSpine(spark, "2023-01-01", "2026-12-31")
 
+  /** dim_product placeholder row (reference `src/populate_dimensions.py:70-76`
+    * ships exactly one unknown-product row; payloads carry SKUs but no
+    * product catalog exists to join against).
+    */
+  def dimProduct(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(("UNKNOWN", "Unknown Product", "uncategorized", "unknown", 0.0))
+      .toDF("product_id", "product_name", "category", "vendor_id", "unit_price")
+  }
+
   /** One-row quality report (reference `src/quality_report.py`, schema
     * FIXTURES §5). Gross revenue here is the success-only definition —
     * deliberately distinct from fact_order_daily's all-status gross
@@ -239,6 +249,7 @@ object CommercePulse {
     graft.sources.Sinks.overwriteParquet(daily, s"$outDir/fact_order_daily")
     graft.sources.Sinks.overwriteParquet(dimCustomer(orders), s"$outDir/dim_customer")
     graft.sources.Sinks.overwriteParquet(dimDate(spark), s"$outDir/dim_date")
+    graft.sources.Sinks.overwriteParquet(dimProduct(spark), s"$outDir/dim_product")
     graft.sources.Sinks.writeCsv(report, s"$outDir/quality_report")
 
     Map(
