@@ -9,20 +9,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * would be partitioned directories; the API is identical.
   */
 object Tables {
+  // memoized per (session, dir, name): repeated queries over the same
+  // table reuse the resolved relation (file listing + parquet footer
+  // schema read happen once per session, not once per query) — this is
+  // pure driver-side bookkeeping, the data itself stays lazy
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  // get/putIfAbsent rather than computeIfAbsent: `events` memoizes a frame
+  // derived from another memoized entry, and a computeIfAbsent nested
+  // inside a computeIfAbsent on the same map throws "Recursive update"
+  private def memoize(key: (SparkSession, String, String))(mk: => DataFrame): DataFrame = {
+    val cached = memo.get(key)
+    if (cached != null) cached
+    else {
+      val df = mk
+      val prev = memo.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memoize((spark, dir, name))(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a nanosecond
     * Long (legacy conf) and truncate to a microsecond TimestampType —
     * the exact same truncation DuckDB applies when it reads TIMESTAMP_NS
     * into its microsecond TIMESTAMP, so oracle comparisons agree.
+    * The division MUST be integer `div`: epoch-ns (~1.7e18) exceeds 2^53,
+    * so `/` (evaluated in double) can land ±1µs off DuckDB's integer
+    * truncation.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    memoize((s, d, "events.norm")) {
+      load(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -98,11 +98,14 @@ object Similarity {
   def cosineNearDupPairs(corpus: DataFrame, nBits: Int, minCos: Double): DataFrame = {
     val parallelism = corpus.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
+    // both self-join legs re-derive this projection (one norm fold + one
+    // sign fold per row) rather than persist it: recomputing a cheap
+    // narrow projection beats caching a corpus-sized frame at 100 TB, and
+    // the round-1 persist here leaked for the session lifetime.
     val b = corpus.repartition(parallelism).select(
         col("vec_id"), col("embedding"),
         VectorFns.l2Norm(col("embedding")).as("norm"),
         VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
-      .persist()
     val a = b.select(col("bucket"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("norm").as("n_a"))
     val c = b.select(col("bucket"), col("vec_id").as("vec_b"),

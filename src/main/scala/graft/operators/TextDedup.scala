@@ -32,6 +32,15 @@ object TextDedup {
     * estimated Jaccard. k = bands * rowsPerBand minhashes.
     * Returns (doc_a, doc_b, est_jaccard) for pairs sharing >= 1 band,
     * est_jaccard >= minEst, doc_a < doc_b.
+    *
+    * Pair generation is a single groupBy per (band, band_hash) bucket that
+    * collects members and expands i<j pairs from the sorted list — the
+    * signatures are computed exactly once (the round-1 self-join needed a
+    * `persist()` to avoid recomputing them per leg, and that cache leaked
+    * for the session lifetime). Bucket member lists are bounded by bucket
+    * size, not corpus size; LSH buckets are near-dup groups and stay small
+    * when exact dedup runs first (a flood of bit-identical docs belongs to
+    * `exactGroups`, not here).
     */
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int,
                       rowsPerBand: Int, minEst: Double): DataFrame = {
@@ -43,9 +52,6 @@ object TextDedup {
       .select(col("doc_id"),
         TextFns.shingles(TextFns.tokens(col("text")), shingleN).as("sh"))
       .select(col("doc_id"), TextFns.minhashSignature(col("sh"), k).as("sig"))
-      // both legs of the self-join read this — persist so signatures are
-      // computed once, not once per leg
-      .persist()
 
     // explode into (band, bandHash) bucket keys — one shuffle by bucket
     val banded = sigd.select(
@@ -55,17 +61,21 @@ object TextDedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)).cast("double") / k).as("est_jaccard"))
-      .distinct()
+    banded
+      .groupBy("band", "band_hash")
+      // sort_array on struct sorts by leading doc_id, so i<j ⇒ doc_a<doc_b
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
+          struct(
+            x("doc_id").as("doc_a"),
+            y("doc_id").as("doc_b"),
+            (size(filter(zip_with(x("sig"), y("sig"), (p, q) => p === q),
+              eq => eq)).cast("double") / k).as("est_jaccard")))))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.est_jaccard").as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= minEst)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
   }
@@ -73,17 +83,27 @@ object TextDedup {
   /** Exact n-gram Jaccard over candidate pairs bucketed by (lang, length
     * band) — a deterministic blocking strategy that bounds the pair count.
     *
-    * Inverted-index formulation: explode shingles, self-join on
-    * (block, shingle), count shared shingles per pair, then
-    * |A∪B| = |A| + |B| − |A∩B|. Compared to a pairwise array-intersect
-    * join this never materializes O(pairs) shingle arrays — the shuffle
-    * carries (block, shingle, doc_id) rows and the pair work is a count,
-    * so it parallelizes across shingle buckets instead of serializing on
-    * a handful of block keys. Pairs with zero shared shingles never
-    * surface (their Jaccard is 0, below any useful threshold).
+    * Inverted-index candidate generation with a document-frequency cap
+    * (prefix filtering): explode distinct shingles, group by
+    * (block, shingle-hash), and expand i<j candidate pairs only from
+    * shingle buckets whose document frequency is in [2, dfCap]. A
+    * stop-shingle like "of the" occurs in nearly every doc of a block and
+    * alone contributes O(df²) join rows — at corpus scale that single key
+    * is a quadratic blowup, so high-df shingles are excluded from
+    * *candidate generation*. The final Jaccard is still exact over the
+    * FULL shingle sets (verification joins the candidate pairs back to the
+    * complete per-doc sets), so the cap can only drop pairs whose every
+    * shared shingle is a near-universal one — such pairs sit far below any
+    * useful similarity threshold.
+    *
+    * Pair keys are packed into one long (doc_a<<32 | doc_b) to halve the
+    * distinct-key width; pack/unpack uses pure integer bit ops
+    * (shiftleft / shiftrightunsigned / bitwiseAND), which round-trip every
+    * id up to 2^32 exactly — `/` would go through double and silently
+    * corrupt ids above 2^21.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, lenBand: Int,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double, dfCap: Int = 64): DataFrame = {
     val parallelism = docs.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
     val withSets = docs
@@ -92,33 +112,34 @@ object TextDedup {
         col("doc_id"), col("lang"),
         (col("n_chars") / lenBand).cast("long").as("len_bucket"),
         array_distinct(TextFns.shingles(TextFns.tokens(col("text")), shingleN)).as("sh"))
-    val sizes = withSets.select(col("doc_id"), size(col("sh")).as("sz"))
-    // join on a 64-bit shingle hash instead of the string (collision odds
-    // ~2^-64 per candidate pair — immaterial); persist so both self-join
-    // legs share one computation of the shingle explosion
-    val exploded = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
+    // candidate pairs: one groupBy on a 64-bit shingle hash (collision odds
+    // ~2^-64 per pair — immaterial); the inverted index is computed ONCE
+    // (no self-join, no persist), and per-bucket member lists are bounded
+    // by dfCap so pair expansion is at most dfCap²/2 rows per shingle.
+    val candidates = withSets
+      .select(col("lang"), col("len_bucket"), col("doc_id"),
         explode(col("sh")).as("shingle"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"),
+      .select(col("lang"), col("len_bucket"), col("doc_id"),
         xxhash64(col("shingle")).as("sh_h"))
-      .persist()
-    val a = exploded.select(col("lang"), col("len_bucket"), col("sh_h"),
-      col("doc_id").as("doc_a"))
-    val b = exploded.select(col("lang"), col("len_bucket"), col("sh_h"),
-      col("doc_id").as("doc_b"))
-    // shuffle-hash beats sort-merge: no point sorting 3-part keys to
-    // produce an unordered pair-count aggregate
-    a.join(b.hint("shuffle_hash"), Seq("lang", "len_bucket", "sh_h"))
-      .filter(col("doc_a") < col("doc_b"))
-      // pack the pair into one long: halves the groupBy key width and
-      // hashing cost on the widest shuffle of the query (doc ids < 2^31)
-      .select((col("doc_a") * 4294967296L + col("doc_b")).as("pair"))
-      .groupBy("pair")
-      .agg(count(lit(1)).as("inter"))
-      .select((col("pair") / 4294967296L).cast("long").as("doc_a"),
-        pmod(col("pair"), lit(4294967296L)).cast("long").as("doc_b"), col("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      .groupBy("lang", "len_bucket", "sh_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => shiftleft(x, 32).bitwiseOR(y))))).as("pair"))
+      .distinct()
+      .select(
+        shiftrightunsigned(col("pair"), 32).as("doc_a"),
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
+    // exact verification over the full shingle sets; the candidate side is
+    // small (post-cap, post-distinct) so Spark broadcasts it into both
+    // joins — the corpus-side set projection streams, never shuffles.
+    val a = withSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = withSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= minJaccard)

@@ -461,20 +461,29 @@ object Relational {
       |FROM events""".stripMargin
 
   // ---- QR: one-row integrity report (counts + orphans + coverage) ----
+  // Fused single-pass formulation: round 1 ran 5 independent jobs that
+  // scanned orders 3× and lineitem 3×. Here lineitem pre-aggregates to
+  // order grain (partial map-side combine), orders carry a customer-orphan
+  // flag from one left join, and a single full-outer join at order grain
+  // feeds every metric — each table is scanned exactly once.
   def qrReport(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val l = Tables.lineitem(s, d)
     val c = Tables.customer(s, d)
-    val orphanLine = Quality.orphans(
-      l.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey")
-    val orphanOrders = Quality.orphans(
-      o.withColumnRenamed("o_custkey", "c_custkey"), c, "c_custkey")
-    val emptyOrders = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
-    o.agg(count(lit(1)).as("total_orders"))
-      .crossJoin(l.agg(count(lit(1)).as("total_lineitems")))
-      .crossJoin(orphanLine.agg(count(lit(1)).as("orphan_lineitems")))
-      .crossJoin(orphanOrders.agg(count(lit(1)).as("orphan_orders")))
-      .crossJoin(emptyOrders.agg(count(lit(1)).as("orders_without_lineitems")))
+    val lagg = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val oc = o.select(col("o_orderkey"), col("o_custkey"))
+      .join(c.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"), col("c_custkey").isNull.as("orph_ord"))
+    oc.join(lagg, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .agg(
+        count(col("o_orderkey")).as("total_orders"),
+        coalesce(sum(col("n_items")), lit(0L)).as("total_lineitems"),
+        coalesce(sum(when(col("o_orderkey").isNull, col("n_items"))), lit(0L))
+          .as("orphan_lineitems"),
+        coalesce(sum(when(col("orph_ord"), lit(1L))), lit(0L)).as("orphan_orders"),
+        count(when(col("o_orderkey").isNotNull && col("l_orderkey").isNull, lit(1)))
+          .as("orders_without_lineitems"))
       .withColumn("avg_items_per_order",
         round(col("total_lineitems") / col("total_orders").cast("double"), 4))
   }

@@ -201,6 +201,9 @@ object TextQueries {
         shingleN = 2, lenBand = 100, minJaccard = 0.2)
       .orderBy("doc_a", "doc_b")
 
+  // mirrors the operator's df-capped candidate rule: pairs must share at
+  // least one shingle whose per-block document frequency is in [2, 64];
+  // the jaccard itself is exact over the full shingle sets
   val ddNgramJaccardSql: String =
     """WITH sh AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
@@ -212,14 +215,32 @@ object TextQueries {
       |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
       |                      t -> len(t) > 0) AS tk
       |        FROM documents)
+      |), ex AS (
+      |  SELECT doc_id, lang, len_bucket, unnest(s) AS shingle FROM sh
+      |), freq AS (
+      |  SELECT lang, len_bucket, shingle, count(*) AS n
+      |  FROM ex GROUP BY 1, 2, 3
+      |), low AS (
+      |  SELECT e.doc_id, e.lang, e.len_bucket, e.shingle
+      |  FROM ex e JOIN freq f
+      |    ON e.lang = f.lang AND e.len_bucket = f.len_bucket
+      |   AND e.shingle = f.shingle
+      |  WHERE f.n BETWEEN 2 AND 64
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM low a JOIN low b
+      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  SELECT c.doc_a, c.doc_b,
       |         round(len(list_intersect(a.s, b.s))::DOUBLE /
-      |               len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
-      |  FROM sh a JOIN sh b
-      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-      |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      |               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+      |           AS jaccard
+      |  FROM cand c
+      |  JOIN sh a ON c.doc_a = a.doc_id
+      |  JOIN sh b ON c.doc_b = b.doc_id
+      |  WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
       |)
       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, Long, String)]) =
+    rows.toDF("doc_id", "lang", "n_chars", "text")
+
+  test("ngramJaccardPairs round-trips doc ids above 2^31 exactly") {
+    // Round 1 unpacked the packed pair key with double division, which
+    // corrupts ids above 2^21; these ids also exercise the sign bit of
+    // the packed long (doc_a > 2^31 ⇒ shiftleft sets bit 63).
+    val big = docs(Seq(
+      (3000000000L, "en", 40L, "alpha beta gamma delta epsilon zeta"),
+      (4000000000L, "en", 40L, "alpha beta gamma delta epsilon eta")))
+    val got = TextDedup.ngramJaccardPairs(big, shingleN = 2, lenBand = 100,
+        minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // 5 distinct bigrams each, 4 shared: jaccard = 4/6
+    assert(got == Seq((3000000000L, 4000000000L, 0.6667)))
+  }
+
+  test("ngramJaccardPairs df-cap drops stop-shingle-only candidates") {
+    // 70 docs whose ONLY shared shingle is the stop bigram "of the"
+    // (df = 70 > cap = 64): without the cap this family alone generates
+    // 70·69/2 candidate pairs, each at exactly jaccard 0.2 — the O(df²)
+    // blowup the prefix filter exists to kill.
+    val floods = (1L to 70L).map(i => (i, "en", 20L, s"of the unique$i word$i"))
+    val rares = Seq(
+      (200L, "en", 20L, "red green blue yellow"),
+      (201L, "en", 20L, "red green blue purple"))
+    val got = TextDedup.ngramJaccardPairs(docs(floods ++ rares),
+        shingleN = 2, lenBand = 100, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+    // rare-shingle pair survives with the exact full-set jaccard (2/4)
+    assert(got == Seq((200L, 201L, 0.5)))
+  }
+
+  test("minhashLshPairs pairs identical docs at est 1.0") {
+    val d = docs(Seq(
+      (10L, "en", 30L, "the quick brown fox jumps over"),
+      (20L, "en", 30L, "the quick brown fox jumps over"),
+      (30L, "en", 30L, "completely different words entirely here now")))
+    val got = TextDedup.minhashLshPairs(d, shingleN = 2, bands = 4,
+        rowsPerBand = 4, minEst = 0.25)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 20L, 1.0)))
+  }
+
+  test("dedup and similarity operators leave no persisted RDDs behind") {
+    val d = docs(Seq(
+      (1L, "en", 30L, "one two three four five six"),
+      (2L, "en", 30L, "one two three four five seven")))
+    val emb = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // delta-based: the suite session is shared, other specs may cache
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextDedup.ngramJaccardPairs(d, 2, 100, 0.2).count()
+    TextDedup.minhashLshPairs(d, 2, 4, 4, 0.25).count()
+    Similarity.cosineNearDupPairs(emb, nBits = 2, minCos = 0.8).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty)
+  }
+}
