@@ -147,6 +147,96 @@ object CommercePulse {
       Seq(col("refund_date").asc_nulls_last, col("event_id").asc))
   }
 
+  // ---- Reference-fidelity ("strict") mode --------------------------------
+  // The reference transformer recognizes ONLY the restricted event-type
+  // lists and exact payload keys below (`src/transformer.py:20-41,192-194` —
+  // quirk SURVEY §2.10.1): live dialect names like `payment_succeeded` /
+  // `refund_issued` and nested order payload keys are invisible to it.
+  // These variants reproduce that behavior bit-for-bit — verified against
+  // the reference's committed `warehouse/facts/*.csv` golden files by
+  // `GoldenParitySpec`. The extended normalizers above are the recommended
+  // mode; strict mode exists to prove fidelity.
+
+  val StrictOrderTypes: Seq[String] =
+    Seq("historical_order", "order_created", "order_updated")
+  val StrictPaymentTypes: Seq[String] =
+    Seq("historical_payment", "payment_attempt", "payment_confirmed")
+  val StrictRefundTypes: Seq[String] =
+    Seq("historical_refund", "refund_created", "refund_processed")
+
+  /** Live JSONL read that preserves ingestion order as a `_seq` column.
+    * The reference's Mongo fetch returns insertion (= file) order and the
+    * strict dedups tie-break on it; `coalesce(1)` serializes the read so
+    * line position is global position. Parity tool for single files — for
+    * bulk ingest use `readLive` (order-free, fully parallel).
+    */
+  def readLiveOrdered(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path).coalesce(1)
+      .select(monotonically_increasing_id().as("_seq"),
+        get_json_object(col("value"), "$.event_id").as("event_id"),
+        get_json_object(col("value"), "$.event_type").as("event_type"),
+        get_json_object(col("value"), "$.event_time").as("event_time"),
+        get_json_object(col("value"), "$.vendor").as("vendor"),
+        get_json_object(col("value"), "$.payload").as("payload"),
+        get_json_object(col("value"), "$.ingested_at").as("ingested_at"))
+      .filter(col("event_id").isNotNull)
+
+  /** Strict orders normalization (`src/transformer.py:20-41`): exact keys
+    * only, no drift fallbacks, no event_time fallback, null order_ids kept
+    * (they collapse into one dedup group exactly as pandas NaN keys do).
+    * Pandas' stable sort-by-created_at / keep-last is a window over
+    * (created_at desc_nulls_last, _seq desc). Input must carry `_seq`.
+    */
+  def normalizeOrdersStrict(events: DataFrame): DataFrame = {
+    val base = events.filter(col("event_type").isin(StrictOrderTypes: _*))
+      .select(
+        pick("order_id").as("order_id"),
+        pick("customerId").as("customer_id"),
+        Drift.toDoubleOrZero(pick("totalAmount")).as("order_amount"),
+        pick("state").as("order_status"),
+        Drift.parseTimestampMulti(pick("created_at")).as("created_at"),
+        col("event_id"), col("vendor"), col("event_type"), col("_seq"))
+    Dedup.latestWins(base, Seq("order_id"),
+      Seq(col("created_at").desc_nulls_last, col("_seq").desc))
+      .drop("_seq")
+  }
+
+  /** Strict payments normalization (`src/transformer.py:44-89`):
+    * drop_duplicates(keep first by ingestion order) per payment_id.
+    */
+  def normalizePaymentsStrict(events: DataFrame): DataFrame = {
+    val base = events.filter(col("event_type").isin(StrictPaymentTypes: _*))
+      .select(
+        pick("transaction_id", "payment_id", "id", "paymentId").as("payment_id"),
+        pick("order_id", "orderId").as("order_id"),
+        Drift.toDoubleOrZero(pick("amountPaid", "amount", "payment_amount",
+          "totalAmount")).as("payment_amount"),
+        Drift.normalizeStatus(pick("payment_status", "status", "state"))
+          .as("payment_status"),
+        pick("channel", "method", "payment_method").as("payment_method"),
+        Drift.parseTimestampMulti(pick("paid_at", "payment_date", "created_at"))
+          .as("payment_date"),
+        col("event_id"), col("vendor"), col("_seq"))
+    Dedup.firstWins(base, Seq("payment_id"), Seq(col("_seq").asc)).drop("_seq")
+  }
+
+  /** Strict refunds normalization (`src/transformer.py:92-127`). */
+  def normalizeRefundsStrict(events: DataFrame): DataFrame = {
+    val base = events.filter(col("event_type").isin(StrictRefundTypes: _*))
+      .select(
+        pick("refund_id", "id", "transaction_id").as("refund_id"),
+        pick("order_id", "orderId").as("order_id"),
+        pick("payment_id", "paymentId", "transaction_id").as("payment_id"),
+        Drift.toDoubleOrZero(pick("amountRefunded", "amount", "refund_amount",
+          "totalAmount")).as("refund_amount"),
+        pick("reason", "refund_reason").as("refund_reason"),
+        pick("type", "refund_type").as("refund_type"),
+        Drift.parseTimestampMulti(pick("refunded_at", "refund_date", "created_at"))
+          .as("refund_date"),
+        col("event_id"), col("vendor"), col("_seq"))
+    Dedup.firstWins(base, Seq("refund_id"), Seq(col("_seq").asc)).drop("_seq")
+  }
+
   /** A1: fact_order_daily (reference `src/transformer.py:130-165`, set-based
     * rewrite SURVEY §4.2).
     */
@@ -189,10 +279,18 @@ object CommercePulse {
   def qualityReport(orders: DataFrame, payments: DataFrame,
                     refunds: DataFrame): DataFrame = {
     val o = orders.cache(); val p = payments.cache(); val r = refunds.cache()
-    val orphanPay = p.join(o.select("order_id").distinct(), Seq("order_id"), "left_anti")
-    val orphanRef = r.join(p.select("payment_id").distinct(), Seq("payment_id"), "left_anti")
-    val late = p.select(col("order_id"), col("payment_date"))
-      .join(o.select(col("order_id"), col("created_at")), "order_id")
+    // null-SAFE key matching (<=>) on the orphan and late-arrival joins:
+    // pandas `isin`/`merge` treat NaN keys as equal to each other
+    // (reference `src/quality_report.py:61-66,77-81`), so a payment with a
+    // null order_id is NOT an orphan when a null-id order exists. A plain
+    // equi-join would count it as one and drift off the published report.
+    val orphanPay = p.join(o.select(col("order_id").as("__oid")).distinct(),
+      col("order_id") <=> col("__oid"), "left_anti")
+    val orphanRef = r.join(p.select(col("payment_id").as("__pid")).distinct(),
+      col("payment_id") <=> col("__pid"), "left_anti")
+    val late = p.select(col("order_id").as("__poid"), col("payment_date"))
+      .join(o.select(col("order_id").as("__ooid"), col("created_at")),
+        col("__poid") <=> col("__ooid"))
       .select((unix_timestamp(col("payment_date")) - unix_timestamp(col("created_at")))
         .cast("double")./(86400.0).as("delta"))
 
