@@ -80,13 +80,18 @@ object CommercePulse {
   private def pick(paths: String*): org.apache.spark.sql.Column =
     Drift.jsonCoalesce(col("payload"), paths)
 
-  /** Orders normalization (reference `src/transformer.py:20-41` + live
-    * dialects from `src/live_event_generator.py:38-163`).
+  /** Orders normalization WITHOUT the latest-wins collapse — one row per
+    * order event version (reference `src/transformer.py:20-41` + live
+    * dialects from `src/live_event_generator.py:38-163`). The incremental
+    * refresher reads this to find every (date, vendor) grain an order has
+    * ever occupied.
     */
-  def normalizeOrders(events: DataFrame): DataFrame = {
-    val base = events.filter(col("event_type").isin(OrderTypes: _*))
+  def normalizeOrdersAll(events: DataFrame): DataFrame =
+    events.filter(col("event_type").isin(OrderTypes: _*))
       .select(
-        pick("order_id", "orderRef", "order.id", "orderId").as("order_id"),
+        // "order.id" before "order": vendor_c nests the id under order_created
+        // but sends a plain "order": "ORD-…" scalar on updates/payments
+        pick("order_id", "orderRef", "order.id", "orderId", "order").as("order_id"),
         pick("customer_id", "customerId", "customer.email", "buyer.email",
           "buyerEmail", "email").as("customer_id"),
         col("vendor"),
@@ -98,10 +103,11 @@ object CommercePulse {
           .as("created_at"),
         col("event_id"))
       .filter(col("order_id").isNotNull)
-    // D1: latest-wins current state per order (upsert grain)
-    Dedup.latestWins(base, Seq("order_id"),
+
+  /** Orders normalization: D1 latest-wins current state per order. */
+  def normalizeOrders(events: DataFrame): DataFrame =
+    Dedup.latestWins(normalizeOrdersAll(events), Seq("order_id"),
       Seq(col("created_at").desc_nulls_last, col("event_id").desc))
-  }
 
   /** Payments normalization (reference `src/transformer.py:44-89`). */
   def normalizePayments(events: DataFrame): DataFrame = {
@@ -126,11 +132,21 @@ object CommercePulse {
       Seq(col("payment_date").asc_nulls_last, col("event_id").asc))
   }
 
-  /** Refunds normalization (reference `src/transformer.py:92-127`). */
+  /** Refunds normalization (reference `src/transformer.py:92-127`).
+    * Live refund payloads carry NO id field (every dialect in
+    * `src/live_event_generator.py:67-76,107-115,143-151` omits one); the
+    * reference keeps those rows with a null id and pandas' NaN-key dedup
+    * then collapses ALL of them into one arbitrary row — a silent data
+    * loss bug (preserved faithfully in `normalizeRefundsStrict`). Here an
+    * id-less refund gets a deterministic fallback id derived from its
+    * event_id: replays of the same event still collapse, distinct refunds
+    * survive.
+    */
   def normalizeRefunds(events: DataFrame): DataFrame = {
     val base = events.filter(col("event_type").isin(RefundTypes: _*))
       .select(
-        pick("refund_id", "id", "transaction_id").as("refund_id"),
+        coalesce(pick("refund_id", "id", "transaction_id"),
+          concat(lit("RF-"), md5(col("event_id")))).as("refund_id"),
         pick("order_id", "orderId", "orderRef", "order.id", "order").as("order_id"),
         pick("payment_id", "paymentId", "transaction_id").as("payment_id"),
         col("vendor"),
@@ -267,7 +283,8 @@ object CommercePulse {
     */
   def dimProduct(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(("UNKNOWN", "Unknown Product", "uncategorized", "unknown", 0.0))
+    Seq(("UNKNOWN", "Product data not available", "N/A",
+        null.asInstanceOf[String], 0.0))
       .toDF("product_id", "product_name", "category", "vendor_id", "unit_price")
   }
 
@@ -331,7 +348,7 @@ object CommercePulse {
     * `README.md:112-114`).
     */
   def runAll(spark: SparkSession, historical: Seq[String], live: Seq[String],
-             outDir: String): Map[String, Long] = {
+             outDir: String, warehouseDb: Option[String] = None): Map[String, Long] = {
     val feeds = historical.map(readHistorical(spark, _)) ++ live.map(readLive(spark, _))
     val events = ingest(feeds).cache()
     val orders = normalizeOrders(events).cache()
@@ -339,6 +356,14 @@ object CommercePulse {
     val refunds = normalizeRefunds(events).cache()
     val daily = factOrderDaily(orders, payments, refunds)
     val report = qualityReport(orders, payments, refunds)
+
+    // optional S7 catalog path: full star-schema DDL + truncate-load,
+    // alongside the parquet-directory sinks below
+    warehouseDb.foreach { db =>
+      graft.sources.Warehouse.createAll(spark, db)
+      graft.sources.Warehouse.loadAll(spark, db, orders, payments, refunds,
+        daily, dimCustomer(orders), dimDate(spark), dimProduct(spark))
+    }
 
     graft.sources.Sinks.upsertParquet(spark, orders, s"$outDir/fact_orders",
       Seq("order_id"), Seq(col("created_at").desc_nulls_last, col("event_id").desc))

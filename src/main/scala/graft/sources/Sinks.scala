@@ -21,6 +21,24 @@ object Sinks {
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** Materialize `df` at `path` safely even when `df`'s lineage READS from
+    * `path`: write to a sibling temp directory first, then swap via rename.
+    * The round-1 cache()+overwrite pattern could lose the table — cache
+    * eviction or executor loss mid-overwrite recomputes the plan against
+    * already-deleted source files. Rename is atomic on HDFS/local FS; on an
+    * object store swap this for a transactional table format's commit.
+    */
+  private def writeSwap(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__swap__")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+
   /** S5-upsert: idempotent latest-wins upsert by key — the Mongo
     * `UpdateOne(upsert=True)` analogue. Re-running with the same batch
     * changes nothing.
@@ -35,12 +53,32 @@ object Sinks {
         graft.operators.Dedup.latestWins(old.unionByName(batch), keys, order)
       case None => batch
     }
-    // write to a temp dir then swap would be the production pattern; for
-    // a local lakehouse, cache-materialize then overwrite is sufficient
-    val m = merged.cache()
-    m.count()
-    m.write.mode("overwrite").parquet(path)
-    m.unpersist()
+    writeSwap(merged, path)
+  }
+
+  /** Grain-replace merge: delete existing rows whose key tuple is in
+    * `deleteKeys` (defaults to the batch's own key tuples), insert the
+    * batch — `MERGE ... WHEN MATCHED THEN UPDATE/DELETE` for recomputed
+    * aggregates. Unlike `upsertParquet`, incoming rows are authoritative
+    * whole-grain recomputes, not candidate versions to order among; an
+    * explicit `deleteKeys` lets a caller retract grains that recomputed
+    * to empty (no surviving rows to carry the key).
+    */
+  def replaceKeysParquet(spark: SparkSession, batch: DataFrame, path: String,
+                         keys: Seq[String],
+                         deleteKeys: Option[DataFrame] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val existing =
+      try Some(spark.read.parquet(path).select(batch.columns.map(col): _*))
+      catch { case _: Exception => None }
+    val dk = deleteKeys.getOrElse(batch.select(keys.map(col): _*).distinct())
+    val merged = existing match {
+      case Some(old) =>
+        old.join(dk.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          .unionByName(batch)
+      case None => batch
+    }
+    writeSwap(merged, path)
   }
 
   /** S6: single-file CSV report sink. */

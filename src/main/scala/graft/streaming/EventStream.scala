@@ -20,12 +20,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventStream {
 
-  /** Streaming file source over envelope JSONL directories (S2, streaming). */
-  def readLiveStream(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.readStream
-      .schema(CommercePulse.EnvelopeSchema)
-      .json(pathGlob)
-      .filter(col("event_id").isNotNull)
+  /** Streaming file source over envelope JSONL directories (S2, streaming).
+    * `maxFilesPerTrigger` bounds micro-batch size (and lets tests force a
+    * grain to span several batches).
+    */
+  def readLiveStream(spark: SparkSession, pathGlob: String,
+                     maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(CommercePulse.EnvelopeSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(pathGlob).filter(col("event_id").isNotNull)
+  }
 
   /** Event-time column + watermark + D3 dedup. Late data beyond
     * `lateness` is dropped; duplicate event_ids within the watermark
@@ -76,10 +80,22 @@ object EventStream {
   def enrichWithDim(deduped: DataFrame, dim: DataFrame, key: String): DataFrame =
     deduped.join(broadcast(dim), Seq(key), "left")
 
-  /** Incremental fact_order_daily refresh: each micro-batch re-derives the
-    * daily aggregate for the batch's affected (date, vendor) grains and
-    * upserts them — the streaming continuation of the batch aggregate,
-    * sharing its exact semantics via the same library call.
+  /** Incremental fact_order_daily refresh — incremental view maintenance:
+    * each micro-batch (1) upserts its events into a durable event store
+    * keyed by event_id (`<outPath>_events`), (2) derives the set of
+    * (order_date, vendor) grains the batch can affect — every grain any
+    * touched order has EVER occupied, so an update that moves an order's
+    * date also retracts its old grain, (3) recomputes exactly those grains
+    * from the FULL store with the same library call batch uses, and
+    * (4) grain-replaces them in the fact (retracting grains that
+    * recomputed to empty). Replaying a batch is idempotent end-to-end.
+    *
+    * Round 1 upserted per-batch partial aggregates with
+    * largest-partial-wins ordering, which permanently undercounted any
+    * grain whose events span micro-batches — partials were never merged.
+    * Scale shape: recompute cost is proportional to the touched grains'
+    * event volume, not the store; the store upsert shuffles on event_id
+    * only.
     */
   def startDailyRefresh(spark: SparkSession, deduped: DataFrame, outPath: String,
                         checkpoint: String): StreamingQuery =
@@ -88,13 +104,35 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val daily = CommercePulse.factOrderDaily(
-          CommercePulse.normalizeOrders(batch),
-          CommercePulse.normalizePayments(batch),
-          CommercePulse.normalizeRefunds(batch))
-        graft.sources.Sinks.upsertParquet(spark, daily, outPath,
-          Seq("order_date", "vendor"),
-          Seq(col("order_count").desc)) // latest batch state wins per grain
+        val store = s"${outPath}_events"
+        val b = batch.persist()
+        try {
+          graft.sources.Sinks.upsertParquet(spark, b, store,
+            Seq("event_id"), Seq(col("ingested_at").desc_nulls_last))
+          val full = spark.read.parquet(store)
+          // order ids this batch references through any entity
+          val touched = CommercePulse.normalizeOrders(b).select("order_id")
+            .unionByName(CommercePulse.normalizePayments(b).select("order_id"))
+            .unionByName(CommercePulse.normalizeRefunds(b).select("order_id"))
+            .filter(col("order_id").isNotNull).distinct()
+          // every grain a touched order has ever occupied (pre-dedup view:
+          // includes dates from superseded versions => old grains retract)
+          val grains = CommercePulse.normalizeOrdersAll(full)
+            .join(touched, Seq("order_id"), "left_semi")
+            .select(col("created_at").cast("date").as("order_date"), col("vendor"))
+            .filter(col("order_date").isNotNull).distinct()
+          val g = grains
+            .withColumnRenamed("order_date", "__gd").withColumnRenamed("vendor", "__gv")
+          val orders = CommercePulse.normalizeOrders(full)
+          val ordersInGrains = orders.join(g,
+            orders("created_at").cast("date") === col("__gd")
+              && orders("vendor") === col("__gv"), "left_semi")
+          val daily = CommercePulse.factOrderDaily(ordersInGrains,
+            CommercePulse.normalizePayments(full),
+            CommercePulse.normalizeRefunds(full))
+          graft.sources.Sinks.replaceKeysParquet(spark, daily, outPath,
+            Seq("order_date", "vendor"), deleteKeys = Some(grains))
+        } finally b.unpersist()
       }
       .start()
 

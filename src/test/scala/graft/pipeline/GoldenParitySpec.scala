@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import graft.SparkSuite
-import org.apache.spark.sql.DataFrame
+import graft.{GoldenData, SparkSuite}
 import org.apache.spark.sql.functions._
 
 /** Golden-file parity against the reference's committed corpus
@@ -9,85 +8,67 @@ import org.apache.spark.sql.functions._
   * feed (`data/live_events/2026-02-19/events.jsonl`, 2 106 lines), the
   * normalized fact tables its transformer produced from Mongo state
   * (`warehouse/facts/fact_orders|payments|refunds.csv`), and the outputs
-  * derived from those exact frames (`fact_order_daily.csv`, 252 rows;
-  * `reports/quality_report_2026-02-20.csv`, 17 metrics). The bootstrap
-  * inputs are NOT committed, so the raw→normalized leg is asserted on the
-  * live slice (rows whose event_id is the generator's 12-hex form) and the
-  * normalized→output legs on the full committed frames.
+  * derived from those exact frames (`fact_order_daily.csv`, 252 rows; the
+  * dimension CSVs; `reports/quality_report_2026-02-20.csv`, 17 metrics).
+  * The bootstrap inputs are NOT committed, so the
+  * raw→normalized leg is asserted on the live slice (rows whose event_id
+  * is the generator's 12-hex form) and the normalized→output legs on the
+  * full committed frames.
   */
 class GoldenParitySpec extends SparkSuite {
-  import spark.implicits._
 
-  private val ref = "/root/reference"
-  private val TsFmt = "yyyy-MM-dd HH:mm:ssXXX"
-
-  private lazy val ordersGold: DataFrame =
-    spark.read.option("header", "true")
-      .csv(s"$ref/warehouse/facts/fact_orders.csv")
-      .select(col("order_id"), col("customer_id"),
-        col("order_amount").cast("double").as("order_amount"),
-        col("order_status"),
-        to_timestamp(col("created_at"), TsFmt).as("created_at"),
-        col("event_id"), col("vendor"), col("event_type"))
-
-  private lazy val paymentsGold: DataFrame =
-    spark.read.option("header", "true")
-      .csv(s"$ref/warehouse/facts/fact_payments.csv")
-      .select(col("payment_id"), col("order_id"),
-        col("payment_amount").cast("double").as("payment_amount"),
-        col("payment_status"), col("payment_method"),
-        to_timestamp(col("payment_date"), TsFmt).as("payment_date"),
-        col("event_id"), col("vendor"))
-
-  private lazy val refundsGold: DataFrame =
-    spark.read.option("header", "true")
-      .csv(s"$ref/warehouse/facts/fact_refunds.csv")
-      .select(col("refund_id"), col("order_id"), col("payment_id"),
-        col("refund_amount").cast("double").as("refund_amount"),
-        col("refund_reason"), col("refund_type"),
-        to_timestamp(col("refund_date"), TsFmt).as("refund_date"),
-        col("event_id"), col("vendor"))
-
-  private def canon(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): Set[String] =
-    df.select(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("∅"))): _*))
-      .as[String].collect().toSet
+  private lazy val ordersGold = GoldenData.orders(spark)
+  private lazy val paymentsGold = GoldenData.payments(spark)
+  private lazy val refundsGold = GoldenData.refunds(spark)
 
   test("strict normalize over the committed live JSONL reproduces fact_orders' live rows") {
     val events = CommercePulse.readLiveOrdered(
-      spark, s"$ref/data/live_events/2026-02-19/events.jsonl")
+      spark, s"${GoldenData.Ref}/data/live_events/2026-02-19/events.jsonl")
     val got = CommercePulse.normalizeOrdersStrict(events)
     val want = ordersGold.filter(length(col("event_id")) === 12)
     val cols = Seq(col("order_id"), col("customer_id"), col("order_amount"),
       col("order_status"), date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"),
       col("event_id"), col("vendor"), col("event_type"))
     assert(got.count() === 160)
-    assert(canon(got, cols) === canon(want, cols))
+    assert(GoldenData.canon(got, cols) === GoldenData.canon(want, cols))
   }
 
   test("strict normalize finds no live payments/refunds (restricted type lists)") {
     // the live feed's payment_succeeded / refund_issued names are outside
     // the reference's restricted lists — quirk §2.10.1 made observable
     val events = CommercePulse.readLiveOrdered(
-      spark, s"$ref/data/live_events/2026-02-19/events.jsonl")
+      spark, s"${GoldenData.Ref}/data/live_events/2026-02-19/events.jsonl")
     assert(CommercePulse.normalizePaymentsStrict(events).count() === 0)
     assert(CommercePulse.normalizeRefundsStrict(events).count() === 0)
   }
 
   test("factOrderDaily over the committed fact tables reproduces fact_order_daily.csv") {
     val got = CommercePulse.factOrderDaily(ordersGold, paymentsGold, refundsGold)
-    val want = spark.read.option("header", "true")
-      .csv(s"$ref/warehouse/facts/fact_order_daily.csv")
-      .select(col("order_date").cast("date").as("order_date"), col("vendor"),
-        col("gross_revenue").cast("double"), col("total_refunds").cast("double"),
-        col("net_revenue").cast("double"), col("order_count").cast("long"),
-        col("paid_count").cast("long"),
-        col("payment_success_rate").cast("double"),
-        col("refund_rate").cast("double"))
+    val want = GoldenData.daily(spark)
     val cols = Seq(col("order_date"), col("vendor"), col("gross_revenue"),
       col("total_refunds"), col("net_revenue"), col("order_count"),
       col("paid_count"), col("payment_success_rate"), col("refund_rate"))
     assert(got.count() === 252)
-    assert(canon(got, cols) === canon(want, cols))
+    assert(GoldenData.canon(got, cols) === GoldenData.canon(want, cols))
+  }
+
+  test("dimCustomer over the committed orders reproduces dim_customer.csv") {
+    val got = CommercePulse.dimCustomer(ordersGold)
+    val want = GoldenData.dimCustomer(spark)
+    val cols = Seq(col("customer_id"),
+      date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"),
+      col("customer_name"), col("email"), col("country"))
+    assert(got.count() === want.count())
+    assert(GoldenData.canon(got, cols) === GoldenData.canon(want, cols))
+  }
+
+  test("dimDate reproduces dim_date.csv (1461 days, ISO weeks, weekend flags)") {
+    val got = CommercePulse.dimDate(spark)
+    val want = GoldenData.dimDate(spark)
+    val cols = Seq(col("date_key"), col("day_of_week"), col("week_number"),
+      col("month"), col("quarter"), col("year"), col("is_weekend"))
+    assert(got.count() === 1461)
+    assert(GoldenData.canon(got, cols) === GoldenData.canon(want, cols))
   }
 
   test("qualityReport over the committed fact tables reproduces the published report") {

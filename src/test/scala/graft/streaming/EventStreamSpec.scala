@@ -92,6 +92,66 @@ class EventStreamSpec extends SparkSuite {
     assert(b._3 == 200.0)
   }
 
+  test("daily refresh merges grains spanning micro-batches (equals batch recompute)") {
+    val dir = Files.createTempDirectory("stream_in7").toString
+    Files.createDirectories(Paths.get(dir))
+    // one (2024-01-02, vendor_b) grain split across two files; with
+    // maxFilesPerTrigger=1 each file is its own micro-batch
+    Files.writeString(Paths.get(s"$dir/a.jsonl"), Seq(
+      """{"event_id":"m1","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"created_at\":\"2024-01-02T10:00:00\",\"totalAmount\":200.0}","ingested_at":"2024-01-02T11:00:00"}""",
+      """{"event_id":"m2","event_type":"payment_succeeded","event_time":"2024-01-02T12:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"paid_at\":\"2024-01-02T12:00:00\",\"payment_status\":\"success\",\"amountPaid\":200.0,\"transaction_id\":\"TX-1\"}","ingested_at":"2024-01-02T13:00:00"}"""
+    ).mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/b.jsonl"), Seq(
+      """{"event_id":"m3","event_type":"order_created","event_time":"2024-01-02T14:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-2\",\"created_at\":\"2024-01-02T14:00:00\",\"totalAmount\":100.0}","ingested_at":"2024-01-02T15:00:00"}""",
+      """{"event_id":"m4","event_type":"payment_succeeded","event_time":"2024-01-02T16:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-2\",\"paid_at\":\"2024-01-02T16:00:00\",\"payment_status\":\"success\",\"amountPaid\":100.0,\"transaction_id\":\"TX-2\"}","ingested_at":"2024-01-02T17:00:00"}"""
+    ).mkString("\n"))
+    val out = Files.createTempDirectory("stream_daily2").toString
+    val cp = Files.createTempDirectory("stream_daily2_cp").toString
+    val q = EventStream.startDailyRefresh(spark,
+      EventStream.dedupWithWatermark(
+        EventStream.readLiveStream(spark, dir, maxFilesPerTrigger = Some(1))),
+      s"$out/fact_order_daily", cp)
+    q.awaitTermination(120000)
+    val daily = spark.read.parquet(s"$out/fact_order_daily").collect()
+    assert(daily.length == 1)
+    val r = daily(0)
+    // round 1 kept the LARGEST PARTIAL (one order, gross 200); the merged
+    // recompute must equal the batch aggregate over all events
+    assert(r.getAs[Long]("order_count") == 2L)
+    assert(r.getAs[Double]("gross_revenue") == 300.0)
+    assert(r.getAs[Long]("paid_count") == 2L)
+    val batchRecompute = {
+      val all = graft.pipeline.CommercePulse.readLive(spark, s"$dir/*.jsonl")
+      graft.pipeline.CommercePulse.factOrderDaily(
+        graft.pipeline.CommercePulse.normalizeOrders(all),
+        graft.pipeline.CommercePulse.normalizePayments(all),
+        graft.pipeline.CommercePulse.normalizeRefunds(all)).collect()(0)
+    }
+    assert(r.getAs[Double]("gross_revenue") == batchRecompute.getAs[Double]("gross_revenue"))
+    assert(r.getAs[Long]("order_count") == batchRecompute.getAs[Long]("order_count"))
+  }
+
+  test("daily refresh retracts a grain when a late update moves the order's date") {
+    val dir = Files.createTempDirectory("stream_in8").toString
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/a.jsonl"),
+      """{"event_id":"g1","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"C-1\",\"created_at\":\"2024-01-02T10:00:00\",\"totalAmount\":50.0}","ingested_at":"2024-01-02T11:00:00"}""")
+    // later version of the SAME order with a later created_at: the order
+    // migrates from the 01-02 grain to 01-05 — the old grain must vanish
+    Files.writeString(Paths.get(s"$dir/b.jsonl"),
+      """{"event_id":"g2","event_type":"order_updated","event_time":"2024-01-05T10:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"C-1\",\"created_at\":\"2024-01-05T10:00:00\",\"totalAmount\":50.0}","ingested_at":"2024-01-05T11:00:00"}""")
+    val out = Files.createTempDirectory("stream_daily3").toString
+    val cp = Files.createTempDirectory("stream_daily3_cp").toString
+    val q = EventStream.startDailyRefresh(spark,
+      EventStream.dedupWithWatermark(
+        EventStream.readLiveStream(spark, dir, maxFilesPerTrigger = Some(1))),
+      s"$out/fact_order_daily", cp)
+    q.awaitTermination(120000)
+    val daily = spark.read.parquet(s"$out/fact_order_daily").collect()
+    assert(daily.length == 1)
+    assert(daily(0).getAs[java.sql.Date]("order_date").toString == "2024-01-05")
+  }
+
   test("corrupt line accounting matches the reference's skip counting") {
     val dir = Files.createTempDirectory("stream_in6").toString
     Files.createDirectories(Paths.get(dir))
