@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFns
 import graft.operators.TextDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + document-dedup queries over `documents` — the
@@ -302,7 +303,125 @@ object TextQueries {
       |SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_doc_id
       |FROM sim GROUP BY 1 HAVING count(*) > 1 ORDER BY simhash""".stripMargin
 
+  // ---- dedup clustering: connected components over cheap pair sources ----
+  // Edges: same exact fingerprint OR same simhash16 — both pure
+  // projections, safe to recompute across the CC rounds (the operator's
+  // documented contract). Transitivity: A exact-dup B, B simhash-near C
+  // ⇒ {A,B,C} one cluster, one canonical keeper (min doc_id).
+  def ddCluster(s: SparkSession, d: String): DataFrame = {
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val docs = Tables.documents(s, d)
+    val fp = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("k"))
+    val sh = docs.repartition(parallelism)
+      .select(col("doc_id"),
+        transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
+      .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
+    def pairsOf(keyed: DataFrame): DataFrame =
+      keyed.as("a").join(keyed.as("b"),
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = pairsOf(fp).union(pairsOf(sh)).distinct()
+    TextDedup.connectedComponents(pairs).orderBy("doc_id")
+  }
+
+  val ddClusterSql: String =
+    """WITH RECURSIVE hs AS (
+      |  SELECT doc_id, text, list_transform(tk, t -> md5(t)) AS h, len(tk) AS n
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |), keyed AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST(CAST(list_sum(list_transform(range(0, 16), i ->
+      |      CASE WHEN 2 * len(list_filter(h,
+      |             x -> x[i+1:i+1] IN ('8','9','a','b','c','d','e','f'))) >= n
+      |           THEN CAST(round(2 ** i) AS BIGINT) ELSE 0 END)) AS BIGINT)
+      |      AS VARCHAR) AS sh
+      |  FROM hs
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  UNION
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM keyed a JOIN keyed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |), nodes AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_a AS doc_id FROM pairs
+      |        UNION ALL SELECT doc_b FROM pairs)
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+      |)
+      |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+      |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic hash sampling (reproducible corpus subsetting) ----
+  // md5-prefix gate: both engines hash identically, so the sample is the
+  // same rows everywhere — no RNG, no seed drift, filter pushes to the
+  // scan. '18' keeps 0x00..0x18 of 256 two-hex-digit prefixes (~9.8 %).
+  def dsSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "18")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val dsSampleSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '18'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- stratified sampling: deterministic per-language quota ----
+  // rank by keyed md5 within each stratum; at 100 TB replace the exact
+  // per-stratum row_number (one sort per language, skew-prone) with a
+  // hash-threshold chosen from an approx quantile of the stratum size —
+  // same determinism, no global sort.
+  def dsStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(concat(lit("strat|"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy("lang", "rk")
+  }
+
+  val dsStratifiedSql: String =
+    """SELECT doc_id, lang, rk FROM (
+      |  SELECT doc_id, lang,
+      |         CAST(row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS BIGINT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
+  // ---- vocabulary: global token frequencies, top-k ----
+  // classic wordcount: explode is a narrow map, the groupBy partial-
+  // aggregates map-side so the shuffle carries (token, partial_count),
+  // top-k ties broken by token for a total order
+  def vocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(50)
+
+  val vocabTopkSql: String =
+    """SELECT token, CAST(count(*) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            t -> len(t) > 0)) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd_cluster" -> (ddCluster _),
+    "ds_sample" -> (dsSample _),
+    "ds_stratified" -> (dsStratified _),
+    "vocab_topk" -> (vocabTopk _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
     "txt_fingerprint" -> (txtFingerprint _),
@@ -314,6 +433,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dd_cluster" -> ddClusterSql,
+    "ds_sample" -> dsSampleSql,
+    "ds_stratified" -> dsStratifiedSql,
+    "vocab_topk" -> vocabTopkSql,
     "txt_stats" -> txtStatsSql,
     "txt_langid" -> txtLangidSql,
     "txt_fingerprint" -> txtFingerprintSql,

@@ -50,6 +50,16 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Seq((10L, 20L, 1.0)))
   }
 
+  test("connectedComponents: transitive chains collapse to the min-id cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    // 1-2-3-4 is a diameter-3 chain (several propagation rounds needed)
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("dedup and similarity operators leave no persisted RDDs behind") {
     val d = docs(Seq(
       (1L, "en", 30L, "one two three four five six"),
@@ -61,6 +71,8 @@ class TextDedupSpec extends SparkSuite {
     TextDedup.ngramJaccardPairs(d, 2, 100, 0.2).count()
     TextDedup.minhashLshPairs(d, 2, 4, 4, 0.25).count()
     Similarity.cosineNearDupPairs(emb, nBits = 2, minCos = 0.8).count()
+    TextDedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")).count()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty)
   }
