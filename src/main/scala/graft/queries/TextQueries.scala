@@ -417,7 +417,79 @@ object TextQueries {
       |  FROM documents)
       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
 
+  // ---- context-window chunking (LLM training prep) ----
+  // overlapping token windows: chunkSize=50 tokens, stride=40 (10-token
+  // overlap). Pure projection + generator explode — a narrow map at any
+  // scale; the token array is projected once (HOF no-CSE) and each window
+  // is a slice of it.
+  def txtChunks(s: SparkSession, d: String): DataFrame = {
+    val chunk = 50
+    val stride = 40
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
+        st => struct(
+          array_join(slice(col("tk"), st, lit(chunk)), " ").as("chunk_text"),
+          size(slice(col("tk"), st, lit(chunk))).cast("long").as("chunk_tokens")))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
+        col("col.chunk_text").as("chunk_text"),
+        col("col.chunk_tokens").as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_no")
+  }
+
+  val txtChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), ex AS (
+      |  SELECT doc_id, tk,
+      |         unnest(range(1, greatest(len(tk), 1) + 1, 40)) AS st
+      |  FROM toks
+      |)
+      |SELECT doc_id, CAST((st - 1) // 40 AS BIGINT) AS chunk_no,
+      |       array_to_string(tk[st : st + 49], ' ') AS chunk_text,
+      |       CAST(len(tk[st : st + 49]) AS BIGINT) AS chunk_tokens
+      |FROM ex ORDER BY doc_id, chunk_no""".stripMargin
+
+  // ---- PII scrubbing (URL -> EMAIL -> long-digit-run redaction) ----
+  // RE2-safe patterns shared verbatim with the oracle; ordering matters
+  // (URLs contain dots and digits). Counts are taken on the RAW text.
+  private val UrlPat = "https?://\\S+"
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongNumPat = "[0-9]{6,}"
+
+  def txtScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          UrlPat, "<URL>"), EmailPat, "<EMAIL>"), LongNumPat, "<NUM>"))
+          .as("scrubbed_md5"),
+        size(regexp_extract_all(col("text"), lit(UrlPat), lit(0))).cast("long")
+          .as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).cast("long")
+          .as("n_longnums"))
+      .orderBy("doc_id")
+
+  val txtScrubSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      |      'https?://\S+', '<URL>', 'g'),
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{6,}', '<NUM>', 'g')) AS scrubbed_md5,
+      |  CAST(len(regexp_extract_all(text, 'https?://\S+')) AS BIGINT) AS n_urls,
+      |  CAST(len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "txt_chunks" -> (txtChunks _),
+    "txt_scrub" -> (txtScrub _),
     "dd_cluster" -> (ddCluster _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
@@ -433,6 +505,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_chunks" -> txtChunksSql,
+    "txt_scrub" -> txtScrubSql,
     "dd_cluster" -> ddClusterSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,

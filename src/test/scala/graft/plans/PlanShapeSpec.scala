@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.SparkSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are physical-plan facts (pushdown, broadcast, partial agg, top-k
+  * physicalization, codegen), not result facts — assert them so a future
+  * refactor can't silently trade a broadcast for a sort-merge or lose a
+  * pushed filter. String-level checks over the executed plan are
+  * intentionally coarse: they survive Spark version drift better than
+  * node-class assertions.
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("s4: predicate and projection are pushed into the parquet scan") {
+    val p = plan("s4_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+
+  test("j4 star join broadcasts the dimension side") {
+    val p = plan("j4_star_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("tpch_q3 keeps broadcast joins (no sort-merge at dim scale)") {
+    val p = plan("tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("top-k queries physicalize as TakeOrderedAndProject, not global sort") {
+    assert(plan("o2_topk").contains("TakeOrderedAndProject"), "o2_topk")
+    assert(plan("vocab_topk").contains("TakeOrderedAndProject"), "vocab_topk")
+  }
+
+  test("vocab_topk aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("vocab_topk")
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("ds_sample scan prunes to the projected columns (text never read)") {
+    val p = plan("ds_sample")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty, p)
+    assert(readSchemas.forall(!_.contains("text")), readSchemas.mkString("\n"))
+  }
+
+  test("qr_report scans each table exactly once (3 scans total)") {
+    val p = plan("qr_report")
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+  }
+
+  test("scan-heavy relational aggregates run inside whole-stage codegen") {
+    // AQE only annotates codegen stages once THIS plan is final — collect
+    // the frame itself (df.count() would execute a different plan)
+    val df = graft.SparkEntry.queries("tpch_q1")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // codegen stage markers
+  }
+}
