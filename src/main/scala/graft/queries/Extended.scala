@@ -303,7 +303,42 @@ object Extended {
       |SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM labeled
       |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- keyed as-of join (operator Spark lacks; DuckDB has it natively) ----
+  // for each click, the latest purchase by the same user at or before the
+  // click's timestamp — union-window formulation, one shuffle, no join
+  // amplification (see operators/AsOf).
+  def evAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("ref_ts"))
+      .agg(max("value").as("ref_value")) // unique per (user, ts): AsOf contract
+    val clicks = ev
+      .filter(col("event_type") === "click"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOf.joinAsOf(clicks, purchases, "user_id", "ts", "ref_ts",
+        Seq("ref_ts", "ref_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val evAsofSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts AS ref_ts, max(value) AS ref_value
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |)
+      |SELECT c.user_id, c.ts, c.event_id, c.value, p.ref_ts, p.ref_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ref_ts <= c.ts
+      |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ev_asof" -> (evAsof _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "a8_percentiles" -> (a8Percentiles _),
     "s7_table_roundtrip" -> (s7TableRoundtrip _),
@@ -320,6 +355,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_asof" -> evAsofSql,
     "s9_orc_roundtrip" -> s9OrcRoundtripSql,
     "a8_percentiles" -> a8PercentilesSql,
     "s7_table_roundtrip" -> s7TableRoundtripSql,
