@@ -337,7 +337,51 @@ object Extended {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ref_ts <= c.ts
       |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin
 
+  // ---- batch sessionization (30-min gap) ----
+  // the batch analogue of streaming session_window: a new session starts
+  // where the gap to the previous event of the same user exceeds the
+  // threshold; session id = cumulative count of session starts. Two
+  // window passes over ONE shuffle-by-user (both windows share the
+  // partitioning and sort).
+  def evSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val evSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "ev_sessionize" -> (evSessionize _),
     "ev_asof" -> (evAsof _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "a8_percentiles" -> (a8Percentiles _),
@@ -355,6 +399,7 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev_sessionize" -> evSessionizeSql,
     "ev_asof" -> evAsofSql,
     "s9_orc_roundtrip" -> s9OrcRoundtripSql,
     "a8_percentiles" -> a8PercentilesSql,
