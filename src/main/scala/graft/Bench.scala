@@ -26,10 +26,14 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = times.collect { case (true, t) => t }
+      // -1 marks a query that failed on every attempt — a crashing query
+      // must read as broken, not as the suite's fastest entry
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

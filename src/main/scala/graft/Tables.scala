@@ -12,7 +12,11 @@ object Tables {
   // memoized per (session, dir, name): repeated queries over the same
   // table reuse the resolved relation (file listing + parquet footer
   // schema read happen once per session, not once per query) — this is
-  // pure driver-side bookkeeping, the data itself stays lazy
+  // pure driver-side bookkeeping, the data itself stays lazy.
+  // Contract: testdata dirs are IMMUTABLE (the memoized relation pins the
+  // file listing) and sessions are few and long-lived (entries are never
+  // evicted) — true for the driver/bench/test harnesses this serves;
+  // mutable paths must go through spark.read directly.
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

@@ -34,8 +34,13 @@ object AsOf {
                rightPayload: Seq[String]): DataFrame = {
     val rvType = right.select(struct(rightPayload.map(col): _*).as("__rv"))
       .schema("__rv").dataType
-    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
-      lit(1).as("__isr"), struct(rightPayload.map(col): _*).as("__rv"))
+    // a null right time would sort before every left row (asc = nulls
+    // first) and forward-fill its payload into rows that precede all real
+    // right rows — drop such rows defensively, they have no as-of meaning
+    val r = right
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
+      .select(col(key).as("__k"), col(rightTime).as("__t"),
+        lit(1).as("__isr"), struct(rightPayload.map(col): _*).as("__rv"))
     val l = left
       .withColumn("__k", col(key))
       .withColumn("__t", col(leftTime))

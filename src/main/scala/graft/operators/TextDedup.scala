@@ -112,9 +112,7 @@ object TextDedup {
     // parquet instead of recomputing the tokenize+shingle work per leg or
     // persist()-ing (which round 1 leaked): one write, three cheap scans,
     // nothing cached. Production pipelines stage this exact intermediate.
-    val scratch = java.nio.file.Files.createTempDirectory("graft_ngram_").toFile
-    scratch.deleteOnExit()
-    val path = new java.io.File(scratch, "sets").toString
+    val path = new java.io.File(graft.Scratch.dir("graft_ngram_"), "sets").toString
     docs
       .repartition(parallelism) // spread shingle construction; scans are 1 task
       .select(
@@ -180,9 +178,7 @@ object TextDedup {
     // recomputing the — possibly expensive — candidate-pair plan per
     // round. This is the standard checkpoint pattern for iterative graph
     // algorithms; scratch lives in the JVM temp dir, removed on exit.
-    val scratch = java.nio.file.Files.createTempDirectory("graft_cc_").toFile
-    scratch.deleteOnExit()
-    val path = new java.io.File(scratch, "pairs").toString
+    val path = new java.io.File(graft.Scratch.dir("graft_cc_"), "pairs").toString
     pairs.write.mode("overwrite").parquet(path)
     val p = spark.read.parquet(path)
 
@@ -218,12 +214,14 @@ object TextDedup {
     labels.unpersist(blocking = false)
 
     // phase 2: the returned frame is a pure cache-free plan with exactly
-    // the converged number of steps (the final detected-no-change round
-    // is not replayed); each step re-scans the scratch file, so the
+    // the converged number of steps (when converged, the final
+    // detected-no-change round is not replayed; at the maxIter bound every
+    // executed round is); each step re-scans the scratch file, so the
     // caller's action costs rounds × (file scan + join). No persisted
     // RDDs survive the call.
+    val replaySteps = if (converged) rounds - 1 else rounds
     var out = identity0
-    (1 until rounds).foreach(_ => out = step(out))
+    (1 to replaySteps).foreach(_ => out = step(out))
     out
   }
 

@@ -295,7 +295,12 @@ object CommercePulse {
     */
   def qualityReport(orders: DataFrame, payments: DataFrame,
                     refunds: DataFrame): DataFrame = {
-    val o = orders.cache(); val p = payments.cache(); val r = refunds.cache()
+    // no cache() here: the result is one multi-branch plan consumed by a
+    // single action, callers that reuse the inputs own their lifecycle
+    // (runAll caches and releases them), and an operator-level cache would
+    // leak for the session lifetime — the exact defect fixed in the dedup
+    // operators this round
+    val o = orders; val p = payments; val r = refunds
     // null-SAFE key matching (<=>) on the orphan and late-arrival joins:
     // pandas `isin`/`merge` treat NaN keys as equal to each other
     // (reference `src/quality_report.py:61-66,77-81`), so a payment with a
@@ -375,11 +380,14 @@ object CommercePulse {
     graft.sources.Sinks.overwriteParquet(dimProduct(spark), s"$outDir/dim_product")
     graft.sources.Sinks.writeCsv(report, s"$outDir/quality_report")
 
-    Map(
+    val counts = Map(
       "events" -> events.count(),
       "orders" -> orders.count(),
       "payments" -> payments.count(),
       "refunds" -> refunds.count(),
       "daily" -> daily.count())
+    // all sinks and counts have materialized — release the run's caches
+    Seq(events, orders, payments, refunds).foreach(_.unpersist(blocking = false))
+    counts
   }
 }

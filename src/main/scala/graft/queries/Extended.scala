@@ -364,7 +364,7 @@ object Extended {
     """WITH g AS (
       |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
       |              THEN 1 ELSE 0 END AS new_sess
       |  FROM events
       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL

@@ -32,12 +32,33 @@ object Sinks {
     val spark = df.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__swap__")
+    val old = new org.apache.hadoop.fs.Path(path + ".__old__")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    // two renames, never delete-before-replace: a crash between them
+    // leaves the previous table recoverable at `.__old__` instead of
+    // gone — data is only deleted after the new table is in place
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)
+    fs.delete(old, true)
   }
+
+  /** Read the current table at `path`, or None when it does not exist
+    * yet. ONLY missing-path analysis errors mean "first write" — any
+    * other failure (corrupt footer, transient IO) must propagate:
+    * swallowing it would make the merge rebuild from the batch alone and
+    * silently drop the table's history.
+    */
+  private def readExisting(spark: SparkSession, path: String,
+                           cols: Seq[String]): Option[DataFrame] =
+    try Some(spark.read.parquet(path)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "PATH_NOT_FOUND" => None
+    }
 
   /** S5-upsert: idempotent latest-wins upsert by key — the Mongo
     * `UpdateOne(upsert=True)` analogue. Re-running with the same batch
@@ -45,9 +66,7 @@ object Sinks {
     */
   def upsertParquet(spark: SparkSession, batch: DataFrame, path: String,
                     keys: Seq[String], order: Seq[Column]): Unit = {
-    val existing =
-      try Some(spark.read.parquet(path).select(batch.columns.map(org.apache.spark.sql.functions.col): _*))
-      catch { case _: Exception => None }
+    val existing = readExisting(spark, path, batch.columns.toSeq)
     val merged = existing match {
       case Some(old) =>
         graft.operators.Dedup.latestWins(old.unionByName(batch), keys, order)
@@ -68,9 +87,7 @@ object Sinks {
                          keys: Seq[String],
                          deleteKeys: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    val existing =
-      try Some(spark.read.parquet(path).select(batch.columns.map(col): _*))
-      catch { case _: Exception => None }
+    val existing = readExisting(spark, path, batch.columns.toSeq)
     val dk = deleteKeys.getOrElse(batch.select(keys.map(col): _*).distinct())
     val merged = existing match {
       case Some(old) =>

@@ -64,10 +64,13 @@ object GoldenData {
         col("quarter").cast("long"), col("year").cast("long"),
         col("is_weekend").cast("boolean"))
 
-  /** Canonical row-string set for order-free whole-frame comparison. */
-  def canon(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): Set[String] = {
+  /** Canonical sorted row-string MULTISET for order-free whole-frame
+    * comparison (a Set would hide duplicate-multiplicity regressions that
+    * keep counts equal).
+    */
+  def canon(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): Seq[String] = {
     import df.sparkSession.implicits._
     df.select(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("∅"))): _*))
-      .as[String].collect().toSet
+      .as[String].collect().toSeq.sorted
   }
 }
