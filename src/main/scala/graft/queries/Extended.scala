@@ -380,7 +380,66 @@ object Extended {
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // ---- TPC-H Q5-style regional revenue (5-table join bench anchor) ----
+  // the join tree the optimizer should produce at scale: region→nation→
+  // supplier collapse to one broadcast dim; lineitem⋈orders⋈customer is
+  // the only big shuffle; revenue via integer-scaled money sum.
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 1000000L)
+        .as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val tpchQ5Sql: String =
+    """SELECT n_name,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---- salted two-phase aggregation (skew mitigation, oracle-proven) ----
+  // result must be IDENTICAL to the plain aggregate — summed values are
+  // longs, so the two-phase fold order cannot change anything; the oracle
+  // is the plain SQL aggregate.
+  def a9SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salt.saltedSumCount(
+        Tables.lineitem(s, d).withColumn("q", col("l_quantity").cast("long")),
+        "l_suppkey", col("q"), saltFrom = col("l_orderkey"), saltBuckets = 8)
+      .orderBy("l_suppkey")
+
+  val a9SaltedAggSql: String =
+    """SELECT l_suppkey,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS "sum",
+      |       CAST(count(*) AS BIGINT) AS "count"
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpch_q5" -> (tpchQ5 _),
+    "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
     "ev_asof" -> (evAsof _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
@@ -399,6 +458,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q5" -> tpchQ5Sql,
+    "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_asof" -> evAsofSql,
     "s9_orc_roundtrip" -> s9OrcRoundtripSql,
