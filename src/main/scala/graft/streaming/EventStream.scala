@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.normalize.Drift
 import graft.pipeline.CommercePulse
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -135,6 +135,64 @@ object EventStream {
         } finally b.unpersist()
       }
       .start()
+
+  /** Per-order lifecycle state for `orderLifecycle`. */
+  case class OrderLifecycle(order_id: String, n_order_events: Long,
+                            n_payments: Long, n_refunds: Long, status: String)
+
+  /** Arbitrary stateful processing (§2.8 custom-state tier): a per-order
+    * state machine over the deduped stream via flatMapGroupsWithState.
+    * Each order folds its events into (event counts, lifecycle status:
+    * open → paid → refunded); state carries an EVENT-TIME timeout
+    * `stateTtl` past the watermark, so state size is bounded by the
+    * active-order window, not stream history — the property that keeps
+    * this runnable forever on an unbounded stream.
+    */
+  def orderLifecycle(deduped: DataFrame,
+                     stateTtlMs: Long = 30L * 24 * 3600 * 1000): Dataset[OrderLifecycle] = {
+    val spark = deduped.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMillis = stateTtlMs
+    // keep `event_ts` as the untouched watermarked timestamp column —
+    // casting it would strip the watermark tag the event-time timeout
+    // needs to see flowing into the stateful operator
+    val typed = deduped
+      .withColumn("__oid", Drift.jsonCoalesce(col("payload"),
+        Seq("order_id", "orderRef", "order.id", "orderId", "order")))
+      .filter(col("__oid").isNotNull)
+      .select(col("__oid").as("order_id"), col("event_type"), col("event_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+
+    def update(orderId: String, events: Iterator[(String, String, java.sql.Timestamp)],
+               state: GroupState[OrderLifecycle]): Iterator[OrderLifecycle] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var s = state.getOption.getOrElse(OrderLifecycle(orderId, 0L, 0L, 0L, "open"))
+        events.foreach { case (_, et, _) =>
+          s = et match {
+            case t if CommercePulse.PaymentTypes.contains(t) =>
+              s.copy(n_payments = s.n_payments + 1,
+                status = if (s.status == "refunded") s.status else "paid")
+            case t if CommercePulse.RefundTypes.contains(t) =>
+              s.copy(n_refunds = s.n_refunds + 1, status = "refunded")
+            case t if CommercePulse.OrderTypes.contains(t) =>
+              s.copy(n_order_events = s.n_order_events + 1)
+            case _ => s
+          }
+        }
+        state.update(s)
+        // expire `stateTtl` past the current watermark
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
+        Iterator.single(s)
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** foreachBatch upsert of normalized current-order state — streaming
     * writes through the same idempotent sink as batch.

@@ -152,6 +152,42 @@ class EventStreamSpec extends SparkSuite {
     assert(daily(0).getAs[java.sql.Date]("order_date").toString == "2024-01-05")
   }
 
+  test("orderLifecycle: flatMapGroupsWithState folds per-order state across batches") {
+    val dir = Files.createTempDirectory("stream_in9").toString
+    Files.createDirectories(Paths.get(dir))
+    // A-1 created then paid (across two batches); B-1 created, paid,
+    // refunded; C-1 only created
+    Files.writeString(Paths.get(s"$dir/a.jsonl"), Seq(
+      """{"event_id":"l1","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"v","payload":"{\"order_id\":\"A-1\"}","ingested_at":"2024-01-02T10:01:00"}""",
+      """{"event_id":"l2","event_type":"order_created","event_time":"2024-01-02T10:05:00","vendor":"v","payload":"{\"order_id\":\"B-1\"}","ingested_at":"2024-01-02T10:06:00"}""",
+      """{"event_id":"l3","event_type":"payment_succeeded","event_time":"2024-01-02T11:00:00","vendor":"v","payload":"{\"order_id\":\"B-1\",\"transaction_id\":\"T1\"}","ingested_at":"2024-01-02T11:01:00"}"""
+    ).mkString("\n"))
+    Files.writeString(Paths.get(s"$dir/b.jsonl"), Seq(
+      """{"event_id":"l4","event_type":"payment_succeeded","event_time":"2024-01-02T12:00:00","vendor":"v","payload":"{\"order_id\":\"A-1\",\"transaction_id\":\"T2\"}","ingested_at":"2024-01-02T12:01:00"}""",
+      """{"event_id":"l5","event_type":"refund_issued","event_time":"2024-01-02T13:00:00","vendor":"v","payload":"{\"order_id\":\"B-1\"}","ingested_at":"2024-01-02T13:01:00"}""",
+      """{"event_id":"l6","event_type":"order_created","event_time":"2024-01-02T13:30:00","vendor":"v","payload":"{\"order_id\":\"C-1\"}","ingested_at":"2024-01-02T13:31:00"}"""
+    ).mkString("\n"))
+    val q = EventStream.orderLifecycle(
+        EventStream.dedupWithWatermark(
+          EventStream.readLiveStream(spark, dir, maxFilesPerTrigger = Some(1))))
+      .writeStream.format("memory").queryName("lifecycle")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // memory sink in update mode appends each state emission; the LAST
+    // row per order is its final state
+    val finals = spark.sql(
+        """SELECT order_id, status, n_order_events, n_payments, n_refunds
+          |FROM (SELECT *, row_number() OVER (PARTITION BY order_id
+          |        ORDER BY n_order_events + n_payments + n_refunds DESC) AS rn
+          |      FROM lifecycle) WHERE rn = 1""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(finals("A-1") == (("paid", 1L, 1L, 0L)))
+    assert(finals("B-1") == (("refunded", 1L, 1L, 1L)))
+    assert(finals("C-1") == (("open", 1L, 0L, 0L)))
+  }
+
   test("corrupt line accounting matches the reference's skip counting") {
     val dir = Files.createTempDirectory("stream_in6").toString
     Files.createDirectories(Paths.get(dir))
