@@ -160,7 +160,53 @@ object SimilarityQueries {
       |)
       |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- scalar quantization (int8-style codes, the vector-compression
+  // step before ANN index build) ----
+  // floor-based so both engines compute bit-identical codes: the full
+  // expression ((x - mn) * 255 / (mx - mn)) is a single deterministic
+  // IEEE evaluation order, and floor of it is exact — round() would
+  // diverge at representation midpoints. Codes are summarized as exact
+  // integer stats (hash-safe); per-row work is a pure projection.
+  def embQuantize(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          when(col("mx") > col("mn"),
+            floor((x.cast("double") - col("mn")) * 255.0 / (col("mx") - col("mn"))))
+            .otherwise(lit(0L))).as("codes"),
+        size(col("embedding")).cast("long").as("n_dims"))
+      .select(col("vec_id"), col("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy("vec_id")
+
+  val embQuantizeSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |         CAST(list_max(embedding) AS DOUBLE) AS mx
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x ->
+      |           CASE WHEN mx > mn
+      |                THEN CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT)
+      |                ELSE 0 END) AS codes,
+      |         CAST(len(embedding) AS BIGINT) AS n_dims
+      |  FROM q
+      |)
+      |SELECT vec_id, n_dims,
+      |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |       CAST(list_min(codes) AS BIGINT) AS code_min,
+      |       CAST(list_max(codes) AS BIGINT) AS code_max
+      |FROM c ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_bucket" -> (simLshBucket _),
     "sim_ivf_topk" -> (simIvfTopk _),
@@ -168,6 +214,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf_topk" -> simIvfTopkSql,
