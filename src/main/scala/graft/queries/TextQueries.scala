@@ -361,6 +361,51 @@ object TextQueries {
       |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- keeper policy: best-quality doc per exact-dup group ----
+  // the decision step after detection: within each fingerprint group keep
+  // the highest-quality document (ties: lowest doc_id) — one window over
+  // one shuffle-by-fingerprint; quality is the same heuristic txt_stats
+  // publishes, so keep decisions are explainable from the stats table
+  def ddKeepBest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("fp").orderBy(desc("quality"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.qualityScore(col("text"), Stopwords).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("fp"), col("doc_id").as("keep_doc_id"), col("quality"))
+      .orderBy("fp")
+  }
+
+  val ddKeepBestSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id,
+      |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |         round((CASE WHEN len(tk) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN len(tk) > 0 AND
+      |                  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |                    / len(tk) > 0.01 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN len(text) = 0 OR
+      |                  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |                    / len(text) < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN len(tk) > 0 AND
+      |                  CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+      |                    BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+      |  FROM toks
+      |)
+      |SELECT fp, keep_doc_id, quality FROM (
+      |  SELECT fp, doc_id AS keep_doc_id, quality,
+      |         row_number() OVER (PARTITION BY fp
+      |           ORDER BY quality DESC, doc_id) AS rk
+      |  FROM scored)
+      |WHERE rk = 1 ORDER BY fp""".stripMargin
+
   // ---- deterministic hash sampling (reproducible corpus subsetting) ----
   // md5-prefix gate: both engines hash identically, so the sample is the
   // same rows everywhere — no RNG, no seed drift, filter pushes to the
@@ -491,6 +536,7 @@ object TextQueries {
     "txt_chunks" -> (txtChunks _),
     "txt_scrub" -> (txtScrub _),
     "dd_cluster" -> (ddCluster _),
+    "dd_keep_best" -> (ddKeepBest _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
     "vocab_topk" -> (vocabTopk _),
@@ -508,6 +554,7 @@ object TextQueries {
     "txt_chunks" -> txtChunksSql,
     "txt_scrub" -> txtScrubSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_keep_best" -> ddKeepBestSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,
     "vocab_topk" -> vocabTopkSql,
