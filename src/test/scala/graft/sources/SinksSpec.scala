@@ -22,6 +22,29 @@ class SinksSpec extends SparkSuite {
     assert(pruned.count() < 50)
   }
 
+  test("upsert sinks: first-write works, corrupt existing table propagates") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sink_guard").toString
+    // first write: missing path means fresh table, not an error
+    Sinks.upsertParquet(spark, Seq((1L, "a")).toDF("k", "v"), s"$base/t",
+      Seq("k"), Seq(col("v").desc))
+    assert(spark.read.parquet(s"$base/t").count() === 1)
+    // an unreadable existing table must FAIL the upsert, not silently
+    // rebuild the table from the batch alone (history loss)
+    val corrupt = s"$base/bad"
+    Files.createDirectories(java.nio.file.Paths.get(corrupt))
+    Files.writeString(java.nio.file.Paths.get(s"$corrupt/part-00000.parquet"),
+      "this is not parquet")
+    intercept[Exception] {
+      Sinks.upsertParquet(spark, Seq((1L, "a")).toDF("k", "v"), corrupt,
+        Seq("k"), Seq(col("v").desc))
+    }
+    // the corrupt dir was not replaced by the batch
+    assert(Files.readString(
+      java.nio.file.Paths.get(s"$corrupt/part-00000.parquet"))
+      == "this is not parquet")
+  }
+
   test("joins between same-bucketed tables run without a shuffle exchange") {
     val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val l = graft.Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice")
