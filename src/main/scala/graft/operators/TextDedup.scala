@@ -113,12 +113,18 @@ object TextDedup {
     // persist()-ing (which round 1 leaked): one write, three cheap scans,
     // nothing cached. Production pipelines stage this exact intermediate.
     val path = new java.io.File(graft.Scratch.dir("graft_ngram_"), "sets").toString
+    // shingles staged as 64-bit hashes, not strings: the scratch file
+    // shrinks to fixed-width longs and the verification intersect runs on
+    // primitive arrays. Collision odds ~2^-64 per compared pair —
+    // immaterial (the candidate stage already keys on this hash).
     docs
       .repartition(parallelism) // spread shingle construction; scans are 1 task
       .select(
         col("doc_id"), col("lang"),
         (col("n_chars") / lenBand).cast("long").as("len_bucket"),
-        array_distinct(TextFns.shingles(TextFns.tokens(col("text")), shingleN)).as("sh"))
+        transform(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), shingleN)),
+          sh => xxhash64(sh)).as("sh"))
       .write.mode("overwrite").parquet(path)
     val withSets = spark.read.parquet(path)
     // candidate pairs: one groupBy on a 64-bit shingle hash (collision odds
@@ -127,9 +133,7 @@ object TextDedup {
     // by dfCap so pair expansion is at most dfCap²/2 rows per shingle.
     val candidates = withSets
       .select(col("lang"), col("len_bucket"), col("doc_id"),
-        explode(col("sh")).as("shingle"))
-      .select(col("lang"), col("len_bucket"), col("doc_id"),
-        xxhash64(col("shingle")).as("sh_h"))
+        explode(col("sh")).as("sh_h"))
       .groupBy("lang", "len_bucket", "sh_h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
