@@ -437,7 +437,60 @@ object Extended {
       |       CAST(count(*) AS BIGINT) AS "count"
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---- P16: pivot (wide-format reshaping) ----
+  // groupBy().pivot(values).agg() with the value set declared up front —
+  // Catalyst rewrites it to one pass of conditional aggregates, no second
+  // distinct-scan and no row explosion; the DuckDB mirror is the same
+  // conditional-aggregate form. Money pivots sum as integer-scaled longs.
+  def p16Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(moneySum(col("o_totalprice"), 100L))
+      .na.fill(0.0, Seq("F", "O", "P"))
+      .withColumnRenamed("F", "rev_f").withColumnRenamed("O", "rev_o")
+      .withColumnRenamed("P", "rev_p")
+      .orderBy("o_orderpriority")
+
+  val p16PivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS rev_f,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS rev_o,
+      |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+      |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0) AS BIGINT) / 100.0 AS rev_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- W2: wider window-function surface (lead/lag/ntile/percent_rank/
+  // cume_dist over one shuffle-by-custkey) ----
+  def w2WindowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val w2WindowSuiteSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       lag(o_orderkey) OVER w AS prev_order,
+      |       lead(o_orderkey) OVER w AS next_order,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p16_pivot" -> (p16Pivot _),
+    "w2_window_suite" -> (w2WindowSuite _),
     "tpch_q5" -> (tpchQ5 _),
     "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
@@ -458,6 +511,8 @@ object Extended {
   )
 
   val oracles: Map[String, String] = Map(
+    "p16_pivot" -> p16PivotSql,
+    "w2_window_suite" -> w2WindowSuiteSql,
     "tpch_q5" -> tpchQ5Sql,
     "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
