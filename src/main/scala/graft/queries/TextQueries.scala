@@ -316,10 +316,16 @@ object TextQueries {
       .select(col("doc_id"),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
       .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
+    // groupBy-collect pair expansion, not a self-join: the keyed
+    // projection (md5-per-token for simhash) is computed ONCE per key
+    // family instead of once per join leg
     def pairsOf(keyed: DataFrame): DataFrame =
-      keyed.as("a").join(keyed.as("b"),
-          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      keyed.groupBy("k").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val pairs = pairsOf(fp).union(pairsOf(sh)).distinct()
     TextDedup.connectedComponents(pairs).orderBy("doc_id")
   }
