@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  /** Expand a SORTED array into all i<j element pairs, combined by
+    * `combine(a, b)` — the one shared implementation of the
+    * flatten/transform/slice idiom (the 1-based `i + 2` offset is subtle
+    * enough to have earned a shared home; sortedness makes a < b).
+    */
+  private[graft] def expandSortedPairs(ids: org.apache.spark.sql.Column,
+      combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y => combine(x, y))))
+
   /** Exact dedup by normalized-content fingerprint: keep min doc_id per
     * fingerprint, count duplicates.
     */
@@ -66,13 +76,12 @@ object TextDedup {
       // sort_array on struct sorts by leading doc_id, so i<j ⇒ doc_a<doc_b
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))), y =>
-          struct(
-            x("doc_id").as("doc_a"),
-            y("doc_id").as("doc_b"),
-            (size(filter(zip_with(x("sig"), y("sig"), (p, q) => p === q),
-              eq => eq)).cast("double") / k).as("est_jaccard")))))).as("pr"))
+      .select(explode(expandSortedPairs(col("ms"), (x, y) =>
+        struct(
+          x("doc_id").as("doc_a"),
+          y("doc_id").as("doc_b"),
+          (size(filter(zip_with(x("sig"), y("sig"), (p, q) => p === q),
+            eq => eq)).cast("double") / k).as("est_jaccard")))).as("pr"))
       .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
         col("pr.est_jaccard").as("est_jaccard"))
       .distinct() // same pair can collide in several bands
@@ -137,9 +146,8 @@ object TextDedup {
       .groupBy("lang", "len_bucket", "sh_h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, dfCap))
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => shiftleft(x, 32).bitwiseOR(y))))).as("pair"))
+      .select(explode(expandSortedPairs(col("ids"),
+        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
       .distinct()
       .select(
         shiftrightunsigned(col("pair"), 32).as("doc_a"),

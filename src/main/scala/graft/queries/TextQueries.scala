@@ -316,15 +316,18 @@ object TextQueries {
       .select(col("doc_id"),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
       .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
-    // groupBy-collect pair expansion, not a self-join: the keyed
-    // projection (md5-per-token for simhash) is computed ONCE per key
-    // family instead of once per join leg
+    // STAR pair generation, not all-pairs: connectivity only needs each
+    // group member linked to the group's min id — g-1 edges per group
+    // instead of g(g-1)/2, so a hot key (a flood of identical boilerplate,
+    // exactly what this query exists to find) stays linear rather than
+    // building quadratic pair structs in one row. Connected components
+    // are identical under either edge set. The keyed projection
+    // (md5-per-token for simhash) is computed once per key family.
     def pairsOf(keyed: DataFrame): DataFrame =
       keyed.groupBy("k").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
+          y => struct(element_at(col("ids"), 1).as("doc_a"), y.as("doc_b")))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val pairs = pairsOf(fp).union(pairsOf(sh)).distinct()
     TextDedup.connectedComponents(pairs).orderBy("doc_id")
@@ -347,11 +350,13 @@ object TextQueries {
       |      AS VARCHAR) AS sh
       |  FROM hs
       |), pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  SELECT mn AS doc_a, doc_id AS doc_b FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS mn FROM keyed)
+      |  WHERE doc_id > mn
       |  UNION
-      |  SELECT a.doc_id, b.doc_id
-      |  FROM keyed a JOIN keyed b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  SELECT mn, doc_id FROM (
+      |    SELECT doc_id, min(doc_id) OVER (PARTITION BY sh) AS mn FROM keyed)
+      |  WHERE doc_id > mn
       |), nodes AS (
       |  SELECT DISTINCT doc_id
       |  FROM (SELECT doc_a AS doc_id FROM pairs
@@ -397,9 +402,9 @@ object TextQueries {
       |               (CASE WHEN len(tk) > 0 AND
       |                  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
       |                    / len(tk) > 0.01 THEN 0.25 ELSE 0.0 END) +
-      |               (CASE WHEN len(text) = 0 OR
+      |               (CASE WHEN (CASE WHEN len(text) > 0 THEN
       |                  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-      |                    / len(text) < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |                    / len(text) ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END) +
       |               (CASE WHEN len(tk) > 0 AND
       |                  CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
       |                    BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality

@@ -184,8 +184,13 @@ object EventStream {
           }
         }
         state.update(s)
-        // expire `stateTtl` past the current watermark
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
+        // expire `stateTtl` past the current watermark — but the FIRST
+        // micro-batch runs with watermark 0, and 1970+ttl is in the past
+        // relative to any real watermark, which would evict first-batch
+        // orders at the second trigger; defer the timeout until the
+        // watermark is live
+        if (state.getCurrentWatermarkMs() > 0)
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
         Iterator.single(s)
       }
     }

@@ -188,6 +188,35 @@ class EventStreamSpec extends SparkSuite {
     assert(finals("C-1") == (("open", 1L, 0L, 0L)))
   }
 
+  test("orderLifecycle: first-batch state survives watermark advancement") {
+    // regression: the first micro-batch runs with watermark 0; setting a
+    // timeout of 0+ttl (1970) evicted every first-batch-only order as
+    // soon as the watermark went live
+    val dir = Files.createTempDirectory("stream_in10").toString
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/a.jsonl"),
+      """{"event_id":"w1","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"v","payload":"{\"order_id\":\"X-1\"}","ingested_at":"2024-01-02T10:01:00"}""")
+    // advances the watermark well past batch 1's event times
+    Files.writeString(Paths.get(s"$dir/b.jsonl"),
+      """{"event_id":"w2","event_type":"order_created","event_time":"2024-01-20T10:00:00","vendor":"v","payload":"{\"order_id\":\"Y-1\"}","ingested_at":"2024-01-20T10:01:00"}""")
+    Files.writeString(Paths.get(s"$dir/c.jsonl"),
+      """{"event_id":"w3","event_type":"payment_succeeded","event_time":"2024-01-21T10:00:00","vendor":"v","payload":"{\"order_id\":\"X-1\",\"transaction_id\":\"TW\"}","ingested_at":"2024-01-21T10:01:00"}""")
+    val q = EventStream.orderLifecycle(
+        EventStream.dedupWithWatermark(
+          EventStream.readLiveStream(spark, dir, maxFilesPerTrigger = Some(1))))
+      .writeStream.format("memory").queryName("lifecycle_wm")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val x = spark.sql(
+        """SELECT n_order_events, n_payments, status FROM lifecycle_wm
+          |WHERE order_id = 'X-1'
+          |ORDER BY n_order_events + n_payments DESC LIMIT 1""".stripMargin)
+      .collect()(0)
+    // the payment folded into the SURVIVING batch-1 state, not a reset one
+    assert(x.getLong(0) == 1L && x.getLong(1) == 1L && x.getString(2) == "paid")
+  }
+
   test("corrupt line accounting matches the reference's skip counting") {
     val dir = Files.createTempDirectory("stream_in6").toString
     Files.createDirectories(Paths.get(dir))
