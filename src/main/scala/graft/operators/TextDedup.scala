@@ -121,7 +121,7 @@ object TextDedup {
     // parquet instead of recomputing the tokenize+shingle work per leg or
     // persist()-ing (which round 1 leaked): one write, three cheap scans,
     // nothing cached. Production pipelines stage this exact intermediate.
-    val path = new java.io.File(graft.Scratch.dir("graft_ngram_"), "sets").toString
+    val path = graft.Scratch.dir(spark, "graft_ngram_") + "/sets"
     // shingles staged as 64-bit hashes, not strings: the scratch file
     // shrinks to fixed-width longs and the verification intersect runs on
     // primitive arrays. Collision odds ~2^-64 per compared pair —
@@ -180,8 +180,10 @@ object TextDedup {
     * Spark iterative-graph shape. At web scale swap in the
     * large-star/small-star contraction (Kiveris et al., "Connected
     * Components in MapReduce"), which converges in O(log d) rounds; the
-    * fixpoint contract here stays identical. Per-round frames are
-    * checkpoint-free and caches are released before return.
+    * fixpoint contract here stays identical. The pair list and the
+    * converged labels are both checkpointed to scratch; all per-round
+    * caches are released before return and the returned frame is a flat
+    * scan, not a rounds-deep join tree.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -189,8 +191,9 @@ object TextDedup {
     // (and the returned plan) re-reads a compact file instead of
     // recomputing the — possibly expensive — candidate-pair plan per
     // round. This is the standard checkpoint pattern for iterative graph
-    // algorithms; scratch lives in the JVM temp dir, removed on exit.
-    val path = new java.io.File(graft.Scratch.dir("graft_cc_"), "pairs").toString
+    // algorithms; scratch resolves to shared storage (see Scratch).
+    val scratch = graft.Scratch.dir(spark, "graft_cc_")
+    val path = scratch + "/pairs"
     pairs.write.mode("overwrite").parquet(path)
     val p = spark.read.parquet(path)
 
@@ -209,8 +212,8 @@ object TextDedup {
     def identity0: DataFrame =
       nodes.select(col("src").as("doc_id")).withColumn("cluster_id", col("doc_id"))
 
-    // phase 1: iterate with caches to find the fixpoint round count
-    // (convergence checks are driver actions; caches make each round O(1))
+    // iterate with caches (convergence checks are driver actions; caches
+    // make each round O(1))...
     var labels = identity0.persist()
     var rounds = 0
     var converged = false
@@ -223,18 +226,18 @@ object TextDedup {
       converged = changed == 0
       rounds += 1
     }
+    // ...then checkpoint the CONVERGED labels and return a scan of that
+    // file. The fixpoint already paid for every round; replaying the
+    // rounds as a returned lazy plan (round 2's design) would pay for
+    // convergence twice and hand the caller a rounds-deep join tree. One
+    // small extra write makes the returned plan O(1)-deep, and repeated
+    // actions on it cost one file scan. The write consumes the still-
+    // cached final frame, so it adds no recompute; no persisted RDDs
+    // survive the call.
+    val labelsPath = scratch + "/labels"
+    labels.write.mode("overwrite").parquet(labelsPath)
     labels.unpersist(blocking = false)
-
-    // phase 2: the returned frame is a pure cache-free plan with exactly
-    // the converged number of steps (when converged, the final
-    // detected-no-change round is not replayed; at the maxIter bound every
-    // executed round is); each step re-scans the scratch file, so the
-    // caller's action costs rounds × (file scan + join). No persisted
-    // RDDs survive the call.
-    val replaySteps = if (converged) rounds - 1 else rounds
-    var out = identity0
-    (1 to replaySteps).foreach(_ => out = step(out))
-    out
+    spark.read.parquet(labelsPath)
   }
 
   /** SimHash grouping: docs sharing a 16-bit simhash signature.

@@ -1,0 +1,41 @@
+package graft
+
+class ScratchSpec extends SparkSuite {
+
+  test("scratch root honors spark.graft.scratchDir") {
+    val custom = java.nio.file.Files.createTempDirectory("scratch_root").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.scratchDir", custom)
+    val d = Scratch.dir(s2, "spec_")
+    assert(d.contains(custom), s"$d should live under configured root $custom")
+    // usable by write+read through the returned string
+    import s2.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(d + "/t")
+    assert(s2.read.parquet(d + "/t").count() == 2)
+  }
+
+  test("scratch falls back to the checkpoint dir before local temp") {
+    val cp = java.nio.file.Files.createTempDirectory("scratch_cp").toString
+    val prev = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(cp)
+    try {
+      val s2 = spark.newSession() // no spark.graft.scratchDir set
+      assert(Scratch.root(s2).contains(new java.io.File(cp).getName))
+    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("concurrent sessions and repeated calls never collide") {
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    val dirs = Seq(
+      Scratch.dir(s2, "spec_"), Scratch.dir(s2, "spec_"),
+      Scratch.dir(s3, "spec_"), Scratch.dir(spark, "spec_"))
+    assert(dirs.distinct.size == dirs.size, s"collision in $dirs")
+    // every dir exists and is empty — ready for a writer
+    dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p) && fs.listStatus(p).isEmpty)
+    }
+  }
+}
