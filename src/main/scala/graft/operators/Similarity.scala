@@ -21,13 +21,11 @@ object Similarity {
     * neighbor_id, score). Self-matches excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val parallelism = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     // norms precomputed per side: O(n+q) norm folds instead of O(n*q);
     // numerically identical to computing them inside the pair loop
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       VectorFns.l2Norm(col("embedding")).as("q_norm"))
-    val c = corpus.repartition(parallelism)
+    val c = graft.Par.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         VectorFns.l2Norm(col("embedding")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
@@ -53,8 +51,6 @@ object Similarity {
     * 1/nlist of the corpus.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val parallelism = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     val w = Window.partitionBy("label").orderBy("vec_id")
     val reps = corpus
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
@@ -73,7 +69,7 @@ object Similarity {
       .select(col("query_id"), col("q_emb"), col("q_norm"),
         col("rep_label").as("probe_label"))
     // search only inside the probed partition
-    val c = corpus.repartition(parallelism)
+    val c = graft.Par.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), col("label").as("probe_label"),
         col("embedding").as("c_emb"), VectorFns.l2Norm(col("embedding")).as("c_norm"))
     val rankW = Window.partitionBy("query_id")
@@ -96,13 +92,11 @@ object Similarity {
     * generation is linear in bucket sizes, never all-pairs.
     */
   def cosineNearDupPairs(corpus: DataFrame, nBits: Int, minCos: Double): DataFrame = {
-    val parallelism = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     // both self-join legs re-derive this projection (one norm fold + one
     // sign fold per row) rather than persist it: recomputing a cheap
     // narrow projection beats caching a corpus-sized frame at 100 TB, and
     // the round-1 persist here leaked for the session lifetime.
-    val b = corpus.repartition(parallelism).select(
+    val b = graft.Par.spread(corpus).select(
         col("vec_id"), col("embedding"),
         VectorFns.l2Norm(col("embedding")).as("norm"),
         VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
@@ -124,12 +118,10 @@ object Similarity {
     * (and shuffle volume) shrinks ~2^nBits-fold.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBits: Int): DataFrame = {
-    val parallelism = corpus.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       VectorFns.l2Norm(col("embedding")).as("q_norm"),
       VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
-    val c = corpus.repartition(parallelism)
+    val c = graft.Par.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         VectorFns.l2Norm(col("embedding")).as("c_norm"),
         VectorFns.signBucket(col("embedding"), nBits).as("bucket"))

@@ -55,10 +55,7 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int,
                       rowsPerBand: Int, minEst: Double): DataFrame = {
     val k = bands * rowsPerBand
-    val parallelism = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    val sigd = docs
-      .repartition(parallelism) // k md5s per shingle: spread the hash work
+    val sigd = graft.Par.spread(docs) // k md5s per shingle: spread the hash work
       .select(col("doc_id"),
         TextFns.shingles(TextFns.tokens(col("text")), shingleN).as("sh"))
       .select(col("doc_id"), TextFns.minhashSignature(col("sh"), k).as("sig"))
@@ -114,8 +111,6 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, lenBand: Int,
                         minJaccard: Double, dfCap: Int = 64): DataFrame = {
     val spark = docs.sparkSession
-    val parallelism = spark.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
     // The shingle-set projection feeds THREE consumers (candidate
     // explosion + both verification legs). Stage it once to scratch
     // parquet instead of recomputing the tokenize+shingle work per leg or
@@ -126,8 +121,7 @@ object TextDedup {
     // shrinks to fixed-width longs and the verification intersect runs on
     // primitive arrays. Collision odds ~2^-64 per compared pair —
     // immaterial (the candidate stage already keys on this hash).
-    docs
-      .repartition(parallelism) // spread shingle construction; scans are 1 task
+    graft.Par.spread(docs) // spread shingle construction on narrow scans
       .select(
         col("doc_id"), col("lang"),
         (col("n_chars") / lenBand).cast("long").as("len_bucket"),
@@ -247,9 +241,7 @@ object TextDedup {
     * projections separate); repartition spreads the hashing.
     */
   def simhashGroups(docs: DataFrame): DataFrame = {
-    val parallelism = docs.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    docs.repartition(parallelism)
+    graft.Par.spread(docs)
       .select(col("doc_id"),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
       .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).as("simhash"))

@@ -150,9 +150,7 @@ object TextQueries {
 
   // ---- winnowing fingerprints (rolling-hash k-gram windows) ----
   def txtWinnow(s: SparkSession, d: String): DataFrame = {
-    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    Tables.documents(s, d)
-      .repartition(parallelism)
+    graft.Par.spread(Tables.documents(s, d))
       // hashes projected once, then windowed — see TextFns.kgramHashes
       .select(col("doc_id"), TextFns.kgramHashes(col("text"), 8).as("h"))
       .select(col("doc_id"), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
@@ -309,10 +307,9 @@ object TextQueries {
   // documented contract). Transitivity: A exact-dup B, B simhash-near C
   // ⇒ {A,B,C} one cluster, one canonical keeper (min doc_id).
   def ddCluster(s: SparkSession, d: String): DataFrame = {
-    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val docs = Tables.documents(s, d)
     val fp = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("k"))
-    val sh = docs.repartition(parallelism)
+    val sh = graft.Par.spread(docs)
       .select(col("doc_id"),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
       .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
@@ -433,27 +430,38 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---- stratified sampling: deterministic per-language quota ----
-  // rank by keyed md5 within each stratum; at 100 TB replace the exact
-  // per-stratum row_number (one sort per language, skew-prone) with a
-  // hash-threshold chosen from an approx quantile of the stratum size —
-  // same determinism, no global sort.
-  def dsStratified(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(concat(lit("strat|"), col("doc_id").cast("string"))), col("doc_id"))
-    Tables.documents(s, d)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
+  // skew-safe: a per-stratum hash threshold (from the broadcast stratum
+  // counts) prunes each language to ~8×20 expected survivors BEFORE the
+  // rank window, so no single-task full-stratum sort exists at any scale
+  // (see operators/Sampling). The oracle mirrors the threshold logic
+  // exactly, so both engines agree even in the astronomically-unlikely
+  // case a huge stratum survives with < 20 rows.
+  def dsStratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sampling.stratifiedTopK(
+        Tables.documents(s, d), "lang",
+        md5(concat(lit("strat|"), col("doc_id").cast("string"))),
+        Seq(col("doc_id")), k = 20)
       .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
       .orderBy("lang", "rk")
-  }
 
   val dsStratifiedSql: String =
-    """SELECT doc_id, lang, rk FROM (
+    """WITH thr AS (
+      |  SELECT lang,
+      |         printf('%08x', least(4294967295,
+      |           CAST(floor(least(1.0, 160.0 / count(*)) * 4294967296.0) AS BIGINT)))
+      |           AS t
+      |  FROM documents GROUP BY lang
+      |), kept AS (
+      |  SELECT d.doc_id, d.lang,
+      |         md5('strat|' || CAST(d.doc_id AS VARCHAR)) AS key
+      |  FROM documents d JOIN thr ON d.lang = thr.lang
+      |  WHERE substr(md5('strat|' || CAST(d.doc_id AS VARCHAR)), 1, 8) <= thr.t
+      |)
+      |SELECT doc_id, lang, rk FROM (
       |  SELECT doc_id, lang,
-      |         CAST(row_number() OVER (PARTITION BY lang
-      |           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |         CAST(row_number() OVER (PARTITION BY lang ORDER BY key, doc_id)
       |           AS BIGINT) AS rk
-      |  FROM documents)
+      |  FROM kept)
       |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
   // ---- vocabulary: global token frequencies, top-k ----
