@@ -203,21 +203,38 @@ object TextDedup {
       edges.join(labels, edges("src") === labels("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-    def identity0: DataFrame =
-      nodes.select(col("src").as("doc_id")).withColumn("cluster_id", col("doc_id"))
 
-    // iterate with caches (convergence checks are driver actions; caches
-    // make each round O(1))...
-    var labels = identity0.persist()
+    // iterate with caches; the convergence check exploits monotonicity:
+    // the self-loop makes next(v) = min(cur(v), neighbors) ≤ cur(v), so
+    // labels only ever decrease and the fixpoint is exactly "the label
+    // sum stopped moving". That is ONE aggregate action per round on the
+    // new frame — round 2's changed-row check was a join + count against
+    // the previous round, twice the per-round work. Decimal sum: immune
+    // to long overflow at any node count × id range.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    // seed at round ONE, not round zero: label(v) = min over incident
+    // edges of the neighbor id is one groupBy straight off the edge list
+    // (self-loops make it include v) — identical to stepping the identity
+    // labeling but without paying that first join. For star-shaped pair
+    // lists (this repo's generators) the seed already IS the fixpoint, so
+    // the loop typically runs a single confirming round.
+    var labels = edges
+      .select(col("dst").as("doc_id"), col("src").as("cluster_id"))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      .persist()
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
       val next = step(labels).persist()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      val s = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
     // ...then checkpoint the CONVERGED labels and return a scan of that

@@ -30,26 +30,39 @@ object Enrichment {
   // ---- nested line-item explode over a JSON envelope ----
   // All item fields are integer arithmetic on (event_id, i) so both
   // engines derive bit-identical items; money stays in integer cents
-  // until the final /100.0.
+  // until the final /100.0. The envelope STRING is assembled with
+  // codegen'd string functions (format_string/array_join) rather than
+  // `to_json` — StructsToJson is CodegenFallback and measured ~4x the
+  // whole parse side; the serialize step is only scaffolding here (real
+  // live feeds arrive already serialized), the capability under test is
+  // from_json → explode over the array-of-structs payload.
   def evItems(s: SparkSession, d: String): DataFrame = {
-    val prices = array(Seq(2500, 4000, 6500, 9000, 12000).map(lit): _*)
-    val itemsCol = transform(
+    val itemJson = transform(
       sequence(lit(0L), pmod(col("event_id"), lit(3L))),
-      i => struct(
-        format_string("SKU-%04d", pmod(col("event_id") * 7 + i * 13, lit(220L))).as("sku"),
-        (pmod(col("event_id") + i, lit(3L)) + 1).cast("int").as("qty"),
-        element_at(prices, (pmod(col("event_id") * 11 + i * 17, lit(5L))).cast("int") + 1)
-          .as("price")))
+      i => format_string(
+        """{"sku":"SKU-%04d","qty":%d,"price":%d}""",
+        pmod(col("event_id") * 7 + i * 13, lit(220L)),
+        pmod(col("event_id") + i, lit(3L)) + 1,
+        element_at(array(Seq(2500, 4000, 6500, 9000, 12000).map(lit): _*),
+          (pmod(col("event_id") * 11 + i * 17, lit(5L))).cast("int") + 1)))
     val envelopeSchema =
       "orderRef LONG, items ARRAY<STRUCT<sku: STRING, qty: INT, price: INT>>"
-    Tables.events(s, d)
-      .filter(col("event_type") === "purchase")
-      // serialize the vendor_a-shaped envelope...
-      .select(to_json(struct(col("event_id").as("orderRef"),
-        itemsCol.as("items"))).as("raw"))
-      // ...then parse it back and explode the array-of-structs
+    graft.Par.spread(Tables.events(s, d).filter(col("event_type") === "purchase"))
+      // the vendor_a-shaped envelope, serialized...
+      .select(format_string("""{"orderRef":%d,"items":[%s]}""",
+        col("event_id"), array_join(itemJson, ",")).as("raw"))
+      // ...then parsed and exploded. explode_outer, not explode: plain
+      // explode makes InferFiltersFromGenerate push a
+      // `size(from_json(...)) > 0 AND isnotnull(from_json(...))` filter
+      // into the scan stage, re-running the whole parse twice more per
+      // row (measured 3x the query cost). The synthesized envelope is
+      // never null/empty, so outer semantics are identical — and no
+      // filter is inferred for outer generators. Also: one consumer of
+      // `env` only (extracting orderRef alongside would inline a second
+      // from_json per row — CollapseProject duplicates non-cheap
+      // expressions into every consumer).
       .select(from_json(col("raw"), lit(envelopeSchema)).as("env"))
-      .select(col("env.orderRef").as("order_ref"), explode(col("env.items")).as("item"))
+      .select(explode_outer(col("env.items")).as("item"))
       .groupBy(col("item.sku").as("sku"))
       .agg(
         count(lit(1)).as("n_lines"),

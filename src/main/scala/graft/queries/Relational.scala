@@ -158,7 +158,8 @@ object Relational {
 
   // ---- P7: lenient multi-format timestamp parsing ----
   def p7TsMultiformat(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    // 5-format parse cascade per row: spread narrow local scans
+    val ev = graft.Par.spread(Tables.events(s, d))
     val raw = when(col("user_id") % 4 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
       .when(col("user_id") % 4 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm"))
       .when(col("user_id") % 4 === 2, date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"))
