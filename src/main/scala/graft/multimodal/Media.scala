@@ -238,4 +238,76 @@ object Media {
       })
     }
   }
+
+  // ==== VIDEO tier: codec-detection gate ===================================
+
+  /** A frame decoder: full media bytes → iterator of encoded frame bytes.
+    * Must be a serializable function — it ships to executors.
+    */
+  type FrameDecoder = Array[Byte] => Iterator[Array[Byte]]
+
+  /** Pure-Java video codecs the gate recognizes on the classpath. The JDK
+    * ships none, so availability is a deployment choice (drop the jar on
+    * the executor classpath and the gate flips with no code change).
+    */
+  private val VideoCodecProbes = Seq("org.jcodec.api.FrameGrab")
+
+  /** First probe class present on the classpath, if any. */
+  lazy val videoCodecClass: Option[String] =
+    VideoCodecProbes.find { cn =>
+      try { Class.forName(cn, false, getClass.getClassLoader); true }
+      catch { case _: Throwable => false }
+    }
+
+  def videoCodecAvailable: Boolean = videoCodecClass.nonEmpty
+
+  /** Reflective jcodec adapter (no compile-time dependency): FrameGrab
+    * over an in-memory channel, frames surfaced as their luma plane.
+    * Every reflective lookup happens inside the returned closure, on the
+    * executor, and any per-row failure yields an empty iterator — a
+    * corrupt clip drops its frames, it doesn't kill the task.
+    */
+  private def jcodecDecoder: FrameDecoder = (bytes: Array[Byte]) =>
+    try {
+      val chCls = Class.forName("org.jcodec.common.io.ByteBufferSeekableByteChannel")
+      val ch = chCls
+        .getConstructor(classOf[java.nio.ByteBuffer], classOf[Int])
+        .newInstance(java.nio.ByteBuffer.wrap(bytes), Integer.valueOf(bytes.length))
+      val grab = Class.forName("org.jcodec.api.FrameGrab")
+        .getMethod("createFrameGrab", Class.forName("org.jcodec.common.io.SeekableByteChannel"))
+        .invoke(null, ch.asInstanceOf[Object])
+      val getFrame = grab.getClass.getMethod("getNativeFrame")
+      val planeData = Class.forName("org.jcodec.common.model.Picture")
+        .getMethod("getPlaneData", classOf[Int])
+      Iterator.continually(getFrame.invoke(grab))
+        .takeWhile(_ != null)
+        .map(pic => planeData.invoke(pic, Integer.valueOf(0)).asInstanceOf[Array[Byte]])
+    } catch { case _: Throwable => Iterator.empty }
+
+  /** The decoder the gate resolves for this JVM: a real codec when one is
+    * installed, None (→ byte-stub path) otherwise.
+    */
+  def defaultVideoDecoder: Option[FrameDecoder] =
+    videoCodecClass.map { case "org.jcodec.api.FrameGrab" => jcodecDecoder }
+
+  /** Frame extraction for video rows, every `stride`-th frame kept:
+    * decodes real frames when a codec is available (or injected — tests
+    * exercise the real path with a deterministic fake), byte-stub slices
+    * otherwise. Non-video rows pass through as a single frame either way.
+    */
+  def videoFrames(media: Dataset[MediaRow], stride: Int,
+                  decoder: Option[FrameDecoder] = defaultVideoDecoder)
+                 (implicit spark: SparkSession): Dataset[Frame] =
+    decoder match {
+      case None => sampleFrames(media, stride)
+      case Some(dec) =>
+        import spark.implicits._
+        media.flatMap { m =>
+          if (m.kind == "video")
+            dec(m.bytes).zipWithIndex.collect {
+              case (fb, i) if i % stride == 0 => Frame(m.media_id, i, fb)
+            }
+          else Iterator.single(Frame(m.media_id, 0, m.bytes))
+        }
+    }
 }
