@@ -140,13 +140,56 @@ object Enrichment {
       |            AS BIGINT) / 1000000.0 AS revenue_usd
       |FROM o GROUP BY 1 ORDER BY month""".stripMargin
 
+  // ---- keyed temporal range join (attribution window) ----
+  // for each click: purchases by the same user within ±30 min — the
+  // windowed-attribution join ad/commerce pipelines run constantly.
+  // Bucketized equi-join formulation (operators/RangeJoin): fixed 3×
+  // left-side amplification instead of a per-key cartesian.
+  def evRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev
+      .filter(col("event_type") === "click"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val matched = graft.operators.RangeJoin
+      .innerWithin(clicks, purchases, "user_id", "ts", "p_ts", windowSec = 1800L)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_purch"), max("p_value").as("max_purch_value"))
+    clicks.join(matched, Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"),
+        col("max_purch_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val evRangeJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, ts FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |), p AS (
+      |  SELECT user_id, ts AS p_ts, value AS p_value FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |)
+      |SELECT c.user_id, c.event_id,
+      |       CAST(count(p.p_ts) AS BIGINT) AS n_purch,
+      |       max(p.p_value) AS max_purch_value
+      |FROM c LEFT JOIN p ON p.user_id = c.user_id
+      |  AND abs(epoch_us(p.p_ts) - epoch_us(c.ts)) <= 1800000000
+      |GROUP BY 1, 2 ORDER BY c.user_id, c.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "ev_items" -> (evItems _),
-    "fx_revenue" -> (fxRevenue _)
+    "fx_revenue" -> (fxRevenue _),
+    "ev_range_join" -> (evRangeJoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "ev_items" -> evItemsSql,
-    "fx_revenue" -> fxRevenueSql
+    "fx_revenue" -> fxRevenueSql,
+    "ev_range_join" -> evRangeJoinSql
   )
 }

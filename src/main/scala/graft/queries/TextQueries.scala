@@ -464,6 +464,62 @@ object TextQueries {
       |  FROM kept)
       |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
 
+  // ---- deterministic train/val/test split ----
+  // the corpus-assignment step every training pipeline needs: a keyed
+  // md5 prefix gates each doc into train (~80 %), val (~10 %), test
+  // (~10 %) — reproducible on any engine, no RNG, and a doc never
+  // migrates between splits when the corpus grows (assignment depends
+  // only on its own id). Pure projection + one tiny aggregate.
+  def dsSplit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2))
+      .withColumn("split",
+        when(col("h") < "cd", "train").when(col("h") < "e6", "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("split")
+
+  val dsSplitSql: String =
+    """SELECT CASE WHEN h < 'cd' THEN 'train'
+      |            WHEN h < 'e6' THEN 'val' ELSE 'test' END AS split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM (SELECT n_chars,
+      |        substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY split""".stripMargin
+
+  // ---- token-budget packing (context-window bin assignment) ----
+  // greedy sequence packing for LLM training: docs are packed in doc_id
+  // order into 4096-char bins per language via a running total — bin =
+  // (cumsum − own) div budget. Packing is inherently sequential, so it
+  // runs per stratum (one window per lang over one shuffle); a single
+  // global pack would serialize the corpus — shard first at 100 TB.
+  def dsPack(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("cum", sum("n_chars").over(w))
+      .withColumn("bin", expr("(cum - n_chars) div 4096"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
+      .orderBy("lang", "bin")
+  }
+
+  val dsPackSql: String =
+    """WITH c AS (
+      |  SELECT lang, n_chars,
+      |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM documents
+      |)
+      |SELECT lang, CAST((cum - n_chars) // 4096 AS BIGINT) AS bin,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
   // ---- vocabulary: global token frequencies, top-k ----
   // classic wordcount: explode is a narrow map, the groupBy partial-
   // aggregates map-side so the shuffle carries (token, partial_count),
@@ -558,6 +614,8 @@ object TextQueries {
     "dd_keep_best" -> (ddKeepBest _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
+    "ds_split" -> (dsSplit _),
+    "ds_pack" -> (dsPack _),
     "vocab_topk" -> (vocabTopk _),
     "txt_stats" -> (txtStats _),
     "txt_langid" -> (txtLangid _),
@@ -576,6 +634,8 @@ object TextQueries {
     "dd_keep_best" -> ddKeepBestSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,
+    "ds_split" -> dsSplitSql,
+    "ds_pack" -> dsPackSql,
     "vocab_topk" -> vocabTopkSql,
     "txt_stats" -> txtStatsSql,
     "txt_langid" -> txtLangidSql,
