@@ -54,6 +54,33 @@ class PlanShapeSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).size == 3, p)
   }
 
+  test("ev_items never re-runs from_json inside a Filter (InferFiltersFromGenerate)") {
+    // plain explode makes the optimizer infer size(from_json(...))>0 and
+    // push it into the scan stage — re-parsing every row twice more
+    // (measured 3x the query cost); explode_outer keeps the parse out of
+    // every Filter. Guard the property, not the mechanism.
+    val p = plan("ev_items")
+    val filters = "Filter [^\\n]*".r.findAllIn(p).toList
+    assert(filters.forall(!_.contains("from_json")), filters.mkString("\n"))
+  }
+
+  test("fx_revenue broadcasts the rates dimension") {
+    val p = plan("fx_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ev_range_join is an equi-join on (key, bin), not a cartesian") {
+    val p = plan("ev_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ds_split scan prunes to the projected columns (text never read)") {
+    val p = plan("ds_split")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("text")),
+      readSchemas.mkString("\n"))
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
