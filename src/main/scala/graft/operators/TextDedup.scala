@@ -130,31 +130,73 @@ object TextDedup {
           sh => xxhash64(sh)).as("sh"))
       .write.mode("overwrite").parquet(path)
     val withSets = spark.read.parquet(path)
-    // candidate pairs: one groupBy on a 64-bit shingle hash (collision odds
-    // ~2^-64 per pair — immaterial); the inverted index is computed ONCE
-    // (no self-join, no persist), and per-bucket member lists are bounded
-    // by dfCap so pair expansion is at most dfCap²/2 rows per shingle.
-    val candidates = withSets
+    val blockKeys = Seq("lang", "len_bucket", "sh_h")
+    val exploded = withSets
       .select(col("lang"), col("len_bucket"), col("doc_id"),
         explode(col("sh")).as("sh_h"))
-      .groupBy("lang", "len_bucket", "sh_h")
+    // document frequency per (block, shingle) — counts only, so a stop
+    // shingle with df = 10⁶ costs one counter, never a collected list
+    // (round 2 collected EVERY bucket's member list before filtering:
+    // a hot-key array build this formulation removes)
+    val freq = exploded.groupBy(blockKeys.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+    // EXACT low-df intersection per pair, straight from the inverted
+    // index: member lists are collected only for df ∈ [2, dfCap] buckets
+    // (bounded arrays), each bucket contributes one count per i<j pair —
+    // groupBy(pair).count IS |A∩B| over low-df shingles. Shared shingles
+    // always have df ≥ 2, so inter_full = inter_low + inter_high.
+    val lowKeys = freq.filter(col("df").between(2, dfCap))
+      .select(blockKeys.map(col): _*)
+    val pairsLow = exploded.join(lowKeys, blockKeys)
+      .groupBy(blockKeys.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
       .select(explode(expandSortedPairs(col("ids"),
         (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
-      .distinct()
+      .groupBy("pair").agg(count(lit(1)).as("inter_low"))
       .select(
         shiftrightunsigned(col("pair"), 32).as("doc_a"),
-        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"))
-    // exact verification over the full shingle sets; the candidate side is
-    // small (post-cap, post-distinct) so Spark broadcasts it into both
-    // joins — the corpus-side set projection streams, never shuffles.
-    val a = withSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = withSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("uni",
-        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("inter"))
+        col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("inter_low"))
+    // per-doc verification sidecar: total distinct-shingle count plus the
+    // (small) array of this doc's high-df shingles — the only part of the
+    // set an exact jaccard still needs once inter_low is known. The full
+    // shingle arrays are never joined per pair again (round 2 shipped
+    // both docs' complete sets through two joins for all ~d²-shaped
+    // candidates — the dominant cost at every scale).
+    val highKeys = freq.filter(col("df") > dfCap).select(blockKeys.map(col): _*)
+    val aux = withSets.select(col("doc_id"), col("lang"), col("len_bucket"),
+        size(col("sh")).cast("long").as("szt"))
+      .join(exploded.join(highKeys, blockKeys)
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("sh_h"))).as("sh_high")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("szt"),
+        coalesce(col("sh_high"), array().cast("array<bigint>")).as("sh_high"),
+        coalesce(size(col("sh_high")), lit(0)).cast("long").as("szh"))
+    // scalars and arrays join separately: ALL candidate pairs join the
+    // two-long scalar sidecar for the prune; only the pruned survivors
+    // (orders of magnitude fewer) ever join the high-df arrays
+    val aScalar = aux.select(col("doc_id").as("doc_a"),
+      col("szt").as("szt_a"), col("szh").as("szh_a"))
+    val bScalar = aux.select(col("doc_id").as("doc_b"),
+      col("szt").as("szt_b"), col("szh").as("szh_b"))
+    val aHigh = aux.select(col("doc_id").as("doc_a"), col("sh_high").as("high_a"))
+    val bHigh = aux.select(col("doc_id").as("doc_b"), col("sh_high").as("high_b"))
+    // upper-bound prune, then exact verify: inter ≤ inter_low +
+    // min(szh_a, szh_b), and jaccard grows with inter, so pairs whose
+    // BEST-case jaccard misses the threshold are dropped before touching
+    // any array — provably the same survivors, no approximation.
+    // (1e-6 slack: the inequality is exact in rationals; evaluating it in
+    // doubles must never drop a boundary pair, only the exact final
+    // filter decides those)
+    val ubInter = col("inter_low") + least(col("szh_a"), col("szh_b"))
+    pairsLow.join(aScalar, "doc_a").join(bScalar, "doc_b")
+      .filter(ubInter * (lit(1.0) + lit(minJaccard)) >=
+        lit(minJaccard) * (col("szt_a") + col("szt_b")) - lit(1e-6))
+      .join(aHigh, "doc_a").join(bHigh, "doc_b")
+      .withColumn("inter",
+        col("inter_low") + size(array_intersect(col("high_a"), col("high_b"))).cast("long"))
+      .withColumn("uni", col("szt_a") + col("szt_b") - col("inter"))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= minJaccard)
