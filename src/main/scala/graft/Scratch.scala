@@ -27,18 +27,20 @@ object Scratch {
   private val runId: String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val created =
-    new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkSession)]()
+  // holds (path, hadoopConf) — NOT the SparkSession: the queue lives until
+  // JVM shutdown, and pinning sessions here would keep every stopped
+  // session's context reachable for the process lifetime
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, org.apache.hadoop.conf.Configuration)]()
 
   // Hadoop closes cached FileSystems in its own hook at priority 10; ours
   // must run first or remote deletes would hit a closed FS.
   org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
     new Runnable {
-      def run(): Unit = created.forEach { case (path, spark) =>
+      def run(): Unit = created.forEach { case (path, conf) =>
         try {
           val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(p, true); ()
+          p.getFileSystem(conf).delete(p, true); ()
         } catch { case _: Throwable => () } // best-effort: scratch, not data
       }
     }, 30)
@@ -54,12 +56,35 @@ object Scratch {
     * by both `df.write` and `spark.read`.
     */
   def dir(spark: SparkSession, prefix: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(
       root(spark), s"$prefix${runId}_${seq.incrementAndGet()}")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     val q = fs.makeQualified(p).toString
-    created.add((q, spark))
+    created.add((q, conf))
     q
+  }
+
+  private val keyed =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** A scratch directory memoized per (session, key): repeated calls —
+    * e.g. a benchmarked query invoked min-of-3 — reuse and overwrite ONE
+    * directory instead of leaving a fresh copy per invocation on disk.
+    * Still collision-free across sessions and runs (the underlying dir
+    * comes from `dir`). get/putIfAbsent, not computeIfAbsent: `dir` is
+    * cheap and an occasional double-create is harmless, while nesting
+    * computeIfAbsent has bitten this repo before.
+    */
+  def dirFor(spark: SparkSession, key: String): String = {
+    val k = (spark, key)
+    val cached = keyed.get(k)
+    if (cached != null) cached
+    else {
+      val d = dir(spark, key)
+      val prev = keyed.putIfAbsent(k, d)
+      if (prev != null) prev else d
+    }
   }
 }

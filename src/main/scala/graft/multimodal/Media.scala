@@ -279,7 +279,12 @@ object Media {
       val getFrame = grab.getClass.getMethod("getNativeFrame")
       val planeData = Class.forName("org.jcodec.common.model.Picture")
         .getMethod("getPlaneData", classOf[Int])
-      Iterator.continually(getFrame.invoke(grab))
+      // decode lazily but trap per-frame failures INSIDE the iterator: the
+      // outer try only guards construction, and these frames are consumed
+      // later inside flatMap — a truncated clip throwing mid-stream must
+      // end its own frame stream, not kill the task
+      Iterator.continually(
+          try getFrame.invoke(grab) catch { case _: Throwable => null })
         .takeWhile(_ != null)
         .map(pic => planeData.invoke(pic, Integer.valueOf(0)).asInstanceOf[Array[Byte]])
     } catch { case _: Throwable => Iterator.empty }

@@ -25,9 +25,11 @@ object Extended {
 
   // ---- S1/S2/S6: JSONL round-trip with corrupt-line skip ----
   def s1JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    // collision-free shared-FS scratch (unique per call — two concurrent
-    // sessions or a re-run can never interleave files)
-    val tmp = graft.Scratch.dir(s, "graft_rt_json_")
+    // collision-free shared-FS scratch, memoized per (session, dataset):
+    // concurrent sessions never interleave files, and re-runs (bench
+    // min-of-3) overwrite one dir instead of accumulating copies
+    val tmp = graft.Scratch.dirFor(s,
+      s"graft_rt_json_${d.replaceAll("[^0-9a-zA-Z.]", "_")}_")
     val ev = Tables.events(s, d).select(
       col("event_id"), col("event_type"), col("value"),
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("event_time"))
@@ -56,7 +58,8 @@ object Extended {
 
   // ---- S3/S6: CSV sink + scan round-trip ----
   def s3CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = graft.Scratch.dir(s, "graft_rt_csv_")
+    val tmp = graft.Scratch.dirFor(s,
+      s"graft_rt_csv_${d.replaceAll("[^0-9a-zA-Z.]", "_")}_")
     Tables.customer(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
     s.read.option("header", "true")
       .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
@@ -236,7 +239,8 @@ object Extended {
 
   // ---- S9: ORC sink + scan round-trip ----
   def s9OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = graft.Scratch.dir(s, "graft_rt_orc_")
+    val tmp = graft.Scratch.dirFor(s,
+      s"graft_rt_orc_${d.replaceAll("[^0-9a-zA-Z.]", "_")}_")
     Tables.supplier(s, d).write.mode("overwrite").orc(tmp)
     s.read.orc(tmp)
       .groupBy("s_nationkey")

@@ -21,7 +21,14 @@ class ScratchSpec extends SparkSuite {
     try {
       val s2 = spark.newSession() // no spark.graft.scratchDir set
       assert(Scratch.root(s2).contains(new java.io.File(cp).getName))
-    } finally prev.foreach(spark.sparkContext.setCheckpointDir)
+    } finally {
+      // SparkContext has no unset: restore the previous dir, or — when
+      // none was set — point at the JVM temp dir so every later suite
+      // sharing this context still resolves scratch under temp, matching
+      // the no-checkpoint fallback this test would otherwise clobber
+      spark.sparkContext.setCheckpointDir(
+        prev.getOrElse(System.getProperty("java.io.tmpdir")))
+    }
   }
 
   test("concurrent sessions and repeated calls never collide") {
