@@ -80,6 +80,32 @@ object EventStream {
   def enrichWithDim(deduped: DataFrame, dim: DataFrame, key: String): DataFrame =
     deduped.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join: order-created events to payment events of
+    * the same order ref, with the payment arriving within `horizon` after
+    * the order. BOTH sides are watermarked and the join condition carries
+    * an event-time range, so Spark can expire buffered rows — state per
+    * side is bounded by (watermark + horizon), never the whole stream.
+    * The order ref is drift-normalized out of the payload (vendor_a
+    * `orderRef` vs vendor_b/c `order_id`), same as the batch pipeline.
+    */
+  def orderPaymentJoin(orders: DataFrame, payments: DataFrame,
+                       lateness: String = "1 day",
+                       horizon: String = "2 hours"): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df
+      .withColumn(s"${side}_ts", Drift.parseTimestampMulti(col("event_time")))
+      .filter(col(s"${side}_ts").isNotNull)
+      .withColumn(s"${side}_ref",
+        Drift.jsonCoalesce(col("payload"), Seq("orderRef", "order_id")))
+      .filter(col(s"${side}_ref").isNotNull)
+      .withWatermark(s"${side}_ts", lateness)
+    val o = keyed(orders.filter(col("event_type") === "order_created"), "o")
+      .select(col("o_ref"), col("o_ts"), col("vendor"))
+    val p = keyed(payments.filter(col("event_type") === "payment_succeeded"), "p")
+      .select(col("p_ref"), col("p_ts"), col("event_id").as("payment_event_id"))
+    o.join(p, expr(
+      s"o_ref = p_ref AND p_ts >= o_ts AND p_ts <= o_ts + interval $horizon"))
+  }
+
   /** Incremental fact_order_daily refresh — incremental view maintenance:
     * each micro-batch (1) upserts its events into a durable event store
     * keyed by event_id (`<outPath>_events`), (2) derives the set of

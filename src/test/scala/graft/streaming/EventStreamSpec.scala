@@ -230,6 +230,28 @@ class EventStreamSpec extends SparkSuite {
     assert(graft.pipeline.CommercePulse.readLive(spark, s"$dir/events.jsonl").count() == 2)
   }
 
+  test("stream-stream join: payments attach within the horizon, both sides watermarked") {
+    val dir = Files.createTempDirectory("stream_in_ssj").toString
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/events.jsonl"), Seq(
+      // A-1 ordered 10:00; its only payment lands NEXT DAY — outside the 2h horizon
+      """{"event_id":"j1","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"vendor_a","payload":"{\"orderRef\":\"A-1\",\"total\":100.0}","ingested_at":"2024-01-01T11:00:00"}""",
+      """{"event_id":"j2","event_type":"payment_succeeded","event_time":"2024-01-02T10:00:00","vendor":"vendor_a","payload":"{\"orderRef\":\"A-1\",\"amount\":100.0}","ingested_at":"2024-01-02T11:00:00"}""",
+      // B-1 ordered 10:00, paid 11:30 — inside the horizon (order_id dialect)
+      """{"event_id":"j3","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"totalAmount\":200.0}","ingested_at":"2024-01-02T10:30:00"}""",
+      """{"event_id":"j4","event_type":"payment_succeeded","event_time":"2024-01-02T11:30:00","vendor":"vendor_b","payload":"{\"order_id\":\"B-1\",\"amountPaid\":200.0}","ingested_at":"2024-01-02T12:00:00"}"""
+    ).mkString("\n"))
+    val stream = EventStream.readLiveStream(spark, dir)
+    val joined = EventStream.orderPaymentJoin(stream, stream)
+    assert(joined.isStreaming)
+    val q = joined.writeStream
+      .format("memory").queryName("ssj").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT o_ref, vendor, payment_event_id FROM ssj ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("B-1", "vendor_b", "j4")))
+  }
+
   test("foreachBatch order upsert: streaming writes the same warehouse state as batch") {
     val dir = Files.createTempDirectory("stream_in2").toString
     writeFixture(dir)
