@@ -186,6 +186,30 @@ object Extended {
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- TPC-H Q6-style revenue-change scan (bench anchor) ----
+  // pure scan → pushed filters → global agg: the raw scan-throughput
+  // anchor (no joins, no windows); all three predicates reach the
+  // parquet reader and the sum is one integer-scaled scalar.
+  def tpchQ6(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"), 1000000L)
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 1000000) AS BIGINT)) AS BIGINT)
+      |         / 1000000.0 AS revenue,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   // ---- TPC-H Q3-style shipping-priority top-k (bench anchor) ----
   def tpchQ3(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -513,7 +537,8 @@ object Extended {
     "a6_sql_api" -> (a6SqlApi _),
     "w1_window_running" -> (w1WindowRunning _),
     "tpch_q1" -> (tpchQ1 _),
-    "tpch_q3" -> (tpchQ3 _)
+    "tpch_q3" -> (tpchQ3 _),
+    "tpch_q6" -> (tpchQ6 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,6 +560,7 @@ object Extended {
     "a6_sql_api" -> a6SqlApiSql,
     "w1_window_running" -> w1WindowRunningSql,
     "tpch_q1" -> tpchQ1Sql,
-    "tpch_q3" -> tpchQ3Sql
+    "tpch_q3" -> tpchQ3Sql,
+    "tpch_q6" -> tpchQ6Sql
   )
 }

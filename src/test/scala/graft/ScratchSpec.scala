@@ -31,6 +31,22 @@ class ScratchSpec extends SparkSuite {
     }
   }
 
+  test("two sessions running the same roundtrip query concurrently don't interleave files") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sfDir = "/root/testdata/sf0.001"
+    val sessions = Seq(spark.newSession(), spark.newSession())
+    val runs = sessions.map { s2 =>
+      Future(graft.queries.Extended.s1JsonRoundtrip(s2, sfDir)
+        .collect().map(_.toString).toSeq)
+    }
+    val Seq(r1, r2) = runs.map(Await.result(_, 120.seconds))
+    // identical correct results — corrupt-line counts would differ if the
+    // two sessions had appended into each other's scratch dirs
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("concurrent sessions and repeated calls never collide") {
     val s2 = spark.newSession()
     val s3 = spark.newSession()
