@@ -20,7 +20,9 @@ object Quality {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
     val zeros = zeroCols.map(c =>
       sum(when(col(c) === 0, 1L).otherwise(0L)).as(s"${c}_zeros"))
-    df.agg((nulls ++ zeros).head, (nulls ++ zeros).tail: _*)
+    val aggs = nulls ++ zeros
+    require(aggs.nonEmpty, "completeness needs at least one null or zero column")
+    df.agg(aggs.head, aggs.tail: _*)
   }
 
   /** §2 orphans: rows of `child` whose key has no match in `parent`

@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Null-guarded cosine over the canonical (q_emb, q_norm, c_emb,
+    * c_norm) pair columns — the one scoring rule every ANN variant
+    * shares (zero-norm vectors score null and rank last).
+    */
+  private def cosineScore: org.apache.spark.sql.Column =
+    when(col("q_norm") > 0 && col("c_norm") > 0,
+      VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")))
+
+  /** Shared tail of every ANN variant: rank scored candidate pairs per
+    * query, keep top-k, emit the (query_id, rank, neighbor_id[, extra],
+    * score) output contract with 4-decimal scores.
+    */
+  private def rankTopK(scored: DataFrame, k: Int,
+                       extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id")) ++ extra :+ round(col("score"), 4).as("score"): _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries`/`corpus`: (id, embedding). Output: (query_id, rank,
     * neighbor_id, score). Self-matches excluded.
@@ -28,18 +51,9 @@ object Similarity {
     val c = graft.Par.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         VectorFns.l2Norm(col("embedding")).as("c_norm"))
-    val scored = c.crossJoin(broadcast(q))
+    rankTopK(c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score",
-        when(col("q_norm") > 0 && col("c_norm") > 0,
-          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("score"), 4).as("score"))
+      .withColumn("score", cosineScore), k)
   }
 
   /** IVF-style ANN: a deterministic representative per partition (the
@@ -72,18 +86,10 @@ object Similarity {
     val c = graft.Par.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), col("label").as("probe_label"),
         col("embedding").as("c_emb"), VectorFns.l2Norm(col("embedding")).as("c_norm"))
-    val rankW = Window.partitionBy("query_id")
-      .orderBy(desc("score"), col("neighbor_id"))
-    c.join(broadcast(probed), "probe_label")
+    rankTopK(c.join(broadcast(probed), "probe_label")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score",
-        when(col("q_norm") > 0 && col("c_norm") > 0,
-          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("probe_label").cast("long").as("probe_label"),
-        round(col("score"), 4).as("score"))
+      .withColumn("score", cosineScore), k,
+      extra = Seq(col("probe_label").cast("long").as("probe_label")))
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from sign-LSH
@@ -125,17 +131,8 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         VectorFns.l2Norm(col("embedding")).as("c_norm"),
         VectorFns.signBucket(col("embedding"), nBits).as("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
+    rankTopK(c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score",
-        when(col("q_norm") > 0 && col("c_norm") > 0,
-          VectorFns.dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("score"), col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("score"), 4).as("score"))
+      .withColumn("score", cosineScore), k)
   }
 }

@@ -95,12 +95,15 @@ object TextDedup {
     * shingle buckets whose document frequency is in [2, dfCap]. A
     * stop-shingle like "of the" occurs in nearly every doc of a block and
     * alone contributes O(df²) join rows — at corpus scale that single key
-    * is a quadratic blowup, so high-df shingles are excluded from
-    * *candidate generation*. The final Jaccard is still exact over the
-    * FULL shingle sets (verification joins the candidate pairs back to the
-    * complete per-doc sets), so the cap can only drop pairs whose every
-    * shared shingle is a near-universal one — such pairs sit far below any
-    * useful similarity threshold.
+    * is a quadratic blowup, so high-df shingles are excluded from i<j
+    * *candidate generation*. Shingles with df ∈ (dfCap, starCap] still
+    * contribute linear STAR candidates (bucket-min ↔ member), so a
+    * template cluster LARGER than dfCap — whose every shared shingle has
+    * df ≈ cluster size — is still detected (each member pairs with the
+    * cluster min; connected components restores the full cluster).
+    * Jaccard is exact for every emitted pair; only pairs whose every
+    * shared shingle has df > starCap are undetectable, and those share
+    * exclusively corpus-wide stop-shingles.
     *
     * Pair keys are packed into one long (doc_a<<32 | doc_b) to halve the
     * distinct-key width; pack/unpack uses pure integer bit ops
@@ -109,7 +112,8 @@ object TextDedup {
     * corrupt ids above 2^21.
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int, lenBand: Int,
-                        minJaccard: Double, dfCap: Int = 64): DataFrame = {
+                        minJaccard: Double, dfCap: Int = 64,
+                        starCap: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
     // The shingle-set projection feeds THREE consumers (candidate
     // explosion + both verification legs). Stage it once to scratch
@@ -147,12 +151,36 @@ object TextDedup {
     // always have df ≥ 2, so inter_full = inter_low + inter_high.
     val lowKeys = freq.filter(col("df").between(2, dfCap))
       .select(blockKeys.map(col): _*)
-    val pairsLow = exploded.join(lowKeys, blockKeys)
+    val lowPacked = exploded.join(lowKeys, blockKeys)
       .groupBy(blockKeys.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expandSortedPairs(col("ids"),
         (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("inter_low"))
+    // star fallback for template-scale clusters: a cluster of MORE than
+    // dfCap near-identical docs has no df ≤ dfCap shared shingle at all —
+    // every shingle the cluster shares has df ≈ cluster size — so the
+    // low-df index alone would miss the highest-jaccard family entirely.
+    // Shingles with df ∈ (dfCap, starCap] instead contribute STAR pairs
+    // (bucket-min ↔ member: df−1 edges, never df²/2), which is exactly
+    // what downstream dedup clustering needs — every member of a big
+    // template cluster pairs with the cluster's min doc, and connected
+    // components restores the full cluster. Shingles beyond starCap
+    // (true stop-shingles) stay excluded: even one edge per member of a
+    // corpus-wide key would verify millions of ~0-jaccard pairs.
+    val midKeys = freq.filter(col("df") > dfCap && col("df") <= starCap)
+      .select(blockKeys.map(col): _*)
+    val starPacked = exploded.join(midKeys, blockKeys)
+      .groupBy(blockKeys.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
+        y => shiftleft(element_at(col("ids"), 1), 32).bitwiseOR(y))).as("pair"))
+      .distinct()
+      // star pairs not already counted by the low index truly share zero
+      // low-df shingles — inter_low = 0 is exact, not an approximation
+      .join(lowPacked.select("pair"), Seq("pair"), "left_anti")
+      .withColumn("inter_low", lit(0L))
+    val pairsLow = lowPacked.unionByName(starPacked)
       .select(
         shiftrightunsigned(col("pair"), 32).as("doc_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
@@ -278,6 +306,16 @@ object TextDedup {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       rounds += 1
+    }
+    // a silent partial result would split true clusters and KEEP
+    // duplicates downstream — fail loudly instead (diameter > maxIter
+    // means the caller should raise maxIter or switch to the
+    // large-star/small-star contraction noted above)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds; " +
+          "raise maxIter (cluster diameter exceeds it)")
     }
     // ...then checkpoint the CONVERGED labels and return a scan of that
     // file. The fixpoint already paid for every round; replaying the

@@ -200,9 +200,10 @@ object TextQueries {
         shingleN = 2, lenBand = 100, minJaccard = 0.2)
       .orderBy("doc_a", "doc_b")
 
-  // mirrors the operator's df-capped candidate rule: pairs must share at
-  // least one shingle whose per-block document frequency is in [2, 64];
-  // the jaccard itself is exact over the full shingle sets
+  // mirrors the operator's candidate rule exactly: i<j pairs from
+  // shingles with per-block df in [2, 64], PLUS star pairs (bucket-min ↔
+  // member) from shingles with df in (64, 4096] — the template-cluster
+  // fallback; the jaccard itself is exact over the full shingle sets
   val ddNgramJaccardSql: String =
     """WITH sh AS (
       |  SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
@@ -225,11 +226,27 @@ object TextQueries {
       |    ON e.lang = f.lang AND e.len_bucket = f.len_bucket
       |   AND e.shingle = f.shingle
       |  WHERE f.n BETWEEN 2 AND 64
+      |), mid AS (
+      |  SELECT e.doc_id, e.lang, e.len_bucket, e.shingle
+      |  FROM ex e JOIN freq f
+      |    ON e.lang = f.lang AND e.len_bucket = f.len_bucket
+      |   AND e.shingle = f.shingle
+      |  WHERE f.n > 64 AND f.n <= 4096
+      |), star AS (
+      |  SELECT lang, len_bucket, shingle, min(doc_id) AS mn
+      |  FROM mid GROUP BY 1, 2, 3
       |), cand AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM low a JOIN low b
-      |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-      |   AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  SELECT DISTINCT doc_a, doc_b FROM (
+      |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |    FROM low a JOIN low b
+      |      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+      |     AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |    UNION
+      |    SELECT s.mn AS doc_a, m.doc_id AS doc_b
+      |    FROM star s JOIN mid m
+      |      ON s.lang = m.lang AND s.len_bucket = m.len_bucket
+      |     AND s.shingle = m.shingle
+      |    WHERE m.doc_id > s.mn)
       |)
       |SELECT doc_a, doc_b, jaccard FROM (
       |  SELECT c.doc_a, c.doc_b,

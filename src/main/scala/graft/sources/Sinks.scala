@@ -38,11 +38,20 @@ object Sinks {
     df.write.mode("overwrite").parquet(tmp.toString)
     // two renames, never delete-before-replace: a crash between them
     // leaves the previous table recoverable at `.__old__` instead of
-    // gone — data is only deleted after the new table is in place
+    // gone — data is only deleted after the new table is in place.
+    // Hadoop rename signals failure by RETURNING false, not throwing
+    // (cross-device local renames, dst-parent anomalies): every return
+    // must be checked, or a failed swap would fall through to the delete
+    // below and remove the only remaining copy of the table.
+    def renameOrDie(src: org.apache.hadoop.fs.Path,
+                    dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"rename $src -> $dst failed; previous table left intact at $old")
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
+    if (fs.exists(target)) renameOrDie(target, old)
+    renameOrDie(tmp, target)
+    fs.delete(old, true); ()
   }
 
   /** Read the current table at `path`, or None when it does not exist
@@ -91,7 +100,12 @@ object Sinks {
     val dk = deleteKeys.getOrElse(batch.select(keys.map(col): _*).distinct())
     val merged = existing match {
       case Some(old) =>
-        old.join(dk.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        // null-safe anti join: a name-based join uses plain equality, so
+        // existing rows with a null key column would never match a delete
+        // key and could never be replaced or retracted
+        val dkk = dk.select(keys.map(c => col(c).as(s"__dk_$c")): _*).distinct()
+        val cond = keys.map(c => col(c) <=> col(s"__dk_$c")).reduce(_ && _)
+        old.join(dkk, cond, "left_anti")
           .unionByName(batch)
       case None => batch
     }

@@ -34,13 +34,22 @@ object EventStream {
   /** Event-time column + watermark + D3 dedup. Late data beyond
     * `lateness` is dropped; duplicate event_ids within the watermark
     * horizon collapse to the first arrival.
+    *
+    * dropDuplicatesWithinWatermark, NOT dropDuplicates: with plain
+    * dropDuplicates on [event_id] the watermark never evicts dedup state
+    * (eviction requires the event-time column among the keys), so every
+    * event_id ever seen stays in the state store for the life of the
+    * stream. The WithinWatermark variant expires each key once the
+    * watermark passes its first arrival + delay — state is bounded by
+    * the lateness horizon, which is exactly the dedup guarantee the
+    * generator's ≤7-day duplicates need.
     */
   def dedupWithWatermark(events: DataFrame, lateness: String = "7 days"): DataFrame =
     events
       .withColumn("event_ts", Drift.parseTimestampMulti(col("event_time")))
       .filter(col("event_ts").isNotNull)
       .withWatermark("event_ts", lateness)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** 1-day tumbling-window per-vendor counts/amounts over the deduped
     * stream — the streaming analogue of fact_order_daily's grain.
@@ -150,9 +159,13 @@ object EventStream {
           val g = grains
             .withColumnRenamed("order_date", "__gd").withColumnRenamed("vendor", "__gv")
           val orders = CommercePulse.normalizeOrders(full)
+          // vendor compares null-safely: live events aren't vendor-defaulted
+          // (only readHistorical coalesces to 'unknown'), and a plain ===
+          // would silently exclude null-vendor grains from the recompute —
+          // they could then never be retracted either
           val ordersInGrains = orders.join(g,
             orders("created_at").cast("date") === col("__gd")
-              && orders("vendor") === col("__gv"), "left_semi")
+              && (orders("vendor") <=> col("__gv")), "left_semi")
           val daily = CommercePulse.factOrderDaily(ordersInGrains,
             CommercePulse.normalizePayments(full),
             CommercePulse.normalizeRefunds(full))
@@ -197,7 +210,9 @@ object EventStream {
         Iterator.empty
       } else {
         var s = state.getOption.getOrElse(OrderLifecycle(orderId, 0L, 0L, 0L, "open"))
-        events.foreach { case (_, et, _) =>
+        var maxTs = 0L
+        events.foreach { case (_, et, ts) =>
+          if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
           s = et match {
             case t if CommercePulse.PaymentTypes.contains(t) =>
               s.copy(n_payments = s.n_payments + 1,
@@ -210,13 +225,17 @@ object EventStream {
           }
         }
         state.update(s)
-        // expire `stateTtl` past the current watermark — but the FIRST
-        // micro-batch runs with watermark 0, and 1970+ttl is in the past
-        // relative to any real watermark, which would evict first-batch
-        // orders at the second trigger; defer the timeout until the
-        // watermark is live
-        if (state.getCurrentWatermarkMs() > 0)
-          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMillis)
+        // expire `stateTtl` past max(live watermark, this batch's own max
+        // event time). Anchoring to the watermark alone has two failure
+        // modes: the FIRST micro-batch runs with watermark 0, where
+        // 0+ttl (1970) evicts first-batch orders at the second trigger
+        // (the round-2 bug); and skipping the set while watermark == 0
+        // (round 2's fix) leaked state forever for keys whose events ALL
+        // arrive before the watermark goes live — e.g. an entire
+        // AvailableNow backfill. The max() anchor is always a valid
+        // future timestamp AND always registered, so every key expires.
+        val anchor = math.max(state.getCurrentWatermarkMs(), maxTs)
+        if (anchor > 0) state.setTimeoutTimestamp(anchor + ttlMillis)
         Iterator.single(s)
       }
     }

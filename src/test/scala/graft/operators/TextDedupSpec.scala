@@ -23,20 +23,45 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Seq((3000000000L, 4000000000L, 0.6667)))
   }
 
-  test("ngramJaccardPairs df-cap drops stop-shingle-only candidates") {
-    // 70 docs whose ONLY shared shingle is the stop bigram "of the"
-    // (df = 70 > cap = 64): without the cap this family alone generates
-    // 70·69/2 candidate pairs, each at exactly jaccard 0.2 — the O(df²)
-    // blowup the prefix filter exists to kill.
+  test("ngramJaccardPairs df-cap bounds stop-shingle candidates to star pairs") {
+    // 70 docs whose ONLY shared shingle is the bigram "of the"
+    // (df = 70 > cap = 64): full i<j expansion would generate 70·69/2
+    // candidate pairs — the O(df²) blowup the cap kills. The star
+    // fallback (df ≤ starCap) emits exactly 69 linear (min ↔ member)
+    // pairs instead, each verified to its true jaccard 1/5 = 0.2.
     val floods = (1L to 70L).map(i => (i, "en", 20L, s"of the unique$i word$i"))
     val rares = Seq(
       (200L, "en", 20L, "red green blue yellow"),
       (201L, "en", 20L, "red green blue purple"))
     val got = TextDedup.ngramJaccardPairs(docs(floods ++ rares),
         shingleN = 2, lenBand = 100, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val stars = (2L to 70L).map(i => (1L, i, 0.2))
+    assert(got == (stars :+ ((200L, 201L, 0.5))).sorted)
+  }
+
+  test("ngramJaccardPairs: beyond starCap, stop-shingle-only pairs are dropped") {
+    // df = 70 > starCap = 64 here: no i<j pairs, no star pairs — a true
+    // corpus-wide stop shingle generates nothing at all
+    val floods = (1L to 70L).map(i => (i, "en", 20L, s"of the unique$i word$i"))
+    val got = TextDedup.ngramJaccardPairs(docs(floods),
+        shingleN = 2, lenBand = 100, minJaccard = 0.2, dfCap = 32, starCap = 64)
       .as[(Long, Long, Double)].collect().toSeq
-    // rare-shingle pair survives with the exact full-set jaccard (2/4)
-    assert(got == Seq((200L, 201L, 0.5)))
+    assert(got.isEmpty)
+  }
+
+  test("template clusters larger than dfCap are recovered via star pairs") {
+    // 70 near-identical docs: every shared shingle has df = 70 > dfCap,
+    // so the low-df index alone finds NOTHING — round 2's formulation
+    // missed the highest-jaccard family in the corpus. Star pairs attach
+    // each member to the cluster min at the exact jaccard 7/9.
+    val tmpl = (1L to 70L).map(i =>
+      (i, "en", 60L, s"alpha beta gamma delta epsilon zeta eta theta v$i"))
+    val got = TextDedup.ngramJaccardPairs(docs(tmpl),
+        shingleN = 2, lenBand = 100, minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.size == 69)
+    assert(got.forall { case (a, _, j) => a == 1L && j == 0.7778 })
   }
 
   test("minhashLshPairs pairs identical docs at est 1.0") {
