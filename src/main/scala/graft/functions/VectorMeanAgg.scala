@@ -20,13 +20,22 @@ class VectorMean[IN](vec: IN => Array[Float])
 
   override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
 
+  // dimensions must agree: silently truncating to the shorter vector
+  // would make both the centroid length AND its values depend on which
+  // row/partition arrived first — a nondeterministic result across runs.
+  // Mixed-dimension input is a data bug; fail loudly where it's visible.
+  private def requireSameDim(have: Int, got: Int): Unit =
+    require(have == got,
+      s"VectorMean: mixed vector dimensions in one group ($have vs $got)")
+
   override def reduce(b: (Array[Double], Long), row: IN): (Array[Double], Long) = {
     val a = vec(row)
     if (a == null) b
     else {
       val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      requireSameDim(acc.length, a.length)
       var i = 0
-      while (i < math.min(acc.length, a.length)) { acc(i) += a(i); i += 1 }
+      while (i < acc.length) { acc(i) += a(i); i += 1 }
       (acc, b._2 + 1)
     }
   }
@@ -35,8 +44,9 @@ class VectorMean[IN](vec: IN => Array[Float])
     if (x._1.isEmpty) y
     else if (y._1.isEmpty) x
     else {
+      requireSameDim(x._1.length, y._1.length)
       var i = 0
-      while (i < math.min(x._1.length, y._1.length)) { x._1(i) += y._1(i); i += 1 }
+      while (i < x._1.length) { x._1(i) += y._1(i); i += 1 }
       (x._1, x._2 + y._2)
     }
   }

@@ -36,8 +36,15 @@ object DailyRevenue {
     * to decimal aggregation if a single group can exceed that.
     */
   private val MoneyScale = 10000L
-  private def sumMoney(c: Column): Column =
-    sum(round(c * MoneyScale).cast("long")) / MoneyScale.toDouble
+
+  /** THE money-sum rule, shared by every query that aggregates currency
+    * (Extended's TPC-H anchors delegate here): one definition so a future
+    * refinement — e.g. the decimal escape hatch above — lands everywhere.
+    */
+  def sumMoney(c: Column, scale: Long): Column =
+    sum(round(c * scale).cast("long")) / scale.toDouble
+
+  private def sumMoney(c: Column): Column = sumMoney(c, MoneyScale)
 
   /** Single-pass variant for the common case where payments and refunds
     * derive from ONE item stream (e.g. lineitem rows where some lines are

@@ -30,6 +30,15 @@ object TextDedup {
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)), y => combine(x, y))))
 
+  /** Expand a SORTED array into STAR pairs (first element ↔ each later
+    * element) — the linear g−1 analogue of `expandSortedPairs` for
+    * connectivity-only consumers; shares a home for the same reason (the
+    * 1-based `slice(_, 2, _)` offset is easy to get wrong twice).
+    */
+  private[graft] def expandStarPairs(ids: org.apache.spark.sql.Column,
+      combine: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(slice(ids, lit(2), size(ids)), y => combine(element_at(ids, 1), y))
+
   /** Exact dedup by normalized-content fingerprint: keep min doc_id per
     * fingerprint, count duplicates.
     */
@@ -173,8 +182,8 @@ object TextDedup {
     val starPacked = exploded.join(midKeys, blockKeys)
       .groupBy(blockKeys.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
-        y => shiftleft(element_at(col("ids"), 1), 32).bitwiseOR(y))).as("pair"))
+      .select(explode(expandStarPairs(col("ids"),
+        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
       .distinct()
       // star pairs not already counted by the low index truly share zero
       // low-df shingles — inter_low = 0 is exact, not an approximation

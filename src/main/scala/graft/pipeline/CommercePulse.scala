@@ -359,7 +359,14 @@ object CommercePulse {
     val orders = normalizeOrders(events).cache()
     val payments = normalizePayments(events).cache()
     val refunds = normalizeRefunds(events).cache()
-    val daily = factOrderDaily(orders, payments, refunds)
+    // daily is consumed up to three times (warehouse load, parquet sink,
+    // final count) and its 3-shuffle join+aggregate is the most expensive
+    // plan of the run — cache it too, released with the rest. The dims
+    // are built once for the same reason.
+    val daily = factOrderDaily(orders, payments, refunds).cache()
+    val custDim = dimCustomer(orders)
+    val dateDim = dimDate(spark)
+    val prodDim = dimProduct(spark)
     val report = qualityReport(orders, payments, refunds)
 
     // optional S7 catalog path: full star-schema DDL + truncate-load,
@@ -367,7 +374,7 @@ object CommercePulse {
     warehouseDb.foreach { db =>
       graft.sources.Warehouse.createAll(spark, db)
       graft.sources.Warehouse.loadAll(spark, db, orders, payments, refunds,
-        daily, dimCustomer(orders), dimDate(spark), dimProduct(spark))
+        daily, custDim, dateDim, prodDim)
     }
 
     graft.sources.Sinks.upsertParquet(spark, orders, s"$outDir/fact_orders",
@@ -375,9 +382,9 @@ object CommercePulse {
     graft.sources.Sinks.appendParquet(payments, s"$outDir/fact_payments")
     graft.sources.Sinks.appendParquet(refunds, s"$outDir/fact_refunds")
     graft.sources.Sinks.overwriteParquet(daily, s"$outDir/fact_order_daily")
-    graft.sources.Sinks.overwriteParquet(dimCustomer(orders), s"$outDir/dim_customer")
-    graft.sources.Sinks.overwriteParquet(dimDate(spark), s"$outDir/dim_date")
-    graft.sources.Sinks.overwriteParquet(dimProduct(spark), s"$outDir/dim_product")
+    graft.sources.Sinks.overwriteParquet(custDim, s"$outDir/dim_customer")
+    graft.sources.Sinks.overwriteParquet(dateDim, s"$outDir/dim_date")
+    graft.sources.Sinks.overwriteParquet(prodDim, s"$outDir/dim_product")
     graft.sources.Sinks.writeCsv(report, s"$outDir/quality_report")
 
     val counts = Map(
@@ -387,7 +394,8 @@ object CommercePulse {
       "refunds" -> refunds.count(),
       "daily" -> daily.count())
     // all sinks and counts have materialized — release the run's caches
-    Seq(events, orders, payments, refunds).foreach(_.unpersist(blocking = false))
+    Seq(events, orders, payments, refunds, daily)
+      .foreach(_.unpersist(blocking = false))
     counts
   }
 }

@@ -14,6 +14,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
-      (children: Seq[Expression]) => DotProductF(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        // explicit arity check: children(1) on a 1-arg call would throw a
+        // bare IndexOutOfBoundsException from inside resolution
+        require(children.length == 2,
+          s"dot_f(a, b) expects exactly 2 arguments, got ${children.length}")
+        DotProductF(children(0), children(1))
+      }))
   }
 }

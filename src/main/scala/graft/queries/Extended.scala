@@ -21,7 +21,7 @@ object Extended {
   type Q = (SparkSession, String) => DataFrame
 
   private def moneySum(c: org.apache.spark.sql.Column, scale: Long) =
-    sum(round(c * scale).cast("long")) / scale.toDouble
+    graft.operators.DailyRevenue.sumMoney(c, scale)
 
   // ---- S1/S2/S6: JSONL round-trip with corrupt-line skip ----
   def s1JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
@@ -80,7 +80,10 @@ object Extended {
         col("c_custkey"),
         format_string("CUST-%07d", col("c_custkey")).as("cust_code"),
         upper(col("c_mktsegment")).as("seg_upper"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        // concat, not concat_ws: the oracle's `||` propagates NULL, while
+        // concat_ws silently drops null args — different joined value on
+        // any null c_mktsegment/c_name
+        concat(col("c_mktsegment"), lit("|"), col("c_name")).as("joined"),
         length(trim(col("c_name"))).cast("long").as("name_len"),
         substring(col("c_name"), 1, 8).as("name_prefix"))
       .orderBy("c_custkey")
@@ -133,7 +136,11 @@ object Extended {
 
   // ---- W1: general window analytics (running count, lag) ----
   def w1WindowRunning(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // asc_nulls_last: DuckDB's WINDOW ORDER BY ts sorts nulls last,
+    // Spark's bare asc sorts them first — a null-ts row would head the
+    // partition here and shift every rn/lag/running sum vs the oracle
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc_nulls_last, col("event_id"))
     Tables.events(s, d)
       .filter(col("user_id") < 20)
       .select(

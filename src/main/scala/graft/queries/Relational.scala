@@ -272,9 +272,13 @@ object Relational {
       |) WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // ---- D2: first-wins dedup ----
+  // asc_nulls_LAST: DuckDB's default null order is NULLS LAST for ASC
+  // (Spark's is nulls first), and the Dedup contract says null
+  // timestamps lose to any non-null — d1's desc_nulls_last is the same
+  // decision from the other direction
   def d2FirstWins(s: SparkSession, d: String): DataFrame =
     Dedup.firstWins(Tables.events(s, d), Seq("user_id", "event_type"),
-        Seq(col("ts").asc_nulls_first, col("event_id").asc))
+        Seq(col("ts").asc_nulls_last, col("event_id").asc))
       .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
       .orderBy("user_id", "event_type")
 

@@ -32,10 +32,10 @@ object SimilarityQueries {
       |  SELECT query_id, neighbor_id,
       |    list_sum(list_transform(range(1, len(qe)+1),
       |                            i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |    nullif(sqrt(list_sum(list_transform(range(1, len(qe)+1),
       |                            i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, len(ce)+1),
-      |                            i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS score
+      |                            i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 0) AS score
       |  FROM q, c WHERE query_id <> neighbor_id
       |)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
@@ -69,10 +69,10 @@ object SimilarityQueries {
       |  SELECT query_id, neighbor_id,
       |    list_sum(list_transform(range(1, len(qe)+1),
       |                            i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |    nullif(sqrt(list_sum(list_transform(range(1, len(qe)+1),
       |                            i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, len(ce)+1),
-      |                            i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS score
+      |                            i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 0) AS score
       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
       |)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
@@ -107,10 +107,10 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
       |        (list_sum(list_transform(range(1, len(q.qe)+1),
       |                                 i -> q.qe[i]::DOUBLE * r.rep_emb[i]::DOUBLE)) /
-      |         (sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+      |         nullif(sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
       |                                 i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE))) *
       |          sqrt(list_sum(list_transform(range(1, len(r.rep_emb)+1),
-      |                                 i -> r.rep_emb[i]::DOUBLE * r.rep_emb[i]::DOUBLE)))))
+      |                                 i -> r.rep_emb[i]::DOUBLE * r.rep_emb[i]::DOUBLE))), 0))
       |        DESC, r.rep_label) AS pr
       |    FROM q, reps r
       |  ) WHERE pr = 1
@@ -118,10 +118,10 @@ object SimilarityQueries {
       |  SELECT p.query_id, e.vec_id AS neighbor_id, p.probe_label,
       |    list_sum(list_transform(range(1, len(p.qe)+1),
       |                            i -> p.qe[i]::DOUBLE * e.embedding[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(p.qe)+1),
+      |    nullif(sqrt(list_sum(list_transform(range(1, len(p.qe)+1),
       |                            i -> p.qe[i]::DOUBLE * p.qe[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
-      |                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS score
+      |                            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))), 0) AS score
       |  FROM probed p JOIN embeddings e ON e.label = p.probe_label
       |  WHERE e.vec_id <> p.query_id
       |)
@@ -152,10 +152,10 @@ object SimilarityQueries {
       |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
       |    list_sum(list_transform(range(1, len(a.embedding)+1),
       |                            i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
-      |    (sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+      |    nullif(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
       |                            i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
       |     sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
-      |                            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))) AS score
+      |                            i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))), 0) AS score
       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
       |)
       |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin

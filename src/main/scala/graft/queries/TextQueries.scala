@@ -30,8 +30,11 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_calc"),
         TextFns.punctCount(col("text")).cast("long").as("punct_cnt"),
         round(TextFns.stopwordRatio(toks, Stopwords), 4).as("stop_ratio"),
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-          / size(toks), 4).as("mean_wlen"),
+        // zero-token guard mirrors the oracle's CASE (and under ANSI mode
+        // an unguarded /0 would throw, not yield null)
+        when(size(toks) > 0,
+          round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(toks), 4)).otherwise(0.0).as("mean_wlen"),
         TextFns.tokenCountRegex(col("text")).cast("long").as("bpe_tokens"),
         TextFns.qualityScore(col("text"), Stopwords).as("quality"))
       .orderBy("doc_id")
@@ -340,8 +343,8 @@ object TextQueries {
     def pairsOf(keyed: DataFrame): DataFrame =
       keyed.groupBy("k").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .filter(size(col("ids")) >= 2)
-        .select(explode(transform(slice(col("ids"), lit(2), size(col("ids"))),
-          y => struct(element_at(col("ids"), 1).as("doc_a"), y.as("doc_b")))).as("p"))
+        .select(explode(TextDedup.expandStarPairs(col("ids"),
+          (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     val pairs = pairsOf(fp).union(pairsOf(sh)).distinct()
     TextDedup.connectedComponents(pairs).orderBy("doc_id")
