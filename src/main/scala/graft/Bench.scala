@@ -8,9 +8,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // UTC like Verify/Explain: a host-zone bench would group ts-derived
+      // dates differently than the plans the oracle certified — it must
+      // time the SAME query it verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // the timed action materializes EVERY column through the `noop` sink:
+    // a bare count() would let Catalyst prune the projections being
+    // measured (a row-preserving query like emb_quantize collapses to a
+    // parquet row count) and EliminateSorts drop every final ORDER BY —
+    // timing a different, cheaper plan than the one the oracle certified
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     // Standard JVM benchmarking shape:
     //  1. one pass at the tiny SF initializes codegen, broadcast machinery
     //     and shuffle services cheaply for every plan shape;
@@ -21,12 +35,12 @@ object Bench {
     //     plan cost rather than host/VM scheduling noise.
     val warmupDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+      try run(fn, warmupDir) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        val ok = try { run(fn, sfDir); true }
                  catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
@@ -37,8 +51,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    // failures are EXCLUDED from the total (the sentinel would subtract
+    // from it, making a broken suite read faster) and listed explicitly
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

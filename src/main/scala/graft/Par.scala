@@ -16,20 +16,20 @@ object Par {
     */
   def spread(df: DataFrame): DataFrame = {
     // the width probe (df.rdd) physically plans the frame, and under AQE
-    // would EXECUTE upstream shuffle stages if any existed — so frames
-    // that already contain a shuffle-inducing operator are returned
-    // untouched (they are post-exchange and already parallel; spreading
-    // them is pointless anyway). The probe only ever runs on
-    // scan/filter/project-shaped inputs, where planning is cheap and the
-    // file listing is shared with the real query via the session's
-    // relation cache.
+    // would EXECUTE upstream shuffle stages if any existed — so the probe
+    // only runs when the plan is provably scan-shaped: every node must be
+    // a Project/Filter/alias or a leaf relation. This is a WHITELIST, not
+    // a denylist of shuffle operators: an unanticipated node (Deduplicate,
+    // MapGroups, Intersect, ...) means "don't probe", never "safe" — a
+    // blocked probe merely skips an optional repartition, a wrong probe
+    // executes half the query eagerly on the driver. Plans that fail the
+    // check are post-exchange and already parallel anyway.
     import org.apache.spark.sql.catalyst.plans.logical._
-    val shuffled = df.queryExecution.logical.collectFirst {
-      case _: Aggregate => (); case _: Join => (); case _: Window => ()
-      case _: Distinct => (); case _: Sort => ()
-      case _: RepartitionOperation => ()
-    }.nonEmpty
-    if (shuffled) df
+    val probeSafe = df.queryExecution.logical.collect { case n => n }.forall {
+      case _: Project | _: Filter | _: SubqueryAlias => true
+      case n => n.children.isEmpty // scan / local-relation leaves
+    }
+    if (!probeSafe) df
     else {
       val target = df.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt

@@ -73,18 +73,8 @@ object Scratch {
     * e.g. a benchmarked query invoked min-of-3 — reuse and overwrite ONE
     * directory instead of leaving a fresh copy per invocation on disk.
     * Still collision-free across sessions and runs (the underlying dir
-    * comes from `dir`). get/putIfAbsent, not computeIfAbsent: `dir` is
-    * cheap and an occasional double-create is harmless, while nesting
-    * computeIfAbsent has bitten this repo before.
+    * comes from `dir`).
     */
-  def dirFor(spark: SparkSession, key: String): String = {
-    val k = (spark, key)
-    val cached = keyed.get(k)
-    if (cached != null) cached
-    else {
-      val d = dir(spark, key)
-      val prev = keyed.putIfAbsent(k, d)
-      if (prev != null) prev else d
-    }
-  }
+  def dirFor(spark: SparkSession, key: String): String =
+    Memo.getOrPut(keyed, (spark, key))(dir(spark, key))
 }

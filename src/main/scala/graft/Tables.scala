@@ -20,18 +20,8 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  // get/putIfAbsent rather than computeIfAbsent: `events` memoizes a frame
-  // derived from another memoized entry, and a computeIfAbsent nested
-  // inside a computeIfAbsent on the same map throws "Recursive update"
-  private def memoize(key: (SparkSession, String, String))(mk: => DataFrame): DataFrame = {
-    val cached = memo.get(key)
-    if (cached != null) cached
-    else {
-      val df = mk
-      val prev = memo.putIfAbsent(key, df)
-      if (prev != null) prev else df
-    }
-  }
+  private def memoize(key: (SparkSession, String, String))(mk: => DataFrame): DataFrame =
+    Memo.getOrPut(memo, key)(mk)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     memoize((spark, dir, name))(spark.read.parquet(s"$dir/$name.parquet"))

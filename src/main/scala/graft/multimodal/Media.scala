@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: feature extraction is mapPartitions (no shuffle, no
   * driver collect); binary payloads never enter a shuffle — only the
-  * compact feature rows do. Batches of `BatchSize` rows bound peak memory
-  * per task regardless of blob sizes.
+  * compact feature rows do. Rows stream through the kernels one at a
+  * time (the iterators are never materialized into batches), so peak
+  * memory per task is one blob regardless of partition size.
   */
 object Media {
 
@@ -36,8 +37,6 @@ object Media {
 
   /** One sampled "frame" of a media object. */
   case class Frame(media_id: Long, frame_no: Int, frame_bytes: Array[Byte])
-
-  val BatchSize = 64
 
   /** ==== STUB ==== deterministic fake decode: byte histogram (16 buckets
     * by high nibble) + mean byte value. A real implementation would decode
@@ -71,18 +70,18 @@ object Media {
       .as[MediaRow]
   }
 
-  /** Batched partition-wise feature extraction — the mapInPandas analogue:
-    * each task iterates its partition in fixed-size batches, runs the
-    * decode kernel per batch, emits compact feature rows.
+  /** Partition-wise feature extraction — the mapInPandas analogue: each
+    * task streams its partition through the decode kernel row by row
+    * (grouping rows into batches would pin `batch` blobs live at once —
+    * with 100 MB media that RAISES peak memory, the opposite of what the
+    * round-2 comment claimed) and emits compact feature rows.
     */
   def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(BatchSize).flatMap { batch =>
-        batch.map { m =>
-          val (mean, hist) = decodeStub(m.bytes)
-          MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, mean, hist)
-        }
+      rows.map { m =>
+        val (mean, hist) = decodeStub(m.bytes)
+        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, mean, hist)
       }
     }
   }
@@ -92,6 +91,7 @@ object Media {
     * pass through untouched as a single frame.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int)(implicit spark: SparkSession): Dataset[Frame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     import spark.implicits._
     media.flatMap { m =>
       if (m.kind == "video" && m.bytes.length > 64) {
@@ -201,14 +201,14 @@ object Media {
       }
     } catch { case _: Exception => None }
 
-  /** Batched real-image feature extraction: same mapPartitions shape as
-    * `extractFeatures`, undecodable rows dropped (count them upstream via
-    * a left-anti if the pipeline needs dead-letter accounting).
+  /** Real-image feature extraction: same streaming mapPartitions shape
+    * as `extractFeatures`, undecodable rows dropped (count them upstream
+    * via a left-anti if the pipeline needs dead-letter accounting).
     */
   def imageFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(BatchSize).flatMap(_.flatMap { m =>
+      rows.flatMap({ m =>
         decodeImage(m.bytes).map { case (w, h, r, g, b, hist) =>
           ImageFeatures(m.media_id, w, h, r, g, b, hist)
         }
@@ -220,18 +220,18 @@ object Media {
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int)(implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(BatchSize).flatMap(_.map { m =>
+      rows.map { m =>
         val out = resizeImageBytes(m.bytes, w, h)
         if (out eq m.bytes) m else m.copy(bytes = out, width = w, height = h)
-      })
+      }
     }
   }
 
-  /** Batched real-audio feature extraction (WAV/PCM). */
+  /** Real-audio feature extraction (WAV/PCM), streaming per row. */
   def audioFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(BatchSize).flatMap(_.flatMap { m =>
+      rows.flatMap({ m =>
         decodeWav(m.bytes).map { case (rate, ch, frames, rms) =>
           AudioFeatures(m.media_id, rate, ch, frames, rms)
         }
@@ -279,21 +279,46 @@ object Media {
       val getFrame = grab.getClass.getMethod("getNativeFrame")
       val planeData = Class.forName("org.jcodec.common.model.Picture")
         .getMethod("getPlaneData", classOf[Int])
-      // decode lazily but trap per-frame failures INSIDE the iterator: the
-      // outer try only guards construction, and these frames are consumed
-      // later inside flatMap — a truncated clip throwing mid-stream must
-      // end its own frame stream, not kill the task
+      // frame fetch AND plane extraction both inside the per-frame trap:
+      // these frames are consumed lazily inside flatMap, so anything
+      // thrown here later — a truncated clip mid-stream, a plane the
+      // color format doesn't carry — must end this clip's frame stream,
+      // not escape and kill the task
       Iterator.continually(
-          try getFrame.invoke(grab) catch { case _: Throwable => null })
+          try {
+            val pic = getFrame.invoke(grab)
+            if (pic == null) null
+            else planeData.invoke(pic, Integer.valueOf(0)).asInstanceOf[Array[Byte]]
+          } catch { case _: Throwable => null })
         .takeWhile(_ != null)
-        .map(pic => planeData.invoke(pic, Integer.valueOf(0)).asInstanceOf[Array[Byte]])
     } catch { case _: Throwable => Iterator.empty }
 
+  /** Driver-side probe that the reflective signatures the adapter needs
+    * exist in the deployed jcodec version (driver and executors share a
+    * classpath). Without it, a version with FrameGrab present but
+    * different signatures would pass the class gate and then silently
+    * decode zero frames for every clip; failing the probe falls back to
+    * the stub path instead.
+    */
+  private def jcodecSignaturesResolve: Boolean =
+    try {
+      Class.forName("org.jcodec.common.io.ByteBufferSeekableByteChannel")
+        .getConstructor(classOf[java.nio.ByteBuffer], classOf[Int])
+      Class.forName("org.jcodec.api.FrameGrab")
+        .getMethod("createFrameGrab", Class.forName("org.jcodec.common.io.SeekableByteChannel"))
+      Class.forName("org.jcodec.common.model.Picture")
+        .getMethod("getPlaneData", classOf[Int])
+      true
+    } catch { case _: Throwable => false }
+
   /** The decoder the gate resolves for this JVM: a real codec when one is
-    * installed, None (→ byte-stub path) otherwise.
+    * installed AND its signatures resolve, None (→ byte-stub path)
+    * otherwise.
     */
   def defaultVideoDecoder: Option[FrameDecoder] =
-    videoCodecClass.map { case "org.jcodec.api.FrameGrab" => jcodecDecoder }
+    videoCodecClass.collect {
+      case "org.jcodec.api.FrameGrab" if jcodecSignaturesResolve => jcodecDecoder
+    }
 
   /** Frame extraction for video rows, every `stride`-th frame kept:
     * decodes real frames when a codec is available (or injected — tests
@@ -302,7 +327,8 @@ object Media {
     */
   def videoFrames(media: Dataset[MediaRow], stride: Int,
                   decoder: Option[FrameDecoder] = defaultVideoDecoder)
-                 (implicit spark: SparkSession): Dataset[Frame] =
+                 (implicit spark: SparkSession): Dataset[Frame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     decoder match {
       case None => sampleFrames(media, stride)
       case Some(dec) =>
@@ -315,4 +341,5 @@ object Media {
           else Iterator.single(Frame(m.media_id, 0, m.bytes))
         }
     }
+  }
 }
