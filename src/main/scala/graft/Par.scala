@@ -36,4 +36,25 @@ object Par {
       if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
     }
   }
+
+  /** Globally-ordered spread for expensive projections that must emit
+    * sorted output: range-partition on `key` with an EXPLICIT partition
+    * count, then sort within partitions — globally ordered because range
+    * partitions are themselves ordered. Two traps this dodges, both
+    * measured at sf0.1:
+    *  - a trailing `orderBy` after the projection re-executes the
+    *    projection in the range exchange's sampling pass (2× the per-row
+    *    work) — here the sampling only re-reads the cheap input;
+    *  - a bare `orderBy` BEFORE the projection lets AQE coalesce the
+    *    small exchange output to one partition (the sort's partition
+    *    count is advisory), serializing the downstream per-row work
+    *    (17 s single-core vs 0.9 s spread for txt_winnow); an explicit
+    *    count is user-specified and AQE keeps it.
+    * Ties across partition boundaries are the caller's concern — use a
+    * unique key (doc_id) or accept boundary-adjacent tie order.
+    */
+  def sortSpread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.repartitionByRange(n, key).sortWithinPartitions(key)
+  }
 }

@@ -55,8 +55,14 @@ object TextFns {
     * low punctuation density + mean word length band. A deterministic,
     * explainable heuristic in the Gopher/C4-filter style.
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(tokens(text), text, stopwords)
+
+  /** [[qualityScore]] over an already-projected token column — callers
+    * that stage tokens once (the no-CSE rule) pass the column reference
+    * here instead of re-tokenizing inside every sub-score.
+    */
+  def qualityScoreFromTokens(toks: Column, text: Column, stopwords: Seq[String]): Column = {
     val nTok = size(toks)
     val meanLen = when(nTok > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)

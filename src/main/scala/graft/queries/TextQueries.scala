@@ -22,23 +22,27 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // ---- per-document stats + quality score ----
-  def txtStats(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    Tables.documents(s, d).select(
+  // tokens staged ONCE as `tk` (every sub-score references the column, no
+  // re-tokenization per expression) and the sort runs FIRST over the bare
+  // scan — the range-exchange sampling pass re-executes its child, so a
+  // trailing orderBy would run the whole projection twice (see
+  // txtFingerprint). `text` references stay cheap: it's a scan attribute.
+  def txtStats(s: SparkSession, d: String): DataFrame =
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("tk"))
+      .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+        size(col("tk")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"),
         TextFns.punctCount(col("text")).cast("long").as("punct_cnt"),
-        round(TextFns.stopwordRatio(toks, Stopwords), 4).as("stop_ratio"),
+        round(TextFns.stopwordRatio(col("tk"), Stopwords), 4).as("stop_ratio"),
         // zero-token guard mirrors the oracle's CASE (and under ANSI mode
         // an unguarded /0 would throw, not yield null)
-        when(size(toks) > 0,
-          round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
-            / size(toks), 4)).otherwise(0.0).as("mean_wlen"),
+        when(size(col("tk")) > 0,
+          round(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(col("tk")), 4)).otherwise(0.0).as("mean_wlen"),
         TextFns.tokenCountRegex(col("text")).cast("long").as("bpe_tokens"),
-        TextFns.qualityScore(col("text"), Stopwords).as("quality"))
-      .orderBy("doc_id")
-  }
+        TextFns.qualityScoreFromTokens(col("tk"), col("text"), Stopwords).as("quality"))
 
   val txtStatsSql: String =
     """WITH toks AS (
@@ -83,22 +87,29 @@ object TextQueries {
     "es" -> Seq("el", "los", "y"),
     "de" -> Seq("der", "die", "und"))
 
+  // tokens staged once, then the four marker scores staged once as
+  // columns (`predicted` references each score up to four times — inlined
+  // score expressions would re-run the filter+tokenize per reference);
+  // sort first, projections after (see txtStats).
   def txtLangid(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      size(filter(col("tk"),
+        t => array_contains(array(markers.map(lit): _*), t))).as(s"${lang}_s")
     }
-    val Seq(en, fr, es, de) = scores.map(_._2)
+    val Seq(en, fr, es, de) = LangMarkers.map { case (l, _) => col(s"${l}_s") }
     val predicted =
       when(en > 0 && en >= fr && en >= es && en >= de, lit("en"))
         .when(fr > 0 && fr >= es && fr >= de, lit("fr"))
         .when(es > 0 && es >= de, lit("es"))
         .when(de > 0, lit("de"))
         .otherwise(lit("und"))
-    Tables.documents(s, d).select(
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
+      .select(Seq(col("doc_id"), col("lang"),
+        TextFns.tokens(col("text")).as("tk")): _*)
+      .select(Seq(col("doc_id"), col("lang")) ++ scoreCols: _*)
+      .select(
         col("doc_id"), predicted.as("predicted"),
         en.cast("long").as("en_hits"), col("lang").as("labeled_lang"))
-      .orderBy("doc_id")
   }
 
   val txtLangidSql: String =
@@ -124,15 +135,23 @@ object TextQueries {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---- content fingerprint ----
-  def txtFingerprint(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFns.tokens(col("text"))
-    Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFns.fingerprint(col("text")).as("fp"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(TextFns.shingles(toks, 3))).cast("long").as("n_shingles3"))
-      .orderBy("doc_id")
-  }
+  // Two plan-shape rules, both measured at sf0.1:
+  //  1. tokens are projected ONCE (`tk`): `shingles` slices inside a
+  //     transform lambda, and lambda bodies re-evaluate free expressions
+  //     per element (no CSE) — inlining the split+filter re-tokenized the
+  //     text per shingle position.
+  //  2. the sort comes FIRST: a global sort's range-exchange runs a
+  //     sampling pass that RE-EXECUTES its child, so sorting the cheap
+  //     scan and projecting after (projection preserves ordering) runs
+  //     the md5/shingle work once per row instead of twice; the sampling
+  //     pass only re-reads the parquet scan. Together 7.7 s → sub-second.
+  def txtFingerprint(s: SparkSession, d: String): DataFrame =
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("fp"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(TextFns.shingles(col("tk"), 3))).cast("long").as("n_shingles3"))
 
   val txtFingerprintSql: String =
     """WITH toks AS (
@@ -153,7 +172,7 @@ object TextQueries {
 
   // ---- winnowing fingerprints (rolling-hash k-gram windows) ----
   def txtWinnow(s: SparkSession, d: String): DataFrame = {
-    graft.Par.spread(Tables.documents(s, d))
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
       // hashes projected once, then windowed — see TextFns.kgramHashes
       .select(col("doc_id"), TextFns.kgramHashes(col("text"), 8).as("h"))
       .select(col("doc_id"), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
@@ -162,7 +181,6 @@ object TextQueries {
         size(col("fps")).cast("long").as("n_fingerprints"),
         array_min(col("fps")).as("min_fp"),
         array_max(col("fps")).as("max_fp"))
-      .orderBy("doc_id")
   }
 
   val txtWinnowSql: String =
@@ -602,7 +620,7 @@ object TextQueries {
   private val LongNumPat = "[0-9]{6,}"
 
   def txtScrub(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"),
         md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
           UrlPat, "<URL>"), EmailPat, "<EMAIL>"), LongNumPat, "<NUM>"))
@@ -613,7 +631,6 @@ object TextQueries {
           .as("n_emails"),
         size(regexp_extract_all(col("text"), lit(LongNumPat), lit(0))).cast("long")
           .as("n_longnums"))
-      .orderBy("doc_id")
 
   val txtScrubSql: String =
     """SELECT doc_id,
