@@ -1,0 +1,436 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-analytics coverage beyond the reference's own query set:
+  * outer-join surfaces, multi-grain CUBE rollups, TPC-H Q4/Q13-shaped
+  * subquery patterns, cohort/funnel/retention product analytics, exact
+  * integer-algebra outlier detection, date-spine gap-fill with LOCF,
+  * SCD-2 run collapsing, and a document-term-matrix builder for the
+  * text-pipeline family.
+  *
+  * Parity doctrine throughout (see MEMORY oracle-parity-doctrine): money
+  * sums integer-scaled, counts CAST to BIGINT in the oracle, identical
+  * column names, explicit total ORDER BY, timestamps compared at the µs
+  * truncation both engines share.
+  */
+object Analytics {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def moneySum(c: Column, scale: Long): Column =
+    graft.operators.DailyRevenue.sumMoney(c, scale)
+
+  // ---- J5: full outer join (daily order grain vs daily event grain) ----
+  // The two calendars barely overlap (TPC-H order years vs the 2024-01
+  // event month), so both null sides are genuinely exercised. A `using`
+  // join coalesces the day key; per-side aggregates are tiny relative to
+  // their inputs, so the join itself is a few-thousand-row shuffle at any
+  // scale — the heavy lifting stays in the two partial aggregations.
+  def j5FullOuter(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("order_cnt"),
+        moneySum(col("o_totalprice"), 100L).as("order_gross"))
+    val e = Tables.events(s, d)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("event_cnt"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"), col("order_cnt"), col("order_gross"), col("event_cnt"))
+      .orderBy("day")
+  }
+
+  val j5FullOuterSql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS order_cnt,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |           AS order_gross
+      |  FROM orders GROUP BY 1
+      |), e AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS event_cnt
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1
+      |)
+      |SELECT day, order_cnt, order_gross, event_cnt
+      |FROM o FULL OUTER JOIN e USING (day)
+      |ORDER BY day""".stripMargin
+
+  // ---- A10: CUBE over (priority, status) with grouping flags ----
+  // All four grains in one pass (map-side partial agg expands the
+  // grouping sets, one shuffle). Grouping-null keys are projected to the
+  // literal 'ALL' so the output carries no NULL sort keys — Spark orders
+  // NULLS FIRST where DuckDB orders NULLS LAST, so leaving them raw would
+  // hash-mismatch on row order alone.
+  def a10Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice"), 100L).as("gross"),
+        grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+        grouping(col("o_orderstatus")).cast("long").as("g_st"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("g_pri"), col("g_st"), col("n_orders"), col("gross"))
+      .orderBy("g_pri", "g_st", "priority", "status")
+
+  val a10CubeSql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+      |       coalesce(o_orderstatus, 'ALL') AS status,
+      |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |         AS gross
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+      |ORDER BY g_pri, g_st, priority, status""".stripMargin
+
+  // ---- TPC-H Q4 shape: EXISTS-correlated semi-join ----
+  // Orders in one quarter having at least one line shipped >60 days after
+  // the order date, counted by priority. left_semi keeps the probe side
+  // unduplicated (no distinct needed) and only the date-filtered quarter
+  // of orders enters the join — at scale the orders filter prunes
+  // partitions before the shuffle.
+  def tpchQ4(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey")
+          && l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- TPC-H Q13 shape: outer-join distribution ----
+  // How many customers placed k orders (excluding one priority class):
+  // customer LEFT JOIN filtered orders, per-customer count (nulls -> 0
+  // via count(column)), then the distribution over those counts. Two
+  // shuffles, both on compact keys; the second input is |customers| rows.
+  def tpchQ13(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- EV: weekly cohort retention ----
+  // Users bucketed by first-seen ISO week, activity counted per (cohort
+  // week, active week). The first-seen dim is |users| rows — broadcast;
+  // the fact side shuffles once for the final distinct-count. Both
+  // engines truncate weeks to the ISO Monday.
+  def evCohort(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val firstSeen = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+    ev.select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("active_week"))
+      .join(broadcast(firstSeen), "user_id")
+      .groupBy("cohort_week", "active_week")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  val evCohortSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM ev GROUP BY user_id
+      |)
+      |SELECT f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS active_week,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+      |FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, active_week""".stripMargin
+
+  // ---- EV: strictly-ordered funnel (view -> click -> purchase) ----
+  // Stage timestamps are per-user minima of each event type; a stage
+  // counts only if it happens strictly after the previous stage's first
+  // occurrence. One shuffle (the per-user agg), then a single-row global
+  // rollup. µs-truncated timestamps make the strict inequalities
+  // bit-identical across engines.
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val stages = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+      min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(col("t_click") > col("t_view") && col("t_purchase") > col("t_click"),
+        1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val evFunnelSql: String =
+    """WITH st AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+      |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY user_id
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_view,
+      |       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_view_click,
+      |       CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+      |FROM st""".stripMargin
+
+  // ---- A11: exact integer-algebra z-score outliers ----
+  // Per-priority 3-sigma outlier counts WITHOUT floating point: with
+  // price in integer cents, x is an outlier iff (n*x - S)^2 > 9*n*(n*Q -
+  // S^2) where S = sum(x), Q = sum(x^2) — the z>3 test multiplied out so
+  // both engines evaluate exact integer arithmetic (Spark decimal(38,0),
+  // DuckDB HUGEINT) and the boundary is bit-identical. Group stats are 5
+  // rows -> broadcast back; one shuffle total.
+  def a11Outliers(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
+    val stats = Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(cents).as("s_sum"),
+        sum(cents * cents).as("s_sq"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), cents.as("cents"))
+      .join(broadcast(stats), "o_orderpriority")
+      .select(col("o_orderpriority"),
+        ((col("n") * col("cents") - col("s_sum"))
+          * (col("n") * col("cents") - col("s_sum")) >
+          lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")))
+          .as("is_out"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val a11OutliersSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT) AS cents
+      |  FROM orders
+      |), st AS (
+      |  SELECT o_orderpriority, CAST(count(*) AS HUGEINT) AS n,
+      |         sum(cents) AS s_sum, sum(cents * cents) AS s_sq
+      |  FROM c GROUP BY o_orderpriority
+      |)
+      |SELECT c.o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CASE WHEN (n * cents - s_sum) * (n * cents - s_sum) >
+      |                          9 * n * (n * s_sq - s_sum * s_sum)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN st USING (o_orderpriority)
+      |GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority""".stripMargin
+
+  // ---- TS: date-spine gap fill + last-observation-carried-forward ----
+  // One year of per-priority daily gross on a dense spine; missing days
+  // inherit the last observed value via an ignore-nulls running last.
+  // The spine is a generator cross-joined with the (tiny, broadcast)
+  // priority dim; the window runs per priority over one shuffle. Days
+  // before a priority's first sale stay NULL — both engines agree.
+  def tsLocf(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(moneySum(col("o_totalprice"), 100L).as("gross"))
+    val spine = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("priority")).distinct()
+      .crossJoin(
+        spark_sequence_days(s, "1997-01-01", "1997-12-31"))
+    val w = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        last(col("gross"), ignoreNulls = true).over(w).as("gross_filled"))
+      .orderBy("priority", "day")
+  }
+
+  /** Dense day spine as a one-row generator explode — constant bounds so
+    * the analogous DuckDB `generate_series` stays literal.
+    */
+  private def spark_sequence_days(s: SparkSession, from: String, to: String): DataFrame =
+    s.range(1).select(explode(sequence(
+      lit(from).cast("date"), lit(to).cast("date"),
+      expr("INTERVAL 1 DAY"))).as("day"))
+
+  val tsLocfSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |           AS gross
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT p.priority, CAST(g.range AS DATE) AS day
+      |  FROM (SELECT DISTINCT o_orderpriority AS priority FROM orders) p
+      |  CROSS JOIN range(DATE '1997-01-01', DATE '1998-01-01', INTERVAL 1 DAY) g
+      |)
+      |SELECT s.priority, s.day,
+      |       last_value(d.gross IGNORE NULLS) OVER (
+      |         PARTITION BY s.priority ORDER BY s.day
+      |         ROWS UNBOUNDED PRECEDING) AS gross_filled
+      |FROM spine s LEFT JOIN daily d ON s.priority = d.priority AND s.day = d.day
+      |ORDER BY s.priority, s.day""".stripMargin
+
+  // ---- SCD2: gaps-and-islands run collapse ----
+  // Consecutive same-type event runs per user become one validity row
+  // [valid_from, valid_to] — the SCD Type-2 build step. Run boundaries
+  // via lag-compare, run ids via running sum, both over ONE shuffle
+  // (same partition+order); the final agg reuses that partitioning.
+  def scd2Runs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(first("event_type").as("event_type"),
+        count(lit(1)).as("n_events"),
+        min("ts").as("valid_from"), max("ts").as("valid_to"))
+      .orderBy("user_id", "run_id")
+  }
+
+  val scd2RunsSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(event_type) OVER w IS NULL
+      |               OR lag(event_type) OVER w <> event_type
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), r AS (
+      |  SELECT user_id, ts, event_type,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM g
+      |)
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+      |       min(event_type) AS event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ts) AS valid_from, max(ts) AS valid_to
+      |FROM r GROUP BY user_id, run_id ORDER BY user_id, run_id""".stripMargin
+
+  // ---- TXT: document-term matrix (tf/df top terms per doc) ----
+  // The tf-idf backbone with the idf log left symbolic (tf and df are
+  // exact integers; a float log would be the one non-portable step).
+  // tf per (doc, term) and df per term are two aggregations over the
+  // same exploded stream; the df floor is CORPUS-RELATIVE — max(5,
+  // n_docs/20), integer-exact in both engines — because any fixed band
+  // drifts with scale (a [5,200] band was empty at sf0.1). The one-row
+  // corpus count broadcasts into the term dim; the per-doc top-3 window
+  // runs over the already-filtered (small) matrix.
+  def txtDtm(s: SparkSession, d: String): DataFrame = {
+    val toks = graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") >= greatest(lit(5L), expr("n_docs div 20")))
+      .select("term", "df")
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(desc("tf"), col("term"))
+    tf.join(df_, "term")
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val txtDtmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            t -> len(t) > 0)) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term
+      |  HAVING count(*) >= greatest(5, (SELECT count(*) FROM documents) // 20)
+      |), ranked AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         row_number() OVER (PARTITION BY tf.doc_id
+      |                            ORDER BY tf.tf DESC, tf.term) AS rnk
+      |  FROM tf JOIN df USING (term)
+      |)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+      |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "j5_full_outer" -> (j5FullOuter _),
+    "a10_cube" -> (a10Cube _),
+    "tpch_q4" -> (tpchQ4 _),
+    "tpch_q13" -> (tpchQ13 _),
+    "ev_cohort" -> (evCohort _),
+    "ev_funnel" -> (evFunnel _),
+    "a11_outliers" -> (a11Outliers _),
+    "ts_locf" -> (tsLocf _),
+    "scd2_runs" -> (scd2Runs _),
+    "txt_dtm" -> (txtDtm _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j5_full_outer" -> j5FullOuterSql,
+    "a10_cube" -> a10CubeSql,
+    "tpch_q4" -> tpchQ4Sql,
+    "tpch_q13" -> tpchQ13Sql,
+    "ev_cohort" -> evCohortSql,
+    "ev_funnel" -> evFunnelSql,
+    "a11_outliers" -> a11OutliersSql,
+    "ts_locf" -> tsLocfSql,
+    "scd2_runs" -> scd2RunsSql,
+    "txt_dtm" -> txtDtmSql
+  )
+}
