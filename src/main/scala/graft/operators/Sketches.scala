@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-cardinality and approximate-quantile operators — the
+  * 100 TB path where an exact distinct or exact percentile would shuffle
+  * (or buffer) the full value set per group.
+  *
+  * Why sketches at scale: `countDistinct` shuffles every distinct value;
+  * `percentile` materializes every group value in one aggregation buffer.
+  * An HLL/KLL-style sketch is a few KB per group regardless of input
+  * size, merges associatively (map-side partial aggregation works, grain
+  * rollups need no rescan), and its error is a tunable constant.
+  *
+  * These are spec-verified (`SketchesSpec` bounds the error against the
+  * exact answers) rather than oracle-checked: sketch internals are
+  * engine-specific, so cross-engine hash parity is impossible by design.
+  */
+object Sketches {
+
+  /** Distinct users per event type via Apache DataSketches HLL
+    * (`lgConfigK` = 12 → ~1.6% standard error, 4 KB sketches): map-side
+    * sketch per partition, merge, estimate. No shuffle of user ids —
+    * only fixed-size sketch blobs cross the wire.
+    */
+  def approxUsersByType(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .cast("long").as("approx_users"))
+
+  /** Global distinct by UNIONING the per-type sketches — the rollup path:
+    * sketch once at the finest grain, merge upward at any coarser grain
+    * without touching the raw data again.
+    */
+  def approxUsersGlobal(ev: DataFrame): DataFrame =
+    ev.filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .cast("long").as("approx_users"))
+
+  /** Bounded-memory percentiles: `percentile_approx` keeps an
+    * `accuracy`-bounded summary per group instead of every value.
+    */
+  def approxPricePercentiles(orders: DataFrame, accuracy: Int = 10000): DataFrame =
+    orders.groupBy("o_orderstatus")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(accuracy))
+          .as("median_price"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(accuracy))
+          .as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+}

@@ -408,7 +408,177 @@ object Analytics {
       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
       |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---- P17: JSON property extraction over the event envelope ----
+  // `props` is a nullable JSON object ({"k": N}); the typed k lands as a
+  // long and aggregates per event type. get_json_object is a pure
+  // projection (one parse per row — the only consumer), so the whole
+  // query is scan → project → one shuffle.
+  def p17JsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+      .orderBy("event_type")
+
+  val p17JsonPropsSql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |       CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- QR: referential-integrity audit across the star schema ----
+  // One row per FK edge: child row count + orphan count via left-anti
+  // join against the parent's key column only (the scan prunes to the two
+  // key columns; each edge is one broadcast-able anti join — parents are
+  // the dim side). NULL child keys count as orphans in both engines
+  // (anti-join and NOT EXISTS agree: a NULL never matches).
+  def qrRefint(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val orphans = child.select(col(key))
+        .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+    }
+    val s_ = s
+    val edges = Seq(
+      edge("customer.nationkey", Tables.customer(s_, d), "c_nationkey",
+        Tables.nation(s_, d), "n_nationkey"),
+      edge("lineitem.orderkey", Tables.lineitem(s_, d), "l_orderkey",
+        Tables.orders(s_, d), "o_orderkey"),
+      edge("lineitem.partkey", Tables.lineitem(s_, d), "l_partkey",
+        Tables.part(s_, d), "p_partkey"),
+      edge("lineitem.suppkey", Tables.lineitem(s_, d), "l_suppkey",
+        Tables.supplier(s_, d), "s_suppkey"),
+      edge("nation.regionkey", Tables.nation(s_, d), "n_regionkey",
+        Tables.region(s_, d), "r_regionkey"),
+      edge("orders.custkey", Tables.orders(s_, d), "o_custkey",
+        Tables.customer(s_, d), "c_custkey"),
+      edge("supplier.nationkey", Tables.supplier(s_, d), "s_nationkey",
+        Tables.nation(s_, d), "n_nationkey"))
+    edges.reduce(_.unionAll(_)).orderBy("edge")
+  }
+
+  val qrRefintSql: String = {
+    def e(name: String, child: String, key: String, parent: String, pkey: String) =
+      s"""SELECT '$name' AS edge,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+         |    WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pkey = c.$key))
+         |  AS n_orphans""".stripMargin
+    Seq(
+      e("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      e("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      e("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      e("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      e("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+      e("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      e("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
+  // ---- W3: 7-day rolling revenue (RANGE frame over a day number) ----
+  // A RANGE frame over the integer day ordinal — unlike a ROWS frame it
+  // is correct with GAPS in the daily series (a missing day still ages
+  // out of the window). Cents stay integral inside the frame sum.
+  def w3Rolling(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("gross_c"))
+    val w = Window.partitionBy("priority")
+      .orderBy(col("day_n")).rangeBetween(-6, 0)
+    daily
+      .withColumn("day_n", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .select(col("priority"), col("day"),
+        (sum("gross_c").over(w) / 100.0).as("gross_7d"),
+        count(lit(1)).over(w).as("n_days_7d"))
+      .orderBy("priority", "day")
+  }
+
+  val w3RollingSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS gross_c
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |), n AS (
+      |  SELECT priority, day, gross_c, day - DATE '1970-01-01' AS day_n
+      |  FROM daily
+      |)
+      |SELECT priority, day,
+      |       CAST(sum(gross_c) OVER w AS BIGINT) / 100.0 AS gross_7d,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_days_7d
+      |FROM n
+      |WINDOW w AS (PARTITION BY priority ORDER BY day_n
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY priority, day""".stripMargin
+
+  // ---- TXT: bigram language model (top next-token per token) ----
+  // Token bigrams as single strings (tokens are split on whitespace, so
+  // one space is an unambiguous separator), counted globally, then each
+  // token's top-2 continuations by count. The bigram stream shuffles as
+  // compact strings; the top-k window runs over the counted (small)
+  // model, not the corpus.
+  def txtBigram(s: SparkSession, d: String): DataFrame = {
+    val byW1 = Window.partitionBy("w1").orderBy(desc("n"), col("w2"))
+    graft.Par.spread(Tables.documents(s, d))
+      .select(TextFns.tokens(col("text")).as("tk"))
+      .select(explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), (i + 1).cast("int")))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("n"))
+      .withColumn("rnk", row_number().over(byW1))
+      .filter(col("rnk") <= 2)
+      .select(col("w1"), col("rnk").cast("long").as("rnk"), col("w2"), col("n"))
+      .orderBy("w1", "rnk")
+  }
+
+  val txtBigramSql: String =
+    """WITH tk AS (
+      |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(range(1, len(tk)),
+      |                               i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |  FROM tk
+      |), cnt AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bg
+      |), sp AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2, n
+      |  FROM cnt
+      |)
+      |SELECT w1, CAST(rnk AS BIGINT) AS rnk, w2, n FROM (
+      |  SELECT w1, w2, n,
+      |         row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rnk
+      |  FROM sp
+      |) WHERE rnk <= 2 ORDER BY w1, rnk""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "p17_json_props" -> (p17JsonProps _),
+    "qr_refint" -> (qrRefint _),
+    "w3_rolling" -> (w3Rolling _),
+    "txt_bigram" -> (txtBigram _),
     "j5_full_outer" -> (j5FullOuter _),
     "a10_cube" -> (a10Cube _),
     "tpch_q4" -> (tpchQ4 _),
@@ -422,6 +592,10 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "p17_json_props" -> p17JsonPropsSql,
+    "qr_refint" -> qrRefintSql,
+    "w3_rolling" -> w3RollingSql,
+    "txt_bigram" -> txtBigramSql,
     "j5_full_outer" -> j5FullOuterSql,
     "a10_cube" -> a10CubeSql,
     "tpch_q4" -> tpchQ4Sql,

@@ -288,10 +288,16 @@ object Extended {
   def a8Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderstatus")
+      // both quantiles from ONE percentile buffer (the exact-percentile
+      // aggregate materializes every group value — two separate calls
+      // would build that per-group collection twice)
       .agg(
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        expr("percentile(o_totalprice, array(0.5, 0.9))").as("pct"),
         count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("pct"), 1), 4).as("median_price"),
+        round(element_at(col("pct"), 2), 4).as("p90_price"),
+        col("n"))
       .orderBy("o_orderstatus")
 
   val a8PercentilesSql: String =

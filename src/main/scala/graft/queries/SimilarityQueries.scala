@@ -205,7 +205,82 @@ object SimilarityQueries {
       |       CAST(list_max(codes) AS BIGINT) AS code_max
       |FROM c ORDER BY vec_id""".stripMargin
 
+  /** ANN quality-eval harness: recall@5 of the sign-LSH index against
+    * exact brute force, per query. Both sides are deterministic rankings
+    * (identical fold order), so recall is itself oracle-exact — the
+    * evaluation loop a production index build runs after every reindex.
+    * The overlap join touches only (query_id, neighbor_id) pairs — 5
+    * rows per query per side regardless of corpus size.
+    */
+  def simRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ls = Similarity.lshTopK(q, emb, k = 5, nBits = 8)
+      .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+    val hits = bf
+      .join(ls, col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    q.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") / 5.0).as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
+  private val CosExpr =
+    """list_sum(list_transform(range(1, len(qe)+1),
+      |                        i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+      |nullif(sqrt(list_sum(list_transform(range(1, len(qe)+1),
+      |                        i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+      | sqrt(list_sum(list_transform(range(1, len(ce)+1),
+      |                        i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 0)""".stripMargin
+
+  val simRecallSql: String =
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qe
+      |            FROM embeddings WHERE vec_id < 20),
+      |     c0 AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+      |bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY score DESC, neighbor_id) AS rank
+      |    FROM (SELECT query_id, neighbor_id, $CosExpr AS score
+      |          FROM q0, c0 WHERE query_id <> neighbor_id))
+      |  WHERE rank <= 5
+      |), b AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_sum(list_transform(range(0, 8), i ->
+      |           CASE WHEN embedding[i+1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
+      |           AS bucket
+      |  FROM embeddings
+      |), ql AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+      |          FROM b WHERE vec_id < 20),
+      |   cl AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+      |ls AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id,
+      |           row_number() OVER (PARTITION BY query_id
+      |                              ORDER BY score DESC, neighbor_id) AS rank
+      |    FROM (SELECT query_id, neighbor_id, $CosExpr AS score
+      |          FROM ql JOIN cl USING (bucket) WHERE query_id <> neighbor_id))
+      |  WHERE rank <= 5
+      |), hits AS (
+      |  SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      |  FROM bf JOIN ls ON bf.query_id = ls.query_id
+      |               AND bf.neighbor_id = ls.neighbor_id
+      |  GROUP BY 1
+      |)
+      |SELECT q0.query_id, coalesce(h.n_hits, 0) AS n_hits,
+      |       coalesce(h.n_hits, 0) / 5.0 AS recall_at_5
+      |FROM q0 LEFT JOIN hits h ON q0.query_id = h.query_id
+      |ORDER BY q0.query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_bucket" -> (simLshBucket _),
@@ -214,6 +289,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_lsh_bucket" -> simLshBucketSql,

@@ -414,10 +414,14 @@ object TextQueries {
   // publishes, so keep decisions are explainable from the stats table
   def ddKeepBest(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("fp").orderBy(desc("quality"), col("doc_id"))
-    Tables.documents(s, d)
+    // tokens staged once (qualityScore's sub-scores would otherwise each
+    // re-tokenize — no CSE across projection expressions), scan spread
+    // before the per-row hash work
+    graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         TextFns.fingerprint(col("text")).as("fp"),
-        TextFns.qualityScore(col("text"), Stopwords).as("quality"))
+        TextFns.qualityScoreFromTokens(col("tk"), col("text"), Stopwords).as("quality"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("fp"), col("doc_id").as("keep_doc_id"), col("quality"))

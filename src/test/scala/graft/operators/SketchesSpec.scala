@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSuite {
+
+  private lazy val ev = Tables.events(spark, sf)
+
+  test("HLL per-type estimates are within 5% of exact distinct counts") {
+    val approx = Sketches.approxUsersByType(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
+        s"type $t: approx $a vs exact $n")
+    }
+  }
+
+  test("merged per-type sketches estimate the GLOBAL distinct (mergeability)") {
+    val merged = Sketches.approxUsersGlobal(ev).collect().head.getLong(0)
+    val exact = ev.filter(col("user_id").isNotNull)
+      .agg(countDistinct("user_id")).collect().head.getLong(0)
+    // the union must deduplicate users appearing under several types —
+    // a non-merging rollup would sum to ~5x the true cardinality here
+    assert(math.abs(merged - exact) <= math.max(1L, (exact * 0.05).toLong),
+      s"merged $merged vs exact $exact")
+  }
+
+  test("approx percentiles track exact percentiles") {
+    val approx = Sketches.approxPricePercentiles(Tables.orders(spark, sf))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.9))").as("p"))
+      .collect().map(r => r.getString(0) -> {
+        val p = r.getSeq[Double](1); (p.head, p(1))
+      }).toMap
+    exact.foreach { case (st, (m, p90)) =>
+      val (am, ap90) = approx(st)
+      assert(math.abs(am - m) / m < 0.02, s"$st median: $am vs $m")
+      assert(math.abs(ap90 - p90) / p90 < 0.02, s"$st p90: $ap90 vs $p90")
+    }
+  }
+}
