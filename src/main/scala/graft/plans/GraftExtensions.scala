@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RewriteBoundedIntervalJoin)
     e.injectFunction((
       FunctionIdentifier("dot_f"),
       new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
