@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Enrichment, Extended, Relational, SimilarityQueries, TextQueries}
+import graft.queries.{Analytics, Enrichment, Extended, Relational, ScaleOps, SimilarityQueries, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
-      Extended.queries ++ Enrichment.queries ++ Analytics.queries
+      Extended.queries ++ Enrichment.queries ++ Analytics.queries ++
+      ScaleOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
-      Extended.oracles ++ Enrichment.oracles ++ Analytics.oracles
+      Extended.oracles ++ Enrichment.oracles ++ Analytics.oracles ++
+      ScaleOps.oracles
 }
