@@ -66,8 +66,12 @@ object Scratch {
     q
   }
 
-  private val keyed =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  // weak keys: this map lives for the process, and strong SparkSession
+  // keys would pin every stopped session's context forever (same contract
+  // as `created` above). When a session is collected its per-key map goes
+  // with it; the dirs themselves are still cleaned by the shutdown hook.
+  private val keyed = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** A scratch directory memoized per (session, key): repeated calls —
     * e.g. a benchmarked query invoked min-of-3 — reuse and overwrite ONE
@@ -75,6 +79,15 @@ object Scratch {
     * Still collision-free across sessions and runs (the underlying dir
     * comes from `dir`).
     */
-  def dirFor(spark: SparkSession, key: String): String =
-    Memo.getOrPut(keyed, (spark, key))(dir(spark, key))
+  def dirFor(spark: SparkSession, key: String): String = {
+    val perSession = keyed.synchronized {
+      var m = keyed.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        keyed.put(spark, m)
+      }
+      m
+    }
+    Memo.getOrPut(perSession, key)(dir(spark, key))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-cardinality and approximate-quantile operators — the
@@ -40,6 +41,32 @@ object Sketches {
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
         .cast("long").as("approx_users"))
+
+  /** 7-day rolling distinct active users via sliding HLL union — the
+    * sketch path for `ScaleOps.evRollingActive` (which stays the exact,
+    * oracle-checked entry). The exact formulation pays a fixed 7×
+    * (user, day) explode plus a second distinct; here each day is
+    * sketched ONCE (one shuffle at day grain) and the rolling window
+    * unions 7 fixed-size sketches per day — no explode, no second
+    * distinct, and the shuffle after the daily agg carries one 4 KB blob
+    * per day regardless of user cardinality. The unpartitioned window is
+    * safe because its input is the DAY dimension (a few thousand rows at
+    * any data scale), not the event stream.
+    */
+  def approxRollingActive(ev: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = ev
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val w = Window.orderBy("dn").rangeBetween(-6, 0)
+    daily
+      .withColumn("dn", datediff(col("day"), lit("1970-01-01").cast("date")))
+      .select(col("day"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)).over(w))
+          .cast("long").as("active_7d"))
+      .orderBy("day")
+  }
 
   /** Bounded-memory percentiles: `percentile_approx` keeps an
     * `accuracy`-bounded summary per group instead of every value.

@@ -245,98 +245,131 @@ object TextDedup {
     * its `cluster_id` — the canonical-representative step that turns
     * pairwise dedup output into keep/drop decisions.
     *
-    * Min-label propagation: labels start at min(self, direct neighbors)
-    * and each round joins labels across edges, keeping the per-node min,
-    * until a fixpoint (bounded by `maxIter`). Rounds needed = cluster
-    * diameter, which for near-dup clusters is tiny; each round is one
-    * broadcast-or-shuffle join on (node) plus a groupBy — the standard
-    * Spark iterative-graph shape. At web scale swap in the
-    * large-star/small-star contraction (Kiveris et al., "Connected
-    * Components in MapReduce"), which converges in O(log d) rounds; the
-    * fixpoint contract here stays identical. The pair list and the
-    * converged labels are both checkpointed to scratch; all per-round
-    * caches are released before return and the returned frame is a flat
-    * scan, not a rounds-deep join tree.
+    * Large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's strictly-larger neighbors to its neighborhood minimum
+    * (large-star), then collapses the remaining smaller neighbors onto
+    * that minimum (small-star). A path graph halves its diameter every
+    * round, so convergence takes O(log d) rounds — not the O(d) of plain
+    * min-label propagation, which on a diameter-10⁴ web-crawl chain means
+    * ~14 rounds instead of ten thousand. Each phase is joins + groupBys
+    * on the edge list only — per-node state is a single min, never a
+    * collected neighbor array, so a 10⁷-degree hot node costs one counter
+    * (skew-linear, the property that survives 100 TB).
+    *
+    * The pair list and the converged labels are checkpointed to
+    * cluster-safe scratch; the in-loop edge set re-checkpoints every few
+    * rounds so the analyzed plan stays O(1)-deep; all per-round caches
+    * are released before return and the returned frame is a flat scan.
+    * Convergence is detected by a cheap (count, hash-sum) signature and
+    * then CONFIRMED with an exact set-difference — a colliding signature
+    * can cost one extra round but can never produce a wrong fixpoint.
+    * Non-convergence within `maxIter` still fails loudly: a silent
+    * partial result would split true clusters and KEEP duplicates
+    * downstream.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
     // Materialize the pair list ONCE to scratch parquet: every iteration
     // (and the returned plan) re-reads a compact file instead of
     // recomputing the — possibly expensive — candidate-pair plan per
-    // round. This is the standard checkpoint pattern for iterative graph
-    // algorithms; scratch resolves to shared storage (see Scratch).
+    // round. scratch resolves to shared storage (see Scratch).
     val scratch = graft.Scratch.dir(spark, "graft_cc_")
     val path = scratch + "/pairs"
     pairs.write.mode("overwrite").parquet(path)
     val p = spark.read.parquet(path)
 
-    // undirected edges + self-loops, so one join propagates min(self,
-    // neighbors) and labels appear ONCE per round in the lineage (linear
-    // plan growth, not exponential)
-    val nodes = p.select(col("doc_a").as("src"))
-      .union(p.select(col("doc_b").as("src"))).distinct()
-    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(nodes.select(col("src"), col("src").as("dst")))
-    def step(labels: DataFrame): DataFrame =
-      edges.join(labels, edges("src") === labels("doc_id"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    // canonical (u > v) edge set; self-pairs drop here and are restored
+    // as singleton labels at the end
+    var edges = p.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
 
-    // iterate with caches; the convergence check exploits monotonicity:
-    // the self-loop makes next(v) = min(cur(v), neighbors) ≤ cur(v), so
-    // labels only ever decrease and the fixpoint is exactly "the label
-    // sum stopped moving". That is ONE aggregate action per round on the
-    // new frame — round 2's changed-row check was a join + count against
-    // the previous round, twice the per-round work. Decimal sum: immune
-    // to long overflow at any node count × id range.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    // large-star: for every node c, attach each strictly-larger neighbor
+    // to m(c) = min(neighborhood ∪ {c}). m comes from a groupBy MIN and a
+    // join back — no neighbor list is ever collected.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      sym.join(mins, sym("u") === mins("c"))
+        .filter(col("v") > col("u")) // larger neighbors only
+        .select(col("v").as("u"), col("m").as("v")) // m ≤ u < v: canonical
+        .distinct()
     }
-    // seed at round ONE, not round zero: label(v) = min over incident
-    // edges of the neighbor id is one groupBy straight off the edge list
-    // (self-loops make it include v) — identical to stepping the identity
-    // labeling but without paying that first join. For star-shaped pair
-    // lists (this repo's generators) the seed already IS the fixpoint, so
-    // the loop typically runs a single confirming round.
-    var labels = edges
-      .select(col("dst").as("doc_id"), col("src").as("cluster_id"))
-      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-      .persist()
-    var prevSum = labelSum(labels)
+
+    // small-star: for every node u, its (all smaller, by canonical
+    // orientation) neighbors collapse onto m(u) = their minimum; the
+    // (u, m) edge keeps u attached.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // m < v: canonical
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    // cheap per-round signature: (row count, decimal sum of row hashes).
+    // Decimal sum: immune to long overflow at any edge count.
+    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var prevSig = sig(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
-      val next = step(labels).persist()
-      val s = labelSum(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // checkpoint EVERY round: a large-star/small-star round references
+      // its input ~a dozen times, so a lazy (or merely persisted) chain
+      // grows the LOGICAL plan ~12× per round — by round 5 the plan
+      // string alone OOMs the driver. Writing the (small) edge list to
+      // scratch parquet and re-reading keeps the plan O(1)-deep at any
+      // depth; this is the per-iteration pattern production graph jobs
+      // use, and it leaves no persisted RDDs to leak.
+      val ck = s"$scratch/edges_r$rounds"
+      smallStar(largeStar(edges)).write.mode("overwrite").parquet(ck)
+      val next = spark.read.parquet(ck)
+      val s = sig(next)
+      if (s == prevSig) {
+        // exact confirmation: equal counts + empty one-sided difference
+        // of two distinct sets ⇒ set equality (hash collisions can only
+        // delay convergence, never fake it)
+        converged = next.except(edges).isEmpty
+      }
+      edges = next
+      prevSig = s
       rounds += 1
     }
-    // a silent partial result would split true clusters and KEEP
-    // duplicates downstream — fail loudly instead (diameter > maxIter
-    // means the caller should raise maxIter or switch to the
-    // large-star/small-star contraction noted above)
     if (!converged) {
-      labels.unpersist(blocking = false)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds; " +
-          "raise maxIter (cluster diameter exceeds it)")
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"(O(log diameter) expected — raise maxIter)")
     }
+    // at the fixpoint every edge is (member, cluster-min): labels are a
+    // projection, plus the min labeling itself and any node the canonical
+    // step dropped (self-pairs) labeled as its own singleton
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = nodes
+      .join(edges.select(col("u").as("doc_id"), col("v").as("cid")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
+      // the fixpoint is a disjoint star union, so each doc_id carries one
+      // label — the min-agg is a zero-cost invariant guard, not a merge
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
     // ...then checkpoint the CONVERGED labels and return a scan of that
-    // file. The fixpoint already paid for every round; replaying the
-    // rounds as a returned lazy plan (round 2's design) would pay for
-    // convergence twice and hand the caller a rounds-deep join tree. One
-    // small extra write makes the returned plan O(1)-deep, and repeated
-    // actions on it cost one file scan. The write consumes the still-
-    // cached final frame, so it adds no recompute; no persisted RDDs
-    // survive the call.
+    // file: the caller gets an O(1)-deep plan whose repeated actions cost
+    // one file scan, and the fixpoint work is never replayed. `edges` is
+    // itself a checkpoint scan, so this join reads two small files.
     val labelsPath = scratch + "/labels"
     labels.write.mode("overwrite").parquet(labelsPath)
-    labels.unpersist(blocking = false)
     spark.read.parquet(labelsPath)
   }
 

@@ -224,6 +224,16 @@ object Analytics {
   // both engines evaluate exact integer arithmetic (Spark decimal(38,0),
   // DuckDB HUGEINT) and the boundary is bit-identical. Group stats are 5
   // rows -> broadcast back; one shuffle total.
+  //
+  // Capacity bound: the RHS equals 9·n³·σ² (translation-invariant, so
+  // mean-centering cannot shrink it) — with σ ≈ 10^7 cents it exceeds
+  // decimal(38,0) around n ≈ 5·10^7 rows per group. Past that, Spark
+  // (non-ANSI) would silently null the product and count every row as a
+  // non-outlier while DuckDB raises on HUGEINT overflow — a silent
+  // divergence. The coalesce(·, raise_error) guards turn that into a loud
+  // per-engine failure at the same boundary; the documented escape at
+  // genuinely larger groups is a per-group double threshold
+  // |n·x − S| > 3·sqrt(n·(nQ − S²)), exact to within half an ulp.
   def a11Outliers(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
     val stats = Tables.orders(s, d)
@@ -231,13 +241,17 @@ object Analytics {
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
         sum(cents).as("s_sum"),
         sum(cents * cents).as("s_sq"))
+    def loud(c: Column, what: String): Column = coalesce(c,
+      raise_error(lit(s"a11_outliers: decimal(38,0) overflow in $what — " +
+        "group too large for the exact integer z-test (bound ~5e7 rows/group)")))
+    val lhsRoot = col("n") * col("cents") - col("s_sum")
     Tables.orders(s, d)
       .select(col("o_orderpriority"), cents.as("cents"))
       .join(broadcast(stats), "o_orderpriority")
       .select(col("o_orderpriority"),
-        ((col("n") * col("cents") - col("s_sum"))
-          * (col("n") * col("cents") - col("s_sum")) >
-          lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")))
+        (loud(lhsRoot * lhsRoot, "(n*x - S)^2") >
+          loud(lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")),
+            "9n(nQ - S^2)"))
           .as("is_out"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),

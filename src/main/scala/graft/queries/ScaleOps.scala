@@ -67,7 +67,7 @@ object ScaleOps {
   // re-scan, no quadratic day×day join against the full event table.
   def evRollingActive(s: SparkSession, d: String): DataFrame = {
     val ud = Tables.events(s, d)
-      .filter(col("ts").isNotNull)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), col("ts").cast("date").as("day"))
       .distinct()
     val days = ud.select("day").distinct()
@@ -85,11 +85,11 @@ object ScaleOps {
   val evRollingActiveSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-      |  FROM events WHERE ts IS NOT NULL
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
       |), days AS (SELECT DISTINCT day FROM ud)
       |SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
       |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
-      |GROUP BY 1 ORDER BY day""".stripMargin
+      |GROUP BY 1 ORDER BY d.day""".stripMargin
 
   // ---- TPC-H Q18: large-volume customers ----
   // The HAVING-subquery shape: aggregate the fact table FIRST (partial

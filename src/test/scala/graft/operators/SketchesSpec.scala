@@ -31,6 +31,21 @@ class SketchesSpec extends SparkSuite {
       s"merged $merged vs exact $exact")
   }
 
+  test("rolling HLL active-user counts track the exact 7-day rolling distinct") {
+    val approx = Sketches.approxRollingActive(ev)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val exact = graft.queries.ScaleOps.evRollingActive(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // same reporting days, each estimate within HLL error of the exact
+    // count (lgK=12 → ~1.6% stderr; 5% is a 3σ bound)
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (d, n) =>
+      val a = approx(d)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
+        s"day $d: approx $a vs exact $n")
+    }
+  }
+
   test("approx percentiles track exact percentiles") {
     val approx = Sketches.approxPricePercentiles(Tables.orders(spark, sf))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

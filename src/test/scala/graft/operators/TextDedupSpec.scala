@@ -85,6 +85,24 @@ class TextDedupSpec extends SparkSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("connectedComponents: deep path graph (diameter 59) converges in O(log d) rounds") {
+    // min-label propagation needs diameter-many rounds — 59 here, far
+    // past maxIter=10, so the old implementation threw. Large-star/
+    // small-star halves the diameter every round and finishes in ~6.
+    val n = 60L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs, maxIter = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (1L to n).map(i => (i, 1L)).toSet)
+  }
+
+  test("connectedComponents: self-pairs become singleton labels") {
+    val pairs = Seq((5L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 5L), (7L, 7L), (8L, 7L)))
+  }
+
   test("dedup and similarity operators leave no persisted RDDs behind") {
     val d = docs(Seq(
       (1L, "en", 30L, "one two three four five six"),

@@ -81,6 +81,32 @@ class PlanShapeSpec extends SparkSuite {
       readSchemas.mkString("\n"))
   }
 
+  test("GraftExtensions is live in the production session: naive SQL interval join is rescued") {
+    // no extraOptimizations here — this session is built exactly like
+    // Verify/Bench (spark.sql.extensions=graft.plans.GraftExtensions), so
+    // a user typing the natural SQL must get the bucketized rewrite
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force big-big: broadcastable sides skip the rule
+    try {
+      spark.range(0, 100).selectExpr("id % 5 AS k",
+        "timestamp_micros(id * 1000000) AS lts").createOrReplaceTempView("g_l")
+      spark.range(0, 100).selectExpr("id % 5 AS k2",
+        "timestamp_micros(id * 900000) AS rts").createOrReplaceTempView("g_r")
+      val df = spark.sql(
+        "SELECT * FROM g_l JOIN g_r ON k = k2 AND abs(lts - rts) <= INTERVAL 3 SECONDS")
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+        df.queryExecution.optimizedPlan.toString)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("GraftExtensions is live in the production session: dot_f resolves in plain SQL") {
+    val got = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").collect()(0).getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
