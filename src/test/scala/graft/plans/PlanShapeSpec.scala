@@ -81,6 +81,11 @@ class PlanShapeSpec extends SparkSuite {
       readSchemas.mkString("\n"))
   }
 
+  test("tpch_q10 top-20 physicalizes as TakeOrderedAndProject; q19 broadcasts part") {
+    assert(plan("tpch_q10").contains("TakeOrderedAndProject"), "q10")
+    assert(plan("tpch_q19").contains("BroadcastHashJoin"), "q19")
+  }
+
   test("GraftExtensions is live in the production session: naive SQL interval join is rescued") {
     // no extraOptimizations here — this session is built exactly like
     // Verify/Bench (spark.sql.extensions=graft.plans.GraftExtensions), so
