@@ -257,13 +257,14 @@ object TextDedup {
     * collected neighbor array, so a 10⁷-degree hot node costs one counter
     * (skew-linear, the property that survives 100 TB).
     *
-    * The pair list and the converged labels are checkpointed to
-    * cluster-safe scratch; the in-loop edge set re-checkpoints every few
-    * rounds so the analyzed plan stays O(1)-deep; all per-round caches
-    * are released before return and the returned frame is a flat scan.
-    * Convergence is detected by a cheap (count, hash-sum) signature and
-    * then CONFIRMED with an exact set-difference — a colliding signature
-    * can cost one extra round but can never produce a wrong fixpoint.
+    * The pair list, the canonical edge set, and every round's output are
+    * checkpointed to cluster-safe scratch, so the analyzed plan stays
+    * O(1)-deep at any graph depth and nothing is ever persisted (no cache
+    * to leak). Convergence is detected by a (count, hash-sum) signature
+    * collected as Observation metrics DURING each round's write — no
+    * extra scan — and then CONFIRMED with an exact set-difference; a
+    * colliding signature can cost one extra round but can never produce a
+    * wrong fixpoint.
     * Non-convergence within `maxIter` still fails loudly: a silent
     * partial result would split true clusters and KEEP duplicates
     * downstream.
@@ -279,13 +280,40 @@ object TextDedup {
     pairs.write.mode("overwrite").parquet(path)
     val p = spark.read.parquet(path)
 
-    // canonical (u > v) edge set; self-pairs drop here and are restored
-    // as singleton labels at the end
-    var edges = p.select(
-        greatest(col("doc_a"), col("doc_b")).as("u"),
-        least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    // every staged edge file carries its convergence signature as
+    // Observation metrics collected DURING the write — (row count,
+    // decimal sum of row hashes; decimal: immune to overflow at any edge
+    // count). No separate scan per round just to decide convergence.
+    def writeWithSig(df: DataFrame, dest: String)
+        : (DataFrame, (Long, java.math.BigDecimal)) = {
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, count(lit(1)).as("n"),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("h"))
+        .write.mode("overwrite").parquet(dest)
+      val m = obs.get
+      val h = m("h") match {
+        case null => java.math.BigDecimal.ZERO
+        case d: java.math.BigDecimal => d
+        case d: scala.math.BigDecimal => d.bigDecimal
+      }
+      (spark.read.parquet(dest), (m("n").asInstanceOf[Long], h))
+    }
+    def sameSig(a: (Long, java.math.BigDecimal),
+                b: (Long, java.math.BigDecimal)): Boolean =
+      a._1 == b._1 && a._2.compareTo(b._2) == 0
+
+    // canonical (u > v) edge set, staged ONCE — large-star references its
+    // input several times and the convergence check scans it again, so an
+    // unstaged canonicalization would redo the distinct shuffle 3-4x per
+    // round. Self-pairs drop here and are restored as singleton labels at
+    // the end.
+    var (edges, prevSig) = writeWithSig(
+      p.select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      s"$scratch/edges_0")
 
     // large-star: for every node c, attach each strictly-larger neighbor
     // to m(c) = min(neighborhood ∪ {c}). m comes from a groupBy MIN and a
@@ -313,16 +341,6 @@ object TextDedup {
         .distinct()
     }
 
-    // cheap per-round signature: (row count, decimal sum of row hashes).
-    // Decimal sum: immune to long overflow at any edge count.
-    def sig(e: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).first()
-      (r.getLong(0),
-        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-
-    var prevSig = sig(edges)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxIter) {
@@ -333,11 +351,9 @@ object TextDedup {
       // scratch parquet and re-reading keeps the plan O(1)-deep at any
       // depth; this is the per-iteration pattern production graph jobs
       // use, and it leaves no persisted RDDs to leak.
-      val ck = s"$scratch/edges_r$rounds"
-      smallStar(largeStar(edges)).write.mode("overwrite").parquet(ck)
-      val next = spark.read.parquet(ck)
-      val s = sig(next)
-      if (s == prevSig) {
+      val (next, s) = writeWithSig(
+        smallStar(largeStar(edges)), s"$scratch/edges_r$rounds")
+      if (sameSig(s, prevSig)) {
         // exact confirmation: equal counts + empty one-sided difference
         // of two distinct sets ⇒ set equality (hash collisions can only
         // delay convergence, never fake it)

@@ -648,7 +648,88 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- DD: benchmark decontamination (asymmetric n-gram overlap) ----
+  // The eval-set leak check every training pipeline needs: which corpus
+  // documents share >= `minShared` distinct 5-gram shingles with any
+  // held-out eval document. Unlike dedup (symmetric, corpus x corpus)
+  // this is corpus x EVAL-SET — the eval side is benchmark-sized at any
+  // corpus scale, so its exploded inverted index BROADCASTS and the
+  // corpus is touched in one narrow pass (doc_id, shingle-hash), no
+  // shuffle of text, no corpus self-join. Eval membership is a
+  // deterministic id rule here (doc_id % 20 == 0) standing in for the
+  // benchmark id list a real pipeline would broadcast.
+  def ddContaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          TextFns.shingles(TextFns.tokens(col("text")), 5))).as("g"))
+    val evalSide = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    sh.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evalSide), "g")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= 2)
+      .orderBy("doc_id", "eval_id")
+  }
+
+  val ddContaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+      |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+      |    ELSE [array_to_string(tk, ' ')] END)) AS g
+      |  FROM toks
+      |)
+      |SELECT c.doc_id, e.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+      |FROM sh c JOIN sh e ON c.g = e.g
+      |WHERE e.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+      |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- TXT: intra-document repetition score ----
+  // Boilerplate/spam signal: how many of a document's trigrams are
+  // repeats. Pure per-row projection (no shuffle, codegen throughout);
+  // the ratio is reported in exact integer basis points — a rounded
+  // double ratio would hit the cross-engine midpoint-rounding trap.
+  def txtRepetition(s: SparkSession, d: String): DataFrame =
+    graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"),
+        TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_ngrams"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      // shingles() never yields an empty array, so the division is safe;
+      // `div` is integral division (exact, unlike `/` which goes double)
+      .withColumn("rep_bp",
+        expr("CAST((n_ngrams - n_distinct) * 10000 DIV n_ngrams AS BIGINT)"))
+      .orderBy("doc_id")
+
+  val txtRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1),
+      |           i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+      |         ELSE [array_to_string(tk, ' ')] END AS g
+      |  FROM toks
+      |)
+      |SELECT doc_id,
+      |       CAST(len(g) AS BIGINT) AS n_ngrams,
+      |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+      |       CAST((len(g) - len(list_distinct(g))) * 10000 // len(g) AS BIGINT)
+      |         AS rep_bp
+      |FROM sh ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd_contaminate" -> (ddContaminate _),
+    "txt_repetition" -> (txtRepetition _),
     "txt_chunks" -> (txtChunks _),
     "txt_scrub" -> (txtScrub _),
     "dd_cluster" -> (ddCluster _),
@@ -669,6 +750,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dd_contaminate" -> ddContaminateSql,
+    "txt_repetition" -> txtRepetitionSql,
     "txt_chunks" -> txtChunksSql,
     "txt_scrub" -> txtScrubSql,
     "dd_cluster" -> ddClusterSql,
