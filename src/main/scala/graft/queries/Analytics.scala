@@ -236,23 +236,29 @@ object Analytics {
   // |n·x − S| > 3·sqrt(n·(nQ − S²)), exact to within half an ulp.
   def a11Outliers(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
+    // the RHS 9n(nQ − S²) is per-GROUP, so the overflow guard lives in
+    // this 5-row projection — raise_error is CodegenFallback, and putting
+    // it in the per-row comparison would drop the fact-side projection
+    // out of whole-stage codegen (measured +30% on the query). The
+    // per-row LHS (n·x − S)² ~ (nσ)² needs no guard: it reaches 10^38
+    // only around n ≈ 10^12 rows/group, four orders past the RHS bound.
     val stats = Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
         sum(cents).as("s_sum"),
         sum(cents * cents).as("s_sq"))
-    def loud(c: Column, what: String): Column = coalesce(c,
-      raise_error(lit(s"a11_outliers: decimal(38,0) overflow in $what — " +
-        "group too large for the exact integer z-test (bound ~5e7 rows/group)")))
+      .select(col("o_orderpriority"), col("n"), col("s_sum"),
+        coalesce(
+          lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")),
+          raise_error(lit("a11_outliers: decimal(38,0) overflow in 9n(nQ - S^2)" +
+            " — group too large for the exact integer z-test (~5e7 rows/group)")))
+          .as("rhs"))
     val lhsRoot = col("n") * col("cents") - col("s_sum")
     Tables.orders(s, d)
       .select(col("o_orderpriority"), cents.as("cents"))
       .join(broadcast(stats), "o_orderpriority")
       .select(col("o_orderpriority"),
-        (loud(lhsRoot * lhsRoot, "(n*x - S)^2") >
-          loud(lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")),
-            "9n(nQ - S^2)"))
-          .as("is_out"))
+        (lhsRoot * lhsRoot > col("rhs")).as("is_out"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
