@@ -14,14 +14,25 @@ object Tables {
   // schema read happen once per session, not once per query) — this is
   // pure driver-side bookkeeping, the data itself stays lazy.
   // Contract: testdata dirs are IMMUTABLE (the memoized relation pins the
-  // file listing) and sessions are few and long-lived (entries are never
-  // evicted) — true for the driver/bench/test harnesses this serves;
-  // mutable paths must go through spark.read directly.
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // file listing); mutable paths must go through spark.read directly.
+  // Weak session keys, like Scratch.dirFor: this map lives for the
+  // process, and strong SparkSession keys would pin every stopped
+  // session (and its relations) forever.
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  private def memoize(key: (SparkSession, String, String))(mk: => DataFrame): DataFrame =
-    Memo.getOrPut(memo, key)(mk)
+  private def memoize(key: (SparkSession, String, String))(mk: => DataFrame): DataFrame = {
+    val (session, dir, name) = key
+    val perSession = memo.synchronized {
+      var m = memo.get(session)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        memo.put(session, m)
+      }
+      m
+    }
+    Memo.getOrPut(perSession, (dir, name))(mk)
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     memoize((spark, dir, name))(spark.read.parquet(s"$dir/$name.parquet"))
