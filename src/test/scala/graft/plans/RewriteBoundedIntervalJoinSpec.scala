@@ -95,6 +95,23 @@ class RewriteBoundedIntervalJoinSpec extends SparkSuite {
     }
   }
 
+  test("right-outer interval join fires (explode-left) and matches the naive result") {
+    val cond = col("k") === col("k2") &&
+      abs(unix_micros(col("lts")) - unix_micros(col("rts"))) <= lit(3000000L)
+    def naiveOuter = left.join(right, cond, "right_outer")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    val expected = rows(naiveOuter)
+    withThreshold("-1") { withRule {
+      val df = naiveOuter
+      assert(df.queryExecution.optimizedPlan.toString.contains("__graft_bin_l"),
+        df.queryExecution.optimizedPlan.toString)
+      assert(rows(df) == expected)
+    }}
+  }
+
   test("bounded as-of band (BETWEEN) fires and matches: argmin candidate join rescued") {
     // the naive bounded as-of candidate join: every right row within the
     // trailing 5s window; the argmax-by-rts window on top stays intact —
