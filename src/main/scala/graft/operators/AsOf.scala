@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  /** @param left        driving side; all its columns pass through
+  /** Backward as-of (the classic): latest right row with
+    * `rightTime <= leftTime`.
+    *
+    * @param left        driving side; all its columns pass through
     * @param right       reference side, unique per (key, rightTime)
     * @param key         equi-key column name (same name both sides)
     * @param leftTime    left probe-time column
@@ -31,12 +34,30 @@ object AsOf {
     */
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String]): DataFrame =
+    joinAsOfImpl(left, right, key, leftTime, rightTime, rightPayload,
+      backward = true)
+
+  /** Forward as-of: EARLIEST right row with `rightTime >= leftTime` —
+    * "next scheduled event" attribution. Identical one-shuffle shape:
+    * the traversal order just flips to descending time, so the running
+    * ignore-nulls `last` sees future rows first.
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      rightPayload: Seq[String]): DataFrame =
+    joinAsOfImpl(left, right, key, leftTime, rightTime, rightPayload,
+      backward = false)
+
+  private def joinAsOfImpl(left: DataFrame, right: DataFrame, key: String,
+                           leftTime: String, rightTime: String,
+                           rightPayload: Seq[String],
+                           backward: Boolean): DataFrame = {
     val rvType = right.select(struct(rightPayload.map(col): _*).as("__rv"))
       .schema("__rv").dataType
-    // a null right time would sort before every left row (asc = nulls
-    // first) and forward-fill its payload into rows that precede all real
-    // right rows — drop such rows defensively, they have no as-of meaning
+    // a null right time would sort to one end and forward-fill its
+    // payload into rows with no real as-of match — drop such rows
+    // defensively, they have no as-of meaning
     val r = right
       .filter(col(rightTime).isNotNull && col(key).isNotNull)
       .select(col(key).as("__k"), col(rightTime).as("__t"),
@@ -46,9 +67,15 @@ object AsOf {
       .withColumn("__t", col(leftTime))
       .withColumn("__isr", lit(0))
       .withColumn("__rv", lit(null).cast(rvType))
-    // right rows sort BEFORE left rows at equal time (inclusive <=)
+    // right rows sort BEFORE left rows at equal time in traversal order,
+    // making both directions INCLUSIVE (<= backward, >= forward).
+    // nulls-first in BOTH directions: a null left probe time must
+    // traverse before any real right row so its fill stays null (desc's
+    // default nulls-LAST would hand it the whole partition's history)
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__isr").desc)
+      .orderBy(if (backward) col("__t").asc_nulls_first
+               else col("__t").desc_nulls_first,
+        col("__isr").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))

@@ -380,6 +380,39 @@ object Extended {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ref_ts <= c.ts
       |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin
 
+  // ---- forward as-of: next purchase at or after each click ----
+  // the "time-to-next-event" attribution shape; same one-shuffle
+  // union-window operator traversed in reverse (see operators/AsOf)
+  def evAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("ref_ts"))
+      .agg(max("value").as("ref_value"))
+    val clicks = ev
+      .filter(col("event_type") === "click"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOf.joinAsOfForward(clicks, purchases, "user_id", "ts",
+        "ref_ts", Seq("ref_ts", "ref_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val evAsofFwdSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts AS ref_ts, max(value) AS ref_value
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2
+      |), c AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'click' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |)
+      |SELECT c.user_id, c.ts, c.event_id, c.value, p.ref_ts, p.ref_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ref_ts >= c.ts
+      |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin
+
   // ---- batch sessionization (30-min gap) ----
   // the batch analogue of streaming session_window: a new session starts
   // where the gap to the previous event of the same user exceeds the
@@ -538,6 +571,7 @@ object Extended {
     "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
     "ev_asof" -> (evAsof _),
+    "ev_asof_fwd" -> (evAsofFwd _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
     "a8_percentiles" -> (a8Percentiles _),
     "s7_table_roundtrip" -> (s7TableRoundtrip _),
@@ -561,6 +595,7 @@ object Extended {
     "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_asof" -> evAsofSql,
+    "ev_asof_fwd" -> evAsofFwdSql,
     "s9_orc_roundtrip" -> s9OrcRoundtripSql,
     "a8_percentiles" -> a8PercentilesSql,
     "s7_table_roundtrip" -> s7TableRoundtripSql,
