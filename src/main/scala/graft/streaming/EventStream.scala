@@ -83,6 +83,25 @@ object EventStream {
       .select(col("s.start").as("session_start"), col("s.end").as("session_end"),
         col("vendor"), col("n_events"))
 
+  /** Approximate distinct order refs per 1-day window — the sketch tier
+    * (see `operators/Sketches`) composed with streaming: state per
+    * window is ONE ~4 KB HLL sketch instead of a distinct-ref set, so a
+    * window touching 10⁸ orders holds the same state as one touching
+    * 10³, and the sketch buffer merges across micro-batches like any
+    * streaming aggregate. Refs are drift-normalized out of the payload
+    * exactly as the batch pipeline does.
+    */
+  def dailyApproxOrders(deduped: DataFrame, lgK: Int = 12): DataFrame =
+    deduped
+      .withColumn("ref",
+        Drift.jsonCoalesce(col("payload"), Seq("orderRef", "order_id")))
+      .filter(col("ref").isNotNull)
+      .groupBy(window(col("event_ts"), "1 day").as("day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("ref"), lit(lgK)))
+        .cast("long").as("approx_orders"))
+      .select(col("day.start").cast("date").as("event_date"),
+        col("approx_orders"))
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension snapshot (broadcast per micro-batch; no stream state).
     */

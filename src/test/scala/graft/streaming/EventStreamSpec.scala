@@ -55,6 +55,32 @@ class EventStreamSpec extends SparkSuite {
     assert(sessions.toSeq == Seq(("vendor_a", 1L), ("vendor_b", 1L)))
   }
 
+  test("streaming HLL window: per-day approx distinct orders tracks exact within 5%") {
+    val dir = Files.createTempDirectory("stream_hll").toString
+    Files.createDirectories(Paths.get(dir))
+    // day 1: 300 events over 120 distinct refs; day 2: 30 distinct refs
+    val lines =
+      (1 to 300).map(i =>
+        s"""{"event_id":"h$i","event_type":"order_created","event_time":"2024-01-01T10:00:00","vendor":"vendor_b","payload":"{\\"order_id\\":\\"R-${i % 120}\\"}","ingested_at":"2024-01-01T11:00:00"}""") ++
+      (1 to 30).map(i =>
+        s"""{"event_id":"g$i","event_type":"order_created","event_time":"2024-01-02T10:00:00","vendor":"vendor_b","payload":"{\\"order_id\\":\\"S-$i\\"}","ingested_at":"2024-01-02T11:00:00"}""")
+    Files.writeString(Paths.get(s"$dir/events.jsonl"), lines.mkString("\n"))
+    val agg = EventStream.dailyApproxOrders(
+      EventStream.dedupWithWatermark(EventStream.readLiveStream(spark, dir)))
+    val q = agg.writeStream
+      .format("memory").queryName("hll_daily").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT event_date, approx_orders FROM hll_daily ORDER BY 1")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq("2024-01-01", "2024-01-02"))
+    val exact = Map("2024-01-01" -> 120L, "2024-01-02" -> 30L)
+    got.foreach { case (d, a) =>
+      val n = exact(d)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
+        s"day $d: approx $a vs exact $n")
+    }
+  }
+
   test("stream-static dim enrichment joins without stream state") {
     val dir = Files.createTempDirectory("stream_in4").toString
     writeFixture(dir)
