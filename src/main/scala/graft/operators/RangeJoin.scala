@@ -28,10 +28,16 @@ object RangeJoin {
                   lts: String, rts: String, windowSec: Long): DataFrame = {
     val wMicros = windowSec * 1000000L
     val lbin = floor(unix_micros(col(lts)) / wMicros)
-    val l = left.withColumn("__bin", explode(array(lbin - 1, lbin, lbin + 1)))
-    val r = right.withColumn("__bin", floor(unix_micros(col(rts)) / wMicros))
-    l.join(r, Seq(key, "__bin"))
+    // the bin column deliberately carries RewriteBoundedIntervalJoin's
+    // reserved name: the residual abs-filter below gets pushed into the
+    // join condition by Catalyst, and without this marker the (session-
+    // wired) optimizer rule would see a rewritable band there and stack a
+    // SECOND bin explosion on the already-bucketized join
+    val bin = "__graft_bin_l"
+    val l = left.withColumn(bin, explode(array(lbin - 1, lbin, lbin + 1)))
+    val r = right.withColumn(bin, floor(unix_micros(col(rts)) / wMicros))
+    l.join(r, Seq(key, bin))
       .filter(abs(unix_micros(col(lts)) - unix_micros(col(rts))) <= wMicros)
-      .drop("__bin")
+      .drop(bin)
   }
 }

@@ -23,6 +23,25 @@ class RangeJoinSpec extends SparkSuite {
     assert(got == brute && got.nonEmpty)
   }
 
+  test("the live optimizer rule does not stack a second explosion on the manual rewrite") {
+    // the residual abs-filter is pushed into the join condition, where
+    // RewriteBoundedIntervalJoin (active in this production-wired
+    // session) would see a rewritable band; the reserved bin-column name
+    // must make its re-entry guard skip. One Generate = one explosion.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1") // force big-big, where the rule would fire
+    try {
+      val left = (1 to 50).map(i => (i.toLong % 5, i.toLong, ts(i * 137L)))
+        .toDF("k", "lid", "lts")
+      val right = (1 to 50).map(j => (j.toLong % 5, j.toLong, ts(j * 89L + 60)))
+        .toDF("k", "rid", "rts")
+      val plan = RangeJoin.innerWithin(left, right, "k", "lts", "rts", 300L)
+        .queryExecution.optimizedPlan.toString
+      assert("Generate explode".r.findAllIn(plan).size == 1, plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("exact boundary: a match at precisely ±window survives, one microsecond past does not") {
     val left = Seq((1L, 10L, ts(10000))).toDF("k", "lid", "lts")
     val right = Seq(
