@@ -216,7 +216,108 @@ object TpchMore {
       |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  // ---- Q14: promo revenue share (conditional aggregation) ----
+  // one broadcast join, one pass, two conditional sums; the share is a
+  // division of two EXACT integer-micro sums, so both engines divide the
+  // same integers and the double result is bit-identical — no rounding.
+  def tpchQ14(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    val micros = round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 1000000).cast("long")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .select(col("l_partkey"), micros.as("rev_micros"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev_micros")).otherwise(0L))
+          .as("promo_micros"),
+        sum(col("rev_micros")).as("total_micros"))
+      .select((lit(100.0) * col("promo_micros") / col("total_micros"))
+        .as("promo_revenue_pct"))
+  }
+
+  val tpchQ14Sql: String =
+    """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+      |         / CAST(sum(rev) AS BIGINT) AS promo_revenue_pct
+      |FROM (
+      |  SELECT l_partkey,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |) l JOIN part ON p_partkey = l_partkey""".stripMargin
+
+  // ---- Q15: top supplier(s) by quarterly revenue ----
+  // the derived-view max: revenue per supplier (one shuffle on suppkey),
+  // broadcast the 1-row max back, keep ties; exact integer revenue makes
+  // the max comparison engine-identical.
+  def tpchQ15(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 1000000L)
+        .as("total_revenue"))
+    val top = rev.agg(max("total_revenue").as("mx"))
+    Tables.supplier(s, d)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top), col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val tpchQ15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+      |           / 1000000.0 AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---- Q17: small-quantity order revenue (per-group avg threshold) ----
+  // the correlated-average shape: per-part mean quantity (exact — integer
+  // -valued doubles sum exactly, so the fold order can't matter), joined
+  // back to prune lineitems under 20% of their part's mean. Facts shuffle
+  // once on partkey; the brand dim prunes both sides first via broadcast.
+  def tpchQ17(s: SparkSession, d: String): DataFrame = {
+    val brandParts = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val qavg = li.groupBy(col("l_partkey").as("q_partkey"))
+      .agg(avg("l_quantity").as("qavg"))
+    li.join(qavg, col("l_partkey") === col("q_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("qavg"))
+      .agg((sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+        / lit(700.0)).as("avg_yearly"))
+  }
+
+  val tpchQ17Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#5'
+      |), qa AS (
+      |  SELECT l_partkey AS q_partkey, avg(l_quantity) AS qavg FROM li GROUP BY 1
+      |)
+      |SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 700.0
+      |         AS avg_yearly
+      |FROM li JOIN qa ON l_partkey = q_partkey
+      |WHERE l_quantity < 0.2 * qavg""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tpch_q14" -> (tpchQ14 _),
+    "tpch_q15" -> (tpchQ15 _),
+    "tpch_q17" -> (tpchQ17 _),
     "tpch_q7" -> (tpchQ7 _),
     "tpch_q10" -> (tpchQ10 _),
     "tpch_q16" -> (tpchQ16 _),
@@ -224,6 +325,9 @@ object TpchMore {
     "tpch_q22" -> (tpchQ22 _))
 
   val oracles: Map[String, String] = Map(
+    "tpch_q14" -> tpchQ14Sql,
+    "tpch_q15" -> tpchQ15Sql,
+    "tpch_q17" -> tpchQ17Sql,
     "tpch_q7" -> tpchQ7Sql,
     "tpch_q10" -> tpchQ10Sql,
     "tpch_q16" -> tpchQ16Sql,
