@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Enrichment, Extended, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchMore}
+import graft.queries.{Analytics, Enrichment, Extended, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchFinal, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
       Extended.queries ++ Enrichment.queries ++ Analytics.queries ++
-      ScaleOps.queries ++ TpchMore.queries
+      ScaleOps.queries ++ TpchMore.queries ++ TpchFinal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
       Extended.oracles ++ Enrichment.oracles ++ Analytics.oracles ++
-      ScaleOps.oracles ++ TpchMore.oracles
+      ScaleOps.oracles ++ TpchMore.oracles ++ TpchFinal.oracles
 }

@@ -18,7 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev knob mirroring Bench's: SPARK_GRAFT_ONLY=tpch_q2,tpch_q8 dumps a
+    // subset for fast tools/check.py iteration; driver leaves it unset
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,6 +46,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

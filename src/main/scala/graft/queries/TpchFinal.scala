@@ -1,0 +1,390 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth and final TPC-H wave — Q2/Q8/Q9/Q11/Q12/Q20/Q21 adapted to the
+  * driver schema, completing the 22-query suite (every query either
+  * implemented directly or adapted where the schema lacks partsupp /
+  * shipmode / receipt-commit dates; Q15's view, Q17/Q20's correlated
+  * scalars etc. are in [[TpchMore]]/[[Analytics]]/[[Extended]]).
+  *
+  * Adaptations (the schema has no partsupp, l_shipmode, l_receiptdate,
+  * l_commitdate):
+  *  - q2: "supply cost" = the cheapest observed unit price (integer cents)
+  *    per (part, supplier) pair derived from lineitem history.
+  *  - q9: profit = revenue − 60%-of-retail cost proxy, both sides exact
+  *    integer micros so the sum is engine-identical.
+  *  - q11: "stock value" per part = total sold value via suppliers of one
+  *    region; the 0.09% importance threshold compares exact integers
+  *    (value·10⁴ > total·9) like Q22's cents·cnt trick.
+  *  - q12: the ship-mode dimension becomes a lateness bucket
+  *    (shipped >60 days after order date), preserving the
+  *    conditional-count-by-derived-dim shape.
+  *  - q20/q21: "late" = shipped >90 days after order date stands in for
+  *    receipt>commit.
+  *
+  * Scale designs:
+  *  - Every dimension path (nation, region, supplier, filtered part) is a
+  *    BROADCAST; the fact table shuffles at most once per query, always on
+  *    a natural grouping key.
+  *  - q2/q20's correlated per-part min/total: aggregate the (part,supp)
+  *    relation FIRST (it is orders-of-magnitude smaller than lineitem),
+  *    then resolve the correlated scalar with a self-join on the already
+  *    aggregated frame — the fact table is read once.
+  *  - q21's exists/not-exists pair collapses into one two-level aggregation
+  *    (per-(order,supplier) late flag, then per-order counts) — no
+  *    self-joins of lineitem at all, vs the textbook plan's two.
+  */
+object TpchFinal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def revMicros: Column =
+    round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1000000)
+      .cast("long")
+
+  // ---- Q2: minimum-cost supplier per part (EUROPE) ----
+  def tpchQ2(s: SparkSession, d: String): DataFrame = {
+    val eur = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(s, d)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+    // observed min unit price per (part, supplier), exact integer cents —
+    // the partsupp.ps_supplycost stand-in, built with ONE shuffle of
+    // lineitem on its natural (part, supp) key
+    val rel = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(round(col("l_extendedprice") * 100 / col("l_quantity"))
+        .cast("long")).as("cost_cents"))
+    val costed = rel
+      .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    // correlated min resolved on the aggregated frame (≤ one row per
+    // (part,supp)), not on lineitem; equality keeps ties like the spec
+    val minc = costed.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min("cost_cents").as("min_cost"))
+    costed
+      .join(minc, col("p_partkey") === col("m_partkey")
+        && col("cost_cents") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        (col("cost_cents") / lit(100.0)).as("cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val tpchQ2Sql: String =
+    """WITH rel AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(min(round(l_extendedprice * 100 / l_quantity)) AS BIGINT) AS cost_cents
+      |  FROM lineitem GROUP BY 1, 2
+      |), eur AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), costed AS (
+      |  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost_cents,
+      |         min(cost_cents) OVER (PARTITION BY p_partkey) AS min_cost
+      |  FROM rel JOIN eur ON l_suppkey = s_suppkey
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE p_type = 'LARGE' AND p_size <= 10
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |       cost_cents / 100.0 AS cost
+      |FROM costed WHERE cost_cents = min_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ---- Q8: national market share in a regional market ----
+  // share = Σ(volume from NATION_7 suppliers) / Σ(volume), both exact
+  // integer micros, so the final double division is bit-identical.
+  def tpchQ8(s: SparkSession, d: String): DataFrame = {
+    val asiaCust = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val econParts = Tables.part(s, d)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        revMicros.as("vol"))
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_7", col("vol")).otherwise(0L))
+          .as("num"),
+        sum(col("vol")).as("den"))
+      .select(col("o_year"),
+        (lit(1.0) * col("num") / col("den")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val tpchQ8Sql: String =
+    """WITH mkt AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS vol,
+      |         sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |)
+      |SELECT o_year,
+      |       1.0 * CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol ELSE 0 END) AS BIGINT)
+      |           / CAST(sum(vol) AS BIGINT) AS mkt_share
+      |FROM mkt GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  // ---- Q9: product-type profit by supplier nation and year ----
+  def tpchQ9(s: SparkSession, d: String): DataFrame = {
+    val widgetParts = Tables.part(s, d)
+      .filter(col("p_name").like("%widget%"))
+      // cost proxy at exact integer micros: 60% of retail, scaled at
+      // rounding time (no integer division anywhere)
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 600000).cast("long").as("cost_micros"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), revMicros.as("rev_micros"))
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("rev_micros")
+        - col("l_quantity").cast("long") * col("cost_micros")).as("amount"))
+      .select(col("nation"), col("o_year"),
+        (col("amount") / lit(1000000.0)).as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  val tpchQ9Sql: String =
+    """WITH profit AS (
+      |  SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+      |           - CAST(l_quantity AS BIGINT) * CAST(round(p_retailprice * 600000) AS BIGINT)
+      |           AS amount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE p_name LIKE '%widget%'
+      |)
+      |SELECT nation, o_year, CAST(sum(amount) AS BIGINT) / 1000000.0 AS sum_profit
+      |FROM profit GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---- Q11: important parts by supply value through one region ----
+  def tpchQ11(s: SparkSession, d: String): DataFrame = {
+    val regSup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 0)
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = Tables.lineitem(s, d)
+      .join(broadcast(regSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("value_cents"))
+    // scale-invariant importance threshold: parts worth > 2× the MEAN part
+    // value (a fixed share like TPC-H's 0.0001 goes empty as the part
+    // population grows). Exact integers: value·cnt > total·2 — the same
+    // decimal(38,0)/HUGEINT trick as Q22, no double division.
+    val tot = value.agg(sum(col("value_cents")).cast("decimal(38,0)").as("total"),
+      count(lit(1)).cast("decimal(38,0)").as("cnt"))
+    value
+      .crossJoin(broadcast(tot))
+      .filter(col("value_cents").cast("decimal(38,0)") * col("cnt") > col("total") * 2)
+      .select(col("l_partkey").as("p_partkey"),
+        (col("value_cents") / lit(100.0)).as("value"))
+      .orderBy(desc("value"), col("p_partkey"))
+  }
+
+  val tpchQ11Sql: String =
+    """WITH val AS (
+      |  SELECT l_partkey,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_regionkey = 0
+      |  GROUP BY 1
+      |), tot AS (SELECT CAST(sum(value_cents) AS HUGEINT) AS total,
+      |                  CAST(count(*) AS HUGEINT) AS cnt FROM val)
+      |SELECT l_partkey AS p_partkey, value_cents / 100.0 AS value
+      |FROM val, tot
+      |WHERE CAST(value_cents AS HUGEINT) * cnt > total * 2
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  // ---- Q12: priority counts by lateness bucket ----
+  def tpchQ12(s: SparkSession, d: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+      .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"), "LATE")
+        .otherwise("ONTIME").as("ship_bucket"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_bucket")
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |            THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY ship_bucket""".stripMargin
+
+  // ---- Q20: dominant suppliers of red parts (EUROPE) ----
+  // "excess stock" stand-in: a supplier holding the majority (>1/2) of a
+  // part's 1997 shipments. Correlated total resolved on the aggregated
+  // (part,supp) frame, exact BIGINT quantities (integer-valued doubles).
+  def tpchQ20(s: SparkSession, d: String): DataFrame = {
+    val redParts = Tables.part(s, d)
+      .filter(col("p_name").like("red%")).select("p_partkey")
+    val ship = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).cast("long").as("sq"))
+    val ptot = ship.groupBy(col("l_partkey").as("pt_partkey"))
+      .agg(sum(col("sq")).as("pq"))
+    val dominant = ship
+      .join(ptot, col("l_partkey") === col("pt_partkey"))
+      .filter(col("sq") * 2 > col("pq"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)
+          .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  val tpchQ20Sql: String =
+    """WITH ship AS (
+      |  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sq
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |), ptot AS (SELECT l_partkey, sum(sq) AS pq FROM ship GROUP BY 1)
+      |SELECT s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |  AND s_suppkey IN (
+      |    SELECT s.l_suppkey FROM ship s JOIN ptot p ON s.l_partkey = p.l_partkey
+      |    WHERE s.sq * 2 > p.pq)
+      |ORDER BY s_name""".stripMargin
+
+  // ---- Q21: suppliers who alone held up multi-supplier orders ----
+  // One two-level aggregation replaces the textbook EXISTS/NOT EXISTS
+  // lineitem self-join pair: level 1 = per-(order,supplier) late flag,
+  // level 2 = per-order supplier/late counts + the lone late supplier.
+  def tpchQ21(s: SparkSession, d: String): DataFrame = {
+    val ls = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1).otherwise(0))
+        .as("late"))
+    ls.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_sups"), sum(col("late")).as("n_late"),
+        max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_sups") > 1 && col("n_late") === 1)
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(25)
+  }
+
+  val tpchQ21Sql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |                  THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1, 2
+      |), ord AS (
+      |  SELECT l_orderkey, count(*) AS n_sups, sum(late) AS n_late,
+      |         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      |  FROM ls GROUP BY 1
+      |)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM ord JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_sups > 1 AND n_late = 1
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "tpch_q2" -> (tpchQ2 _),
+    "tpch_q8" -> (tpchQ8 _),
+    "tpch_q9" -> (tpchQ9 _),
+    "tpch_q11" -> (tpchQ11 _),
+    "tpch_q12" -> (tpchQ12 _),
+    "tpch_q20" -> (tpchQ20 _),
+    "tpch_q21" -> (tpchQ21 _))
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q2" -> tpchQ2Sql,
+    "tpch_q8" -> tpchQ8Sql,
+    "tpch_q9" -> tpchQ9Sql,
+    "tpch_q11" -> tpchQ11Sql,
+    "tpch_q12" -> tpchQ12Sql,
+    "tpch_q20" -> tpchQ20Sql,
+    "tpch_q21" -> tpchQ21Sql)
+}

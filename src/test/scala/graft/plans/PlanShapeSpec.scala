@@ -112,6 +112,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(got == 11.0)
   }
 
+  test("tpch_q21 reads lineitem once — the EXISTS/NOT-EXISTS pair must not become self-joins") {
+    val p = plan("tpch_q21")
+    val liScans = "Scan parquet[^\\n]*".r.findAllIn(p).count(_.contains("lineitem"))
+    assert(liScans == 1, p)
+  }
+
+  test("tpch_q8/q9 resolve every dimension via broadcast (fact shuffles only on natural keys)") {
+    assert("BroadcastHashJoin".r.findAllIn(plan("tpch_q8")).size >= 3, "q8")
+    assert("BroadcastHashJoin".r.findAllIn(plan("tpch_q9")).size >= 2, "q9")
+  }
+
+  test("tpch_q2/q11 correlated scalars stay off the cartesian path") {
+    // q11's crossJoin is a broadcast of ONE scalar row; q2's min resolves
+    // via equi-join on the aggregated frame — neither may physicalize as
+    // an unbounded cartesian
+    assert(!plan("tpch_q2").contains("CartesianProduct"), "q2")
+    assert(!plan("tpch_q11").contains("CartesianProduct"), "q11")
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
