@@ -22,6 +22,18 @@ object TextFns {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
 
+  /** Adjacent token pairs ("w1 w2"), empty for docs under 2 tokens —
+    * unlike [[shingles]] there is no whole-text fallback, so LM-style
+    * consumers (bigram counts, perplexity proxies) never see a
+    * pseudo-bigram from a 1-token document.
+    */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i),
+          element_at(toks, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingles over a token array (n >= 1). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -68,6 +68,23 @@ object Sketches {
       .orderBy("day")
   }
 
+  /** One-pass heavy-hitter frequencies via Count-Min sketch: the
+    * fixed-size (w×d counters) alternative to a full `groupBy(token)`
+    * when the vocabulary itself is too large to shuffle — a 100 TB corpus
+    * has billions of distinct tokens, but the sketch stays
+    * `ceil(e/eps) × ceil(ln(1/δ))` counters no matter what. Per-partition
+    * sketches merge map-side (the agg is distributive), so ONE binary
+    * blob reaches the driver. Estimates overcount by at most eps·N with
+    * probability `confidence` and never undercount — the right bias for
+    * screening candidates that a second exact pass confirms.
+    */
+  def tokenCountSketch(docs: DataFrame, eps: Double = 0.0001,
+                       confidence: Double = 0.99, seed: Int = 42): DataFrame =
+    docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence), lit(seed))
+        .as("sketch"))
+
   /** Bounded-memory percentiles: `percentile_approx` keeps an
     * `accuracy`-bounded summary per group instead of every value.
     */

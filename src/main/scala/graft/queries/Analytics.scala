@@ -559,11 +559,7 @@ object Analytics {
     val byW1 = Window.partitionBy("w1").orderBy(desc("n"), col("w2"))
     graft.Par.spread(Tables.documents(s, d))
       .select(TextFns.tokens(col("text")).as("tk"))
-      .select(explode(when(size(col("tk")) >= 2,
-        transform(sequence(lit(1), size(col("tk")) - 1),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), (i + 1).cast("int")))))
-        .otherwise(array().cast("array<string>"))).as("bg"))
+      .select(explode(TextFns.bigrams(col("tk"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("n"))
       .select(substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"), col("n"))

@@ -239,6 +239,35 @@ object ScaleOps {
       |       CAST(count(DISTINCT day_ord & 255) AS BIGINT) AS days
       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  // ---- J6: Bloom-pruned semi join ----
+  // The medium-dim pattern: customer is (at 100 TB) too big to broadcast
+  // as a hash relation, but its ~10%-selective high-balance key set
+  // compresses to a few-MB Bloom filter. The filter drops ~90% of orders
+  // AT THE SCAN, before the join exchange; the exact semi join then
+  // removes the ≤1% false positives, so the result is bit-identical to
+  // the plain semi join the oracle runs. See [[graft.operators.BloomJoin]].
+  def j6BloomPrune(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    graft.operators.BloomJoin.prunedSemiJoin(
+        Tables.orders(s, d).select("o_custkey", "o_orderdate", "o_totalprice"),
+        "o_custkey", dim, "c_custkey",
+        expectedKeys = 1L << 20, fpp = 0.01)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("orders"),
+        moneySum(col("o_totalprice"), 100L).as("revenue"))
+      .orderBy("month")
+  }
+
+  val j6BloomPruneSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |       CAST(count(*) AS BIGINT) AS orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+      |         AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
   // ---- TXT: inverted-index keyword search (AND semantics) ----
   // Corpus filtering for training-data curation: find documents matching
   // ALL query terms, ranked by total term frequency. The term filter sits
@@ -278,6 +307,7 @@ object ScaleOps {
     "mb_copurchase" -> (mbCopurchase _),
     "ev_rolling_active" -> (evRollingActive _),
     "tpch_q18" -> (tpchQ18 _),
+    "j6_bloom_prune" -> (j6BloomPrune _),
     "s10_partition_prune" -> (s10PartitionPrune _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
     "ds_zorder" -> (dsZorder _),
@@ -287,6 +317,7 @@ object ScaleOps {
     "mb_copurchase" -> mbCopurchaseSql,
     "ev_rolling_active" -> evRollingActiveSql,
     "tpch_q18" -> tpchQ18Sql,
+    "j6_bloom_prune" -> j6BloomPruneSql,
     "s10_partition_prune" -> s10PartitionPruneSql,
     "s11_bucketed_join" -> s11BucketedJoinSql,
     "ds_zorder" -> dsZorderSql,

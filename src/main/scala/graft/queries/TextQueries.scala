@@ -727,7 +727,60 @@ object TextQueries {
       |         AS rep_bp
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---- perplexity proxy: mean corpus frequency of a doc's bigrams ----
+  // The LM-quality signal without a float log in sight: a document whose
+  // bigrams are rare in the corpus (low mean frequency) is "surprising" —
+  // the integer-exact stand-in for bigram-LM perplexity, so it
+  // oracle-hashes (a true sum-of-log-probs would differ in the last ulp
+  // across engines' libm).
+  //
+  // Scale shape: occurrences compress to per-(doc, bigram) counts FIRST
+  // (one shuffle on the natural doc×bigram key), corpus totals come from
+  // re-aggregating that same compact frame (never the raw token stream
+  // twice), and the count join carries only compact (bigram, n) pairs.
+  // Hot bigrams ("of the") skew the join linearly, not quadratically —
+  // each (doc, bigram) row matches exactly one count row.
+  def txtPplProxy(s: SparkSession, d: String): DataFrame = {
+    val bgk = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("k"))
+    val cnt = bgk.groupBy(col("bg").as("c_bg"))
+      .agg(sum(col("k")).as("n"))
+    bgk.join(cnt, col("bg") === col("c_bg"))
+      .groupBy("doc_id")
+      .agg(sum(col("k") * col("n")).as("sum_freq"),
+        sum(col("k")).as("n_bg"))
+      // ratio of two exact BIGINTs — the one double op both engines
+      // perform identically
+      .select(col("doc_id"), col("n_bg"),
+        (lit(1.0) * col("sum_freq") / col("n_bg")).as("mean_bg_freq"))
+      .orderBy("doc_id")
+  }
+
+  val txtPplProxySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), bgk AS (
+      |  SELECT doc_id, bg, count(*) AS k FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+      |                                         i -> tk[i] || ' ' || tk[i+1])) AS bg
+      |    FROM toks
+      |  ) GROUP BY 1, 2
+      |), cnt AS (
+      |  SELECT bg AS c_bg, CAST(sum(k) AS BIGINT) AS n FROM bgk GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bg,
+      |       1.0 * CAST(sum(k * n) AS BIGINT) / CAST(sum(k) AS BIGINT)
+      |         AS mean_bg_freq
+      |FROM bgk JOIN cnt ON bg = c_bg
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "txt_ppl_proxy" -> (txtPplProxy _),
     "dd_contaminate" -> (ddContaminate _),
     "txt_repetition" -> (txtRepetition _),
     "txt_chunks" -> (txtChunks _),
@@ -750,6 +803,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_ppl_proxy" -> txtPplProxySql,
     "dd_contaminate" -> ddContaminateSql,
     "txt_repetition" -> txtRepetitionSql,
     "txt_chunks" -> txtChunksSql,

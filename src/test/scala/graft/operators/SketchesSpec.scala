@@ -46,6 +46,48 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("count-min token sketch: never undercounts, overcount bounded by eps*N") {
+    val docs = Tables.documents(spark, sf)
+    val bytes = Sketches.tokenCountSketch(docs, eps = 0.001, confidence = 0.99)
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = docs
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = cms.totalCount()
+    assert(total >= exact.map(_._2).sum, "total covers at least the top-50 mass")
+    exact.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n, s"$tok: CMS must never undercount ($est < $n)")
+      assert(est <= n + math.max(1L, (0.001 * total).toLong) * 3,
+        s"$tok: overcount $est vs $n beyond 3x eps*N")
+    }
+  }
+
+  test("count-min sketches merge (per-language rollup equals global estimates)") {
+    val docs = Tables.documents(spark, sf)
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    val merged = langs.map { l =>
+      val b = Sketches.tokenCountSketch(docs.filter(col("lang") === l),
+        eps = 0.001, confidence = 0.99)
+        .collect().head.getAs[Array[Byte]](0)
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b))
+    }.reduce { (a, b) => a.mergeInPlace(b); a }
+    val globalBytes = Sketches.tokenCountSketch(docs, eps = 0.001, confidence = 0.99)
+      .collect().head.getAs[Array[Byte]](0)
+    val global = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(globalBytes))
+    assert(merged.totalCount() == global.totalCount())
+    Seq("the", "join", "filter", "data").foreach { tok =>
+      assert(merged.estimateCount(tok) == global.estimateCount(tok),
+        s"$tok: merged rollup must equal the one-shot global sketch")
+    }
+  }
+
   test("approx percentiles track exact percentiles") {
     val approx = Sketches.approxPricePercentiles(Tables.orders(spark, sf))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
