@@ -34,6 +34,27 @@ object Sampling {
     * scan-side filter, then the window over the pruned rows. No full-
     * stratum sort anywhere.
     */
+  /** Weighted Bernoulli (importance) sampling: keep each row with
+    * probability `weightBp`/10000, deterministically — the training-data
+    * curation move that biases a corpus subset toward high-quality
+    * documents while staying reproducible run-over-run.
+    *
+    * Mechanics: the row is kept iff the first 8 hex chars of its
+    * `hashKey` (uniform in [0, 2³²)) fall below
+    * `floor(weightBp · 2³² / 10⁴)` formatted `%08x` and compared as hex
+    * STRINGS — the same cross-engine-exact trick as [[stratifiedTopK]]
+    * (the floor runs on identical IEEE doubles in every engine, so DuckDB
+    * reproduces the exact keep set). Pure per-row projection: no
+    * shuffle, no state, embarrassingly parallel at any scale.
+    */
+  def weightedBernoulli(df: DataFrame, weightBp: Column, hashKey: Column): DataFrame = {
+    val thr = format_string("%08x",
+      least(lit(4294967295L),
+        floor(greatest(lit(0L), weightBp.cast("long")) * lit(4294967296.0)
+          / lit(10000.0)).cast("long")))
+    df.filter(substring(hashKey, 1, 8) < thr)
+  }
+
   def stratifiedTopK(df: DataFrame, stratum: String, hashKey: Column,
                      tie: Seq[Column], k: Int, overSample: Int = 8): DataFrame = {
     val counts = df.groupBy(stratum).agg(count(lit(1)).as("smp_n"))

@@ -727,6 +727,31 @@ object TextQueries {
       |         AS rep_bp
       |FROM sh ORDER BY doc_id""".stripMargin
 
+  // ---- weighted importance sampling: quality-biased corpus subset ----
+  // Longer documents are kept with proportionally higher probability
+  // (5 bp per char, capped at certainty for ≥2000 chars) — deterministic,
+  // so the curated subset is reproducible and the oracle replays the
+  // exact keep set. Pure projection + filter: no shuffle at any scale.
+  def dsWeighted(s: SparkSession, d: String): DataFrame = {
+    val wBp = least(lit(10000L), col("n_chars").cast("long") * 5)
+    graft.operators.Sampling.weightedBernoulli(
+        Tables.documents(s, d), wBp,
+        md5(concat(lit("wsmp|"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"), wBp.as("w_bp"))
+      .orderBy("doc_id")
+  }
+
+  val dsWeightedSql: String =
+    """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+      |       CAST(least(10000, n_chars * 5) AS BIGINT) AS w_bp
+      |FROM documents
+      |WHERE substr(md5('wsmp|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      |      printf('%08x', least(4294967295,
+      |        CAST(floor(least(10000, n_chars * 5) * 4294967296.0 / 10000.0)
+      |             AS BIGINT)))
+      |ORDER BY doc_id""".stripMargin
+
   // ---- perplexity proxy: mean corpus frequency of a doc's bigrams ----
   // The LM-quality signal without a float log in sight: a document whose
   // bigrams are rare in the corpus (low mean frequency) is "surprising" —
@@ -780,6 +805,7 @@ object TextQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "ds_weighted" -> (dsWeighted _),
     "txt_ppl_proxy" -> (txtPplProxy _),
     "dd_contaminate" -> (ddContaminate _),
     "txt_repetition" -> (txtRepetition _),
@@ -803,6 +829,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ds_weighted" -> dsWeightedSql,
     "txt_ppl_proxy" -> txtPplProxySql,
     "dd_contaminate" -> ddContaminateSql,
     "txt_repetition" -> txtRepetitionSql,

@@ -13,6 +13,21 @@ class SamplingSpec extends SparkSuite {
 
   private val key = md5(concat(lit("strat|"), col("doc_id").cast("string")))
 
+  test("weightedBernoulli keep-rate tracks the weight; w=0 drops all, w=10000 keeps ~all") {
+    val df = spark.range(0, 20000).select(col("id"))
+    def kept(bp: Long): Long =
+      Sampling.weightedBernoulli(df, lit(bp),
+        md5(concat(lit("w|"), col("id").cast("string")))).count()
+    assert(kept(0) == 0)
+    // certainty weight loses only hash=='ffffffff' rows (P ≈ 2^-32)
+    assert(kept(10000) >= 19999)
+    val half = kept(5000)
+    // binomial(20000, 0.5): ±4σ ≈ ±283
+    assert(math.abs(half - 10000) < 300, s"half-weight kept $half")
+    // determinism: the keep set is a function of the hash, not the run
+    assert(kept(5000) == half)
+  }
+
   test("stratifiedTopK equals the exact full-stratum rank on skewed data") {
     val got = Sampling.stratifiedTopK(skewed, "lang", key, Seq(col("doc_id")), k = 5)
       .select("doc_id", "lang", "rk").orderBy("lang", "rk")
