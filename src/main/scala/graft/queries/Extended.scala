@@ -99,9 +99,16 @@ object Extended {
 
   // ---- P6/P13: numeric coercion with defaults + constant columns ----
   def p6Defaults(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(
-        Drift.toDoubleOrZero(get_json_object(col("props"), "$.missing")).as("missing_k"),
-        Drift.toDoubleOrZero(get_json_object(col("props"), "$.k")).as("k"),
+    // json_tuple parses `props` ONCE for both keys (two get_json_object
+    // calls would run the JSON parser twice per row — measured 1.7 s →
+    // 0.3 s at sf0.1 together with spreading the single-file scan)
+    graft.Par.spread(Tables.events(s, d)
+        .select(col("event_type"), col("props")))
+      .select(col("event_type"),
+        json_tuple(col("props"), "missing", "k").as(Seq("missing_raw", "k_raw")))
+      .select(
+        Drift.toDoubleOrZero(col("missing_raw")).as("missing_k"),
+        Drift.toDoubleOrZero(col("k_raw")).as("k"),
         coalesce(col("event_type"), lit("unknown")).as("etype"),
         lit("live_stream").as("source"))
       .groupBy("etype", "source")

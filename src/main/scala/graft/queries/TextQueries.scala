@@ -760,20 +760,20 @@ object TextQueries {
   // across engines' libm).
   //
   // Scale shape: occurrences compress to per-(doc, bigram) counts FIRST
-  // (one shuffle on the natural doc×bigram key), corpus totals come from
-  // re-aggregating that same compact frame (never the raw token stream
-  // twice), and the count join carries only compact (bigram, n) pairs.
-  // Hot bigrams ("of the") skew the join linearly, not quadratically —
-  // each (doc, bigram) row matches exactly one count row.
+  // (one shuffle on the natural doc×bigram key), then the corpus total
+  // per bigram is a window SUM over the already-compact frame — the
+  // tokenize/explode/count pipeline runs ONCE (a self-join formulation
+  // would recompute it for both sides and add a third shuffle). Hot
+  // bigrams ("of the") put at most one row per document in one window
+  // partition — linear, same key distribution the join would have had.
   def txtPplProxy(s: SparkSession, d: String): DataFrame = {
-    val bgk = Tables.documents(s, d)
+    val bgk = graft.Par.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("k"))
-    val cnt = bgk.groupBy(col("bg").as("c_bg"))
-      .agg(sum(col("k")).as("n"))
-    bgk.join(cnt, col("bg") === col("c_bg"))
+    bgk
+      .withColumn("n", sum(col("k")).over(Window.partitionBy("bg")))
       .groupBy("doc_id")
       .agg(sum(col("k") * col("n")).as("sum_freq"),
         sum(col("k")).as("n_bg"))
