@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Enrichment, Extended, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchFinal, TpchMore}
+import graft.queries.{Analytics, Commerce, Enrichment, Extended, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchFinal, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
       Extended.queries ++ Enrichment.queries ++ Analytics.queries ++
-      ScaleOps.queries ++ TpchMore.queries ++ TpchFinal.queries
+      ScaleOps.queries ++ TpchMore.queries ++ TpchFinal.queries ++
+      Commerce.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
       Extended.oracles ++ Enrichment.oracles ++ Analytics.oracles ++
-      ScaleOps.oracles ++ TpchMore.oracles ++ TpchFinal.oracles
+      ScaleOps.oracles ++ TpchMore.oracles ++ TpchFinal.oracles ++
+      Commerce.oracles
 }

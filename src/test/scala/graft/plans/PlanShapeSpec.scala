@@ -131,6 +131,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(!plan("tpch_q11").contains("CartesianProduct"), "q11")
   }
 
+  test("cust_pareto's window runs over the TakeOrdered top-100, never the customer population") {
+    val p = plan("cust_pareto")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the global-order window must sit ABOVE the top-k cut: with the cut
+    // in place the single-partition window sees exactly 100 rows
+    assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
