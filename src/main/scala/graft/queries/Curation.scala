@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: rule-based quality gating (Gopher-style),
+  * exact-quota curriculum mixing, and robust (median/MAD) outlier stats.
+  *
+  * Cross-engine doctrine: every threshold decision here is INTEGER
+  * arithmetic (`sum_len >= 3*n` instead of `sum_len/n >= 3.0`) or an
+  * interpolated percentile both engines define identically — no rounded
+  * double ever decides a row's fate, so the DuckDB oracle replays the
+  * exact keep/flag set.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // ---- Gopher-style document quality gate ----
+  // The rule-based pre-filter every LLM data pipeline runs before any
+  // model-based scoring (Rae et al., Gopher appendix A): token-count
+  // bounds, mean-word-length bounds, unique-token ratio, stopword
+  // evidence, and a short-token cap. Pure per-row projection over one
+  // staged token array — no shuffle, embarrassingly parallel at any
+  // scale; the trailing sort is the presentation order only.
+  //
+  // Every rule is decided in integers: mean word length in [3, 10] is
+  // `3*n <= sum_len && sum_len <= 10*n`, the 5 % unique-ratio floor is
+  // `20*distinct >= n`, the 25 % short-token cap is `4*short <= n` —
+  // bit-identical in any engine, no double rounding at the boundary.
+  def txtQualityGate(s: SparkSession, d: String): DataFrame = {
+    val tk = col("tk")
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val distinctN = size(array_distinct(tk)).cast("long")
+    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
+    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(
+        col("doc_id"), n.as("n_tokens"),
+        (n >= 50 && n <= 1000).as("r_wordcount"),
+        (sumLen >= n * 3 && sumLen <= n * 10).as("r_mean_wlen"),
+        (distinctN * 20 >= n).as("r_unique"),
+        (stopHits >= 2).as("r_stopwords"),
+        (shortN * 4 <= n).as("r_short"))
+      .withColumn("pass",
+        col("r_wordcount") && col("r_mean_wlen") && col("r_unique") &&
+          col("r_stopwords") && col("r_short"))
+  }
+
+  val txtQualityGateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         len(tk) AS n,
+      |         list_sum(list_transform(tk, t -> len(t))) AS sum_len,
+      |         len(list_distinct(tk)) AS dn,
+      |         len(list_filter(tk, t -> len(t) <= 2)) AS sh,
+      |         len(list_intersect(list_distinct(tk),
+      |             ['the','a','of','and','to','in','is'])) AS st
+      |  FROM toks
+      |)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       n >= 50 AND n <= 1000 AS r_wordcount,
+      |       sum_len >= n * 3 AND sum_len <= n * 10 AS r_mean_wlen,
+      |       dn * 20 >= n AS r_unique,
+      |       st >= 2 AS r_stopwords,
+      |       sh * 4 <= n AS r_short,
+      |       (n >= 50 AND n <= 1000) AND (sum_len >= n * 3 AND sum_len <= n * 10)
+      |         AND (dn * 20 >= n) AND (st >= 2) AND (sh * 4 <= n) AS pass
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- exact-quota curriculum mix (largest-remainder interleaving) ----
+  // Fixed-size training-mix construction: exactly T docs total, allocated
+  // across (lang, source) strata proportionally to stratum size by the
+  // largest-remainder method — quotas are `floor(T·cnt/total)` plus one
+  // for the R strata with the largest remainders (R = T − Σfloor), so the
+  // quotas sum to T EXACTLY (a per-stratum `round()` can miss T by ±k).
+  // All quota math is integer, so any engine allocates identically.
+  //
+  // Selection within a stratum is the deterministic smallest-k-by-md5
+  // order. Skew safety as in [[graft.operators.Sampling.stratifiedTopK]]:
+  // a per-stratum hash threshold (8× oversample of the T upper bound)
+  // prunes giant strata BEFORE the rank window, so no full-stratum
+  // single-task sort exists at any corpus scale; the threshold keeps a
+  // prefix of the key order, so the pruned top-k is the global top-k.
+  private val MixTotal = 100
+
+  def dsInterleave(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val strata = docs.groupBy("lang", "source").agg(count(lit(1)).as("cnt"))
+    // quotas on the tiny strata frame: floor + largest remainder. The
+    // window spans the strata list (dozens of rows at any scale) — never
+    // the corpus.
+    val withTotal = strata.withColumn("total",
+      sum("cnt").over(Window.partitionBy()))
+    val base = withTotal
+      .withColumn("base", expr(s"($MixTotal * cnt) div total").cast("long"))
+      .withColumn("rem", (lit(MixTotal) * col("cnt")) % col("total"))
+    val wRem = Window.orderBy(desc("rem"), col("lang"), col("source"))
+    val quotas = base
+      .withColumn("deficit",
+        lit(MixTotal) - sum("base").over(Window.partitionBy()))
+      .withColumn("rk_rem", row_number().over(wRem))
+      .withColumn("quota",
+        (col("base") + when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("lang"), col("source"), col("cnt"), col("quota"))
+    // deterministic in-stratum pick: hash-threshold prune (no full-stratum
+    // sort), then rank, then the exact quota cut
+    val thr = format_string("%08x",
+      least(lit(4294967295L),
+        floor(least(lit(1.0), lit(8.0 * MixTotal) / col("cnt"))
+          * lit(4294967296.0)).cast("long")))
+    val wPick = Window.partitionBy("lang", "source")
+      .orderBy(col("mix_key"), col("doc_id"))
+    docs
+      .withColumn("mix_key",
+        md5(concat(lit("mix|"), col("doc_id").cast("string"))))
+      .join(broadcast(quotas.withColumn("mix_thr", thr)),
+        Seq("lang", "source"))
+      .filter(substring(col("mix_key"), 1, 8) <= col("mix_thr"))
+      .withColumn("rk", row_number().over(wPick).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  val dsInterleaveSql: String =
+    """WITH strata AS (
+      |  SELECT lang, source, count(*) AS cnt FROM documents GROUP BY 1, 2
+      |), q AS (
+      |  SELECT lang, source, cnt,
+      |         (100 * cnt) // sum(cnt) OVER () AS base,
+      |         (100 * cnt) % sum(cnt) OVER () AS rem
+      |  FROM strata
+      |), quotas AS (
+      |  SELECT lang, source, cnt,
+      |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang, source)
+      |                       <= 100 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+      |  FROM q
+      |), kept AS (
+      |  SELECT d.lang, d.source, d.doc_id, quotas.quota,
+      |         md5('mix|' || CAST(d.doc_id AS VARCHAR)) AS key
+      |  FROM documents d JOIN quotas ON d.lang = quotas.lang AND d.source = quotas.source
+      |  WHERE substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 8) <=
+      |        printf('%08x', least(4294967295,
+      |          CAST(floor(least(1.0, 800.0 / quotas.cnt) * 4294967296.0) AS BIGINT)))
+      |), ranked AS (
+      |  SELECT lang, source, doc_id, quota,
+      |         CAST(row_number() OVER (PARTITION BY lang, source
+      |                                 ORDER BY key, doc_id) AS BIGINT) AS rk
+      |  FROM kept
+      |)
+      |SELECT lang, source, rk, doc_id FROM ranked
+      |WHERE rk <= quota ORDER BY lang, source, rk""".stripMargin
+
+  // ---- robust outliers: median / MAD per order priority ----
+  // The robust sibling of a11's stddev outliers: median and median-
+  // absolute-deviation are immune to the very outliers they hunt (one
+  // 10⁹ row shifts a mean but not a median). Exact interpolated
+  // percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both at
+  // position p·(n−1)) over integer cents: medians land on k or k+0.5 —
+  // exactly representable doubles — so deviations and the 3·MAD fence are
+  // bit-identical cross-engine. Flag fence uses `>` on those exact
+  // doubles; no epsilon needed.
+  //
+  // Plan: three passes over orders, each a partial-agg shuffle on the
+  // 5-value priority key, with the tiny per-group stats broadcast back —
+  // no global sort, no full-column collect. (Exact percentile DOES hold
+  // each group's value multiset in the aggregator; at 100 TB swap in the
+  // t-digest/approx_percentile tier of [[graft.operators.Sketches]] —
+  // this query is the exact-oracle anchor for that trade.)
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val med = cents.groupBy("o_orderpriority")
+      .agg(expr("percentile(cents, 0.5)").as("med"),
+        count(lit(1)).as("n"))
+    val dev = cents.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(max("n").as("n"),
+        (max("med") / lit(100.0)).as("median_price"),
+        max("mad").as("mad_cents"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
+  val madOutliersSql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |), m AS (
+      |  SELECT o_orderpriority, quantile_cont(cents, 0.5) AS med,
+      |         count(*) AS n
+      |  FROM c GROUP BY 1
+      |), dv AS (
+      |  SELECT c.o_orderpriority, abs(c.cents - m.med) AS dev, m.med, m.n
+      |  FROM c JOIN m USING (o_orderpriority)
+      |), md AS (
+      |  SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad
+      |  FROM dv GROUP BY 1
+      |)
+      |SELECT dv.o_orderpriority,
+      |       CAST(max(dv.n) AS BIGINT) AS n,
+      |       max(dv.med) / 100.0 AS median_price,
+      |       max(md.mad) AS mad_cents,
+      |       CAST(sum(CASE WHEN dv.dev > md.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_outliers
+      |FROM dv JOIN md USING (o_orderpriority)
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "txt_quality_gate" -> (txtQualityGate _),
+    "ds_interleave" -> (dsInterleave _),
+    "a12_mad_outliers" -> (madOutliers _))
+
+  val oracles: Map[String, String] = Map(
+    "txt_quality_gate" -> txtQualityGateSql,
+    "ds_interleave" -> dsInterleaveSql,
+    "a12_mad_outliers" -> madOutliersSql)
+}
