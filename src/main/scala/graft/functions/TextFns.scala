@@ -41,13 +41,23 @@ object TextFns {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
 
-  /** Character n-grams of normalized text (for language-ID profiles). */
-  def charNgrams(text: Column, n: Int): Column = {
-    val s = lower(regexp_replace(text, "\\s+", " "))
+  /** Whitespace-normalized lowercase text — the staging step for
+    * [[charNgramsFromNormalized]]. Callers MUST project this as its own
+    * column before windowing over it: a free expression inside a lambda
+    * re-evaluates per element, so an inlined normalize would re-run the
+    * regex once per character position (measured 6× on txt_winnow).
+    */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
+  /** Character n-grams over an already-STAGED normalized-text column
+    * (see [[normalized]] — `s` must be a plain column attribute, not an
+    * expression, or the lambda re-computes it per element).
+    */
+  def charNgramsFromNormalized(s: Column, n: Int): Column =
     when(length(s) >= n,
       transform(sequence(lit(1), length(s) - (n - 1)), i => s.substr(i, lit(n))))
       .otherwise(array(s))
-  }
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -98,8 +108,8 @@ object TextFns {
     * elimination, so windowing directly over this expression would
     * recompute every hash per window (O(len²) md5 calls).
     */
-  def kgramHashes(text: Column, k: Int): Column =
-    transform(charNgrams(text, k), g => md5(g))
+  def kgramHashes(s: Column, k: Int): Column =
+    transform(charNgramsFromNormalized(s, k), g => md5(g))
 
   /** Winnowing fingerprint set (rolling-hash document fingerprinting in
     * the MOSS style) over a precomputed hash-array column: slide a window
@@ -108,9 +118,13 @@ object TextFns {
     * fingerprint. md5-hex hashes keep the selection engine-portable.
     */
   def winnowFromHashes(hs: Column, w: Int): Column = {
+    // window min as a least() chain of w element_ats — no per-position
+    // w-element array copy (slice+array_min allocated one tiny array per
+    // character position of the corpus)
     val wins = when(size(hs) >= w,
       transform(sequence(lit(1), size(hs) - (w - 1)),
-        i => array_min(slice(hs, i, lit(w)))))
+        i => least((0 until w).map(k =>
+          element_at(hs, (i + k).cast("int"))): _*)))
       .otherwise(array(array_min(hs)))
     array_distinct(wins)
   }

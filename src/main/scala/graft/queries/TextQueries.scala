@@ -173,8 +173,11 @@ object TextQueries {
   // ---- winnowing fingerprints (rolling-hash k-gram windows) ----
   def txtWinnow(s: SparkSession, d: String): DataFrame = {
     graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
-      // hashes projected once, then windowed — see TextFns.kgramHashes
-      .select(col("doc_id"), TextFns.kgramHashes(col("text"), 8).as("h"))
+      // normalized text staged FIRST (the n-gram lambda re-evaluates a
+      // free normalize per character position), then the hash array
+      // projected once, then windowed
+      .select(col("doc_id"), TextFns.normalized(col("text")).as("ns"))
+      .select(col("doc_id"), TextFns.kgramHashes(col("ns"), 8).as("h"))
       .select(col("doc_id"), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
       .select(
         col("doc_id"),
@@ -659,10 +662,13 @@ object TextQueries {
   // deterministic id rule here (doc_id % 20 == 0) standing in for the
   // benchmark id list a real pipeline would broadcast.
   def ddContaminate(s: SparkSession, d: String): DataFrame = {
+    // tk staged before the shingle lambda references it (a free
+    // expression in a lambda re-evaluates per element — an inline
+    // tokenize would re-split the text once per 5-gram)
     val sh = graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
-        explode(array_distinct(
-          TextFns.shingles(TextFns.tokens(col("text")), 5))).as("g"))
+        explode(array_distinct(TextFns.shingles(col("tk"), 5))).as("g"))
     val evalSide = sh.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
     sh.filter(col("doc_id") % 20 =!= 0)
@@ -697,8 +703,8 @@ object TextQueries {
   // double ratio would hit the cross-engine midpoint-rounding trap.
   def txtRepetition(s: SparkSession, d: String): DataFrame =
     graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"),
-        TextFns.shingles(TextFns.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextFns.shingles(col("tk"), 3).as("sh"))
       .select(col("doc_id"),
         size(col("sh")).cast("long").as("n_ngrams"),
         size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
@@ -767,9 +773,12 @@ object TextQueries {
   // bigrams ("of the") put at most one row per document in one window
   // partition — linear, same key distribution the join would have had.
   def txtPplProxy(s: SparkSession, d: String): DataFrame = {
+    // tk staged before the bigram lambda references it (free expressions
+    // in a lambda re-evaluate per element — an inline tokenize would
+    // re-split the text once per bigram)
     val bgk = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"),
-        explode(TextFns.bigrams(TextFns.tokens(col("text")))).as("bg"))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(TextFns.bigrams(col("tk"))).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("k"))
     bgk
