@@ -124,11 +124,61 @@ object Commerce {
       |            ELSE 'C' END AS abc
       |FROM w ORDER BY rk""".stripMargin
 
+  // ---- last-touch marketing attribution ----
+  // Which channel gets credit for each purchase: the LATEST non-purchase
+  // event by the same user at or before the purchase instant (the
+  // classic last-touch model), revenue rolled up per channel, unmatched
+  // purchases credited to 'direct'. Composes the one-shuffle union-window
+  // as-of operator (operators/AsOf — no per-purchase scan of the user's
+  // history, no join amplification); touches pre-aggregate to one row
+  // per (user, instant) because the as-of contract — like DuckDB's ASOF —
+  // needs a unique right side at each timestamp (max(event_type) is the
+  // deterministic tie-break both engines replay). Money in exact cents.
+  def evAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev
+      .filter(col("event_type") === "purchase"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev
+      .filter(col("event_type") =!= "purchase"
+        && col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("ts").as("touch_ts"))
+      .agg(max("event_type").as("channel"))
+    graft.operators.AsOf.joinAsOf(purchases, touches,
+        "user_id", "ts", "touch_ts", Seq("channel"))
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(col("cents")).cast("long") / lit(100.0)).as("revenue"))
+      .orderBy("channel")
+  }
+
+  val evAttributionSql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |), t AS (
+      |  SELECT user_id, ts AS touch_ts, max(event_type) AS channel
+      |  FROM events
+      |  WHERE event_type <> 'purchase' AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2
+      |)
+      |SELECT COALESCE(t.channel, 'direct') AS channel,
+      |       CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(p.cents) AS BIGINT) / 100.0 AS revenue
+      |FROM p ASOF LEFT JOIN t
+      |  ON p.user_id = t.user_id AND t.touch_ts <= p.ts
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cust_rfm" -> (custRfm _),
-    "cust_pareto" -> (custPareto _))
+    "cust_pareto" -> (custPareto _),
+    "ev_attribution" -> (evAttribution _))
 
   val oracles: Map[String, String] = Map(
     "cust_rfm" -> custRfmSql,
-    "cust_pareto" -> custParetoSql)
+    "cust_pareto" -> custParetoSql,
+    "ev_attribution" -> evAttributionSql)
 }

@@ -226,13 +226,77 @@ object Curation {
       |FROM dv JOIN md USING (o_orderpriority)
       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  // ---- BPE-style merge-candidate scoring (collocation mining) ----
+  // The pair-scoring step of subword-vocabulary induction: rank adjacent
+  // token pairs by a PMI proxy `n_ab·N / (n_a·n_b)` — how much more often
+  // the pair co-occurs than independence predicts. Counts are exact
+  // BIGINTs; the one double op (the final ratio) is the same expression
+  // tree in both engines, so it is bit-identical. (Count products bound
+  // the magnitudes: n_ab·N overflows long only past ~10⁹ pair
+  // occurrences × 10⁹ tokens — at that corpus scale shard the counts
+  // first.) The unigram table is vocabulary-sized — broadcast — and the
+  // bigram stream compresses to per-pair counts in one shuffle before
+  // any join, so the corpus is tokenized exactly once per stream.
+  def vocabMerges(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum("n").cast("long").as("n_total"))
+    val bg = tk
+      .select(explode(TextFns.bigrams(col("tk"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    bg
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_b"))), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("bg"), col("n_ab"), col("n_a"), col("n_b"),
+        (lit(1.0) * col("n_ab") * col("n_total") / (col("n_a") * col("n_b")))
+          .as("pmi_ratio"))
+      .orderBy(desc("pmi_ratio"), col("bg"))
+      .limit(30)
+  }
+
+  val vocabMergesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1
+      |), total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM uni),
+      |bg AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM (
+      |    SELECT unnest(CASE WHEN len(tk) >= 2
+      |      THEN list_transform(range(1, len(tk)),
+      |                          i -> concat_ws(' ', tk[i], tk[i+1]))
+      |      ELSE [] END) AS bg
+      |    FROM toks)
+      |  GROUP BY 1 HAVING count(*) >= 5
+      |)
+      |SELECT bg, n_ab, u1.n AS n_a, u2.n AS n_b,
+      |       1.0 * n_ab * n_total / (u1.n * u2.n) AS pmi_ratio
+      |FROM bg
+      |JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+      |JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+      |CROSS JOIN total
+      |ORDER BY pmi_ratio DESC, bg LIMIT 30""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "txt_quality_gate" -> (txtQualityGate _),
     "ds_interleave" -> (dsInterleave _),
-    "a12_mad_outliers" -> (madOutliers _))
+    "a12_mad_outliers" -> (madOutliers _),
+    "vocab_merges" -> (vocabMerges _))
 
   val oracles: Map[String, String] = Map(
     "txt_quality_gate" -> txtQualityGateSql,
     "ds_interleave" -> dsInterleaveSql,
-    "a12_mad_outliers" -> madOutliersSql)
+    "a12_mad_outliers" -> madOutliersSql,
+    "vocab_merges" -> vocabMergesSql)
 }

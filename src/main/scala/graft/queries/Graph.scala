@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextDedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over derived relationship graphs — here PageRank on
+  * the co-purchase graph (parts are nodes, "bought together in ≥ 2
+  * orders" are edges).
+  *
+  * Exactness doctrine: the whole iteration runs in INTEGER micro-units
+  * (pr starts at 10⁶, contribution is `pr div deg`, damping is
+  * `150000 + (85·Σ) div 100`), so the fixpoint trajectory is
+  * bit-identical in any engine — float PageRank would diverge in the
+  * last ulp because neighbor sums are order-dependent, and long sums are
+  * not. The truncation remainder (< deg micros per node per round) is
+  * deliberately dropped, identically everywhere.
+  *
+  * Scale design: the edge list is staged ONCE to cluster-safe scratch
+  * (the basket expansion is the expensive part — one shuffle,
+  * C(basket,2)-bounded, same shape as `mb_copurchase`); each of the
+  * fixed 10 rounds is one join + one groupBy on the edge list, per-node
+  * state is (deg, pr) — two longs, no neighbor arrays, so hot nodes cost
+  * one counter. The state plan is checkpointed every `CkptEvery` rounds:
+  * each round references the previous state once (linear growth), so a
+  * light cadence bounds analysis cost without paying a write barrier per
+  * round (measured: per-round staging of small frames costs more than it
+  * saves — see TextDedup's freq note).
+  */
+object Graph {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Iters = 10
+  private val CkptEvery = 4
+
+  def prCopurchase(s: SparkSession, d: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "graft_pr_")
+    // undirected co-purchase edges (≥ 2 shared orders), one shuffle +
+    // bounded basket expansion — see mb_copurchase for the shape rationale
+    val edgesPath = scratch + "/edges"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(TextDedup.expandSortedPairs(col("parts"),
+        (x, y) => struct(x.as("pa"), y.as("pb")))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("pa", "pb")
+      .write.mode("overwrite").parquet(edgesPath)
+    val e = s.read.parquet(edgesPath)
+    val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+    var state = deg.withColumn("pr", lit(1000000L))
+    for (i <- 1 to Iters) {
+      val contrib = state
+        .join(sym, state("node") === sym("src"))
+        .select(col("dst").as("node"), expr("pr div deg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      state = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          (lit(150000L) + expr("85 * coalesce(sc, 0L) div 100")).as("pr"))
+      if (i % CkptEvery == 0 && i < Iters) {
+        val p = s"$scratch/state_$i"
+        state.write.mode("overwrite").parquet(p)
+        state = s.read.parquet(p)
+      }
+    }
+    state
+      .select(col("node").as("part"), col("deg"), col("pr"))
+      .orderBy(desc("pr"), col("part"))
+      .limit(20)
+  }
+
+  // the oracle unrolls the fixed iteration count as chained CTEs —
+  // recursive-CTE aggregation over the working table is not portable,
+  // and an unrolled chain is mechanically identical to the Spark loop
+  val prCopurchaseSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""p$i AS (
+         |  SELECT d.node, d.deg,
+         |         150000 + (85 * COALESCE(s.sc, 0)) // 100 AS pr
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(SUM(p.pr // p.deg) AS BIGINT) AS sc
+         |    FROM p${i - 1} p JOIN sym e ON p.node = e.src GROUP BY 1
+         |  ) s ON d.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+       |  FROM b a JOIN b c
+       |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2
+       |),
+       |sym AS (SELECT pa AS src, pb AS dst FROM e0
+       |        UNION ALL SELECT pb, pa FROM e0),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY 1),
+       |p0 AS (SELECT node, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$rounds
+       |SELECT node AS part, deg, CAST(pr AS BIGINT) AS pr
+       |FROM p$Iters ORDER BY pr DESC, part LIMIT 20""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pr_copurchase" -> (prCopurchase _))
+
+  val oracles: Map[String, String] = Map(
+    "pr_copurchase" -> prCopurchaseSql)
+}
