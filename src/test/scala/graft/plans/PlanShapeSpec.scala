@@ -15,6 +15,34 @@ class PlanShapeSpec extends SparkSuite {
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("vocab_merges broadcasts the vocabulary-sized unigram table") {
+    val p = plan("vocab_merges")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ds_interleave joins its quota table by broadcast and physicalizes " +
+    "the final order cheaply") {
+    val p = plan("ds_interleave")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("txt_quality_gate reads only the columns it needs (source/text; " +
+    "never the wide row)") {
+    val p = plan("txt_quality_gate")
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty, p)
+    // the gate needs doc_id + text only — lang/source/n_chars must prune
+    assert(readSchemas.forall(!_.contains("source")), readSchemas.mkString("\n"))
+  }
+
+  test("a12_mad_outliers broadcasts the 5-row per-group stats back " +
+    "(no fact-table re-shuffle per pass)") {
+    val p = plan("a12_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("s4: predicate and projection are pushed into the parquet scan") {
     val p = plan("s4_scan_pushdown")
     assert(p.contains("PushedFilters: ["), p)
