@@ -227,6 +227,84 @@ object Media {
     }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint: decode, bilinear
+    * resize to 8×8, integer ITU-R 601 luma per cell, bit i set iff
+    * luma_i > mean. Robust to re-encoding, mild blur and resize — the
+    * near-dup signal pixel-exact fingerprints miss. None when no reader
+    * accepts the bytes.
+    */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val small = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = small.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, 8, 8, null)
+      g2.dispose()
+      val luma = new Array[Int](64)
+      var i = 0; var sum = 0L
+      while (i < 64) {
+        val rgb = small.getRGB(i % 8, i / 8)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        luma(i) = (77 * r + 150 * g + 29 * b) >> 8
+        sum += luma(i); i += 1
+      }
+      // exact integer mean comparison: luma_i * 64 > sum avoids the
+      // truncated-average boundary drifting with rounding mode
+      var h = 0L; i = 0
+      while (i < 64) { if (luma(i).toLong * 64 > sum) h |= (1L << i); i += 1 }
+      Some(h)
+    }
+  }
+
+  /** Per-image perceptual hashes (mapPartitions, undecodable rows drop). */
+  def imageHashes(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => aHash64(m.bytes).map(h => (m.media_id, h)))
+    }.toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs with Hamming distance ≤ `maxHamming`
+    * (< 16): the 64-bit hash splits into four 16-bit bands, and any two
+    * hashes within ≤ 15 flipped bits share at least one UNTOUCHED band
+    * (pigeonhole over 4 bands) — so banding by exact band value is a
+    * complete candidate generator, the same blocked-not-all-pairs shape
+    * as MinHash LSH. Candidates expand as in-bucket i<j pairs (buckets
+    * are near-dup families — small), then one popcount verifies the
+    * exact distance. Binary payloads never shuffle; only (id, 64-bit
+    * hash) rows do.
+    */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3)
+                   (implicit spark: SparkSession): DataFrame = {
+    require(maxHamming < 16, "pigeonhole over 4 bands covers hamming <= 15")
+    val hashes = imageHashes(media)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ahash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    banded
+      .groupBy("band", "band_val")
+      .agg(sort_array(collect_list(struct(col("media_id"), col("ahash"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(graft.operators.TextDedup.expandSortedPairs(col("ms"),
+        (x, y) => struct(
+          x("media_id").as("id_a"), y("media_id").as("id_b"),
+          bit_count(x("ahash").bitwiseXOR(y("ahash"))).as("hamming")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.hamming").as("hamming"))
+      .distinct() // the same pair can collide in several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Real-audio feature extraction (WAV/PCM), streaming per row. */
   def audioFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {
     import spark.implicits._
