@@ -571,8 +571,70 @@ object Extended {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- P18: unpivot (wide → long), the inverse of P16 ----
+  // `stack` is the codegen-friendly wide-to-long generator: each input
+  // row emits one row per measure with zero shuffle — the melt step
+  // feature pipelines run before per-measure aggregation. Revenue cents
+  // stay integers until the final presentation divide.
+  def p18Unpivot(s: SparkSession, d: String): DataFrame =
+    p16Pivot(s, d)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', rev_f, 'O', rev_o, 'P', rev_p)")
+          .as(Seq("status", "revenue")))
+      .filter(col("revenue") > 0)
+      .orderBy("o_orderpriority", "status")
+
+  val p18UnpivotSql: String =
+    """WITH wide AS (
+      |  SELECT o_orderpriority, o_orderstatus AS status,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           / 100.0 AS revenue
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, status, revenue FROM wide
+      |WHERE revenue > 0 ORDER BY o_orderpriority, status""".stripMargin
+
+  // ---- A13: ordered string aggregation (listagg) ----
+  // Deterministic cross-engine listagg: Spark's collect_list has no
+  // intra-group order guarantee, so the ordered-CSV contract is
+  // sort_array over (sortkey, value) structs BEFORE the join — the
+  // struct sort is total, so the string is bit-identical to DuckDB's
+  // string_agg(... ORDER BY). Bounded: top-3 per nation via the
+  // WindowGroupLimit-covered rank filter, never an unbounded group blob.
+  def a13Listagg(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(desc("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("c_nationkey")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("rk"), col("c_custkey")))),
+          e => e("c_custkey").cast("string")), ",").as("top_custkeys"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  val a13ListaggSql: String =
+    """WITH ranked AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         row_number() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+      |  FROM customer
+      |)
+      |SELECT c_nationkey,
+      |       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rk)
+      |         AS top_custkeys,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM ranked WHERE rk <= 3
+      |GROUP BY 1 ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "p16_pivot" -> (p16Pivot _),
+    "p18_unpivot" -> (p18Unpivot _),
+    "a13_listagg" -> (a13Listagg _),
     "w2_window_suite" -> (w2WindowSuite _),
     "tpch_q5" -> (tpchQ5 _),
     "a9_salted_agg" -> (a9SaltedAgg _),
@@ -597,6 +659,8 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "p16_pivot" -> p16PivotSql,
+    "p18_unpivot" -> p18UnpivotSql,
+    "a13_listagg" -> a13ListaggSql,
     "w2_window_suite" -> w2WindowSuiteSql,
     "tpch_q5" -> tpchQ5Sql,
     "a9_salted_agg" -> a9SaltedAggSql,

@@ -43,6 +43,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("rank-filter dedups physicalize WindowGroupLimit (per-key heap " +
+    "prune before the window sort — Spark's native top-k-per-key path)") {
+    // this is why the repo has NO custom top-k physical operator: the
+    // built-in InferWindowGroupLimit already inserts map- AND reduce-side
+    // bounded per-group heaps ahead of the window sort, which beats a
+    // reduce-only custom node. The lock guards the rank-filter shape
+    // these queries rely on (an `rn <= k` written any other way — e.g.
+    // through a non-literal bound — silently loses the optimization).
+    for (q <- Seq("dd_keep_best", "d1_latest_wins", "txt_dtm"))
+      assert(plan(q).contains("WindowGroupLimit"), q)
+  }
+
   test("s4: predicate and projection are pushed into the parquet scan") {
     val p = plan("s4_scan_pushdown")
     assert(p.contains("PushedFilters: ["), p)
