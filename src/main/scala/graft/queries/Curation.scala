@@ -95,6 +95,10 @@ object Curation {
   // prunes giant strata BEFORE the rank window, so no full-stratum
   // single-task sort exists at any corpus scale; the threshold keeps a
   // prefix of the key order, so the pruned top-k is the global top-k.
+  // Precondition: MixTotal ≤ corpus size. Then every stratum's quota is
+  // ≤ its size (T < total ⇒ floor(T·cnt/total) < cnt, and the largest-
+  // remainder top-up adds at most 1; T = total degenerates to keep-all),
+  // so the selection always delivers EXACTLY MixTotal rows.
   private val MixTotal = 100
 
   def dsInterleave(s: SparkSession, d: String): DataFrame = {
