@@ -33,7 +33,7 @@ object Graph {
   type Q = (SparkSession, String) => DataFrame
 
   private val Iters = 10
-  private val CkptEvery = 4
+  private val CkptEvery = 5
 
   def prCopurchase(s: SparkSession, d: String): DataFrame = {
     val scratch = graft.Scratch.dir(s, "graft_pr_")
@@ -55,8 +55,17 @@ object Graph {
     val e = s.read.parquet(edgesPath)
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
-    val deg = sym.groupBy(col("src").as("node"))
+    // deg staged once: it is re-read by EVERY materialization (each
+    // checkpoint plus the final action replays the rounds since the last
+    // barrier, and each round references deg) — the cross-ACTION reuse
+    // case where a small staged file beats recompute (exchange reuse
+    // only dedupes within one action; see the write-barrier memo in
+    // TextDedup.ngramJaccardPairs for the opposite verdict in-action)
+    val degPath = scratch + "/deg"
+    sym.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
+      .write.mode("overwrite").parquet(degPath)
+    val deg = s.read.parquet(degPath)
 
     var state = deg.withColumn("pr", lit(1000000L))
     for (i <- 1 to Iters) {
