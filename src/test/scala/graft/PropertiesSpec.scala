@@ -82,4 +82,59 @@ class PropertiesSpec extends SparkSuite {
       assert(daily.map(_.getAs[Long]("order_count")).sum == os.size)
     }
   }
+
+  test("property: least-chain winnow equals the slice+array_min reference") {
+    import graft.functions.TextFns
+    // the round-4 rewrite replaced the per-position slice+array_min with
+    // a least() chain — lock equivalence on random hash arrays
+    val hashGen = Gen.listOfN(12, Gen.hexStr.map(_.take(8).padTo(8, '0')))
+    for ((hs, i) <- samples(hashGen, 8).zipWithIndex if hs.nonEmpty) {
+      val df = Seq((i.toLong, hs)).toDF("id", "h")
+      def ref(w: Int) = {
+        val wins = when(size($"h") >= w,
+          transform(sequence(lit(1), size($"h") - (w - 1)),
+            j => array_min(slice($"h", j, lit(w)))))
+          .otherwise(array(array_min($"h")))
+        array_distinct(wins)
+      }
+      for (w <- Seq(2, 4, 7, 15)) {
+        val got = df.select(TextFns.winnowFromHashes($"h", w)).collect()
+        val want = df.select(ref(w)).collect()
+        assert(got.map(_.getSeq[String](0)).toSeq ==
+          want.map(_.getSeq[String](0)).toSeq, s"w=$w hs=$hs")
+      }
+    }
+  }
+
+  test("property: token-hash shingles share a hash iff the token windows match") {
+    // the staged token-hash shingle scheme must preserve string-shingle
+    // equality semantics: same n-token window ⇒ same hash, different
+    // windows ⇒ different hashes (on the sampled universe)
+    val tokGen = Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+    val docs = samples(tokGen, 12).distinct
+    val n = 3
+    val df = docs.zipWithIndex.map { case (tk, i) => (i.toLong, tk.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.functions.TextFns.tokens($"text").as("tk"))
+      .select($"doc_id", transform($"tk", t => xxhash64(t)).as("th"), $"tk")
+      .select($"doc_id",
+        when(size($"th") >= n,
+          transform(sequence(lit(1), size($"th") - (n - 1)),
+            j => xxhash64((0 until n).map(k => element_at($"th", (j + k).cast("int"))): _*)))
+          .otherwise(array(xxhash64(concat_ws(" ", $"tk")))).as("hashes"),
+        when(size($"tk") >= n,
+          transform(sequence(lit(1), size($"tk") - (n - 1)),
+            j => concat_ws(" ", (0 until n).map(k => element_at($"tk", (j + k).cast("int"))): _*)))
+          .otherwise(array(concat_ws(" ", $"tk"))).as("strings"))
+      .collect()
+    // build the global hash→string map; any clash is a semantics break
+    val seen = scala.collection.mutable.Map[Long, String]()
+    df.foreach { r =>
+      r.getSeq[Long](1).zip(r.getSeq[String](2)).foreach { case (h, s) =>
+        seen.get(h).foreach(prev => assert(prev == s, s"hash clash: $prev vs $s"))
+        seen(h) = s
+      }
+    }
+    assert(seen.values.toSet.size == seen.size) // injective on the sample
+  }
 }
