@@ -292,13 +292,102 @@ object Curation {
       |CROSS JOIN total
       |ORDER BY pmi_ratio DESC, bg LIMIT 30""".stripMargin
 
+  // ---- end-to-end curation pipeline in one DAG ----
+  // The capstone composition every training-data pipeline runs: quality
+  // gate → exact-dedup (keep the min doc per fingerprint) → weighted
+  // Bernoulli subsample (keep-probability ∝ token count, deterministic
+  // md5 threshold) → per-language token-budget packing. One lazy plan:
+  // the gate and the weight are scan-side projections, dedup is one
+  // shuffle on the 32-byte fingerprint, the sample is a pure filter, and
+  // packing windows the survivors once per language. Every stage is the
+  // oracle-checked operator it reuses — the query proves they COMPOSE
+  // without materialization between stages.
+  def pipeCurate(s: SparkSession, d: String): DataFrame = {
+    val tk = col("tk")
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val distinctN = size(array_distinct(tk)).cast("long")
+    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
+    val pass = (n >= 50 && n <= 1000) && (sumLen >= n * 3 && sumLen <= n * 10) &&
+      (distinctN * 20 >= n) && (stopHits >= 2) && (shortN * 4 <= n)
+    val gated = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+        n.as("n_tokens"), pass.as("pass"))
+      .filter(col("pass"))
+    // exact dedup: keep the minimum doc_id per content fingerprint
+    val kept = graft.operators.Dedup.firstWins(
+      gated.withColumn("fp", TextFns.fingerprint(col("text"))),
+      Seq("fp"), Seq(col("doc_id").asc)).drop("fp", "text")
+    // weighted subsample: longer (more informative) docs keep higher
+    // probability — bp ∝ tokens, capped at 100%
+    val sampled = graft.operators.Sampling.weightedBernoulli(
+      kept, least(lit(10000L), col("n_tokens") * 20),
+      md5(concat(lit("cur|"), col("doc_id").cast("string"))))
+    // pack survivors into 4096-char bins per language (doc_id order)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("cum", sum("n_chars").over(w))
+      .withColumn("bin", expr("(cum - n_chars) div 4096"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (max("bin") + 1).cast("long").as("n_bins"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  val pipeCurateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), gated AS (
+      |  SELECT doc_id, lang, n_chars, text, len(tk) AS n_tokens
+      |  FROM toks
+      |  WHERE len(tk) BETWEEN 50 AND 1000
+      |    AND list_sum(list_transform(tk, t -> len(t))) BETWEEN len(tk) * 3 AND len(tk) * 10
+      |    AND len(list_distinct(tk)) * 20 >= len(tk)
+      |    AND len(list_intersect(list_distinct(tk),
+      |          ['the','a','of','and','to','in','is'])) >= 2
+      |    AND len(list_filter(tk, t -> len(t) <= 2)) * 4 <= len(tk)
+      |), kept AS (
+      |  SELECT doc_id, lang, n_chars, n_tokens FROM (
+      |    SELECT *, row_number() OVER (
+      |        PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |        ORDER BY doc_id) AS rk
+      |    FROM gated)
+      |  WHERE rk = 1
+      |), sampled AS (
+      |  SELECT * FROM kept
+      |  WHERE substr(md5('cur|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      |        printf('%08x', least(4294967295,
+      |          CAST(floor(least(10000, n_tokens * 20) * 4294967296.0 / 10000.0)
+      |               AS BIGINT)))
+      |), packed AS (
+      |  SELECT lang, n_chars,
+      |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM sampled
+      |)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max((cum - n_chars) // 4096) + 1 AS BIGINT) AS n_bins,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM packed GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipe_curate" -> (pipeCurate _),
     "txt_quality_gate" -> (txtQualityGate _),
     "ds_interleave" -> (dsInterleave _),
     "a12_mad_outliers" -> (madOutliers _),
     "vocab_merges" -> (vocabMerges _))
 
   val oracles: Map[String, String] = Map(
+    "pipe_curate" -> pipeCurateSql,
     "txt_quality_gate" -> txtQualityGateSql,
     "ds_interleave" -> dsInterleaveSql,
     "a12_mad_outliers" -> madOutliersSql,
