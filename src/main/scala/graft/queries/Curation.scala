@@ -81,6 +81,114 @@ object Curation {
       |         AND (dn * 20 >= n) AND (st >= 2) AND (sh * 4 <= n) AS pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- trained quality classifier: Naive Bayes over the gate labels ----
+  // The model-based scoring step that follows the rule gate in real
+  // pipelines (CCNet / fastText quality filters): train a Bernoulli
+  // Naive-Bayes classifier on one hash split of the corpus, labeled by
+  // the rule gate, and score the held-out split. Training IS aggregation
+  // — per-token document frequencies by label, one shuffle on token —
+  // and scoring is an equi-join from the held-out docs' distinct tokens
+  // to the weight table plus an integer sum, so both phases are plain
+  // shuffles that scale like any groupBy/join. Tokens unseen in training
+  // contribute nothing (inner join), the standard open-vocabulary rule.
+  //
+  // Cross-engine doctrine: each per-token log-odds weight is ONE double
+  // expression floored at 1e-6 granularity to a BIGINT micro-nat
+  // (`floor`, not `round` — same reasoning as emb_quantize), and doc
+  // scores are then INTEGER sums of those weights — associative, so no
+  // float-summation-order divergence between engines or partitionings.
+  def txtNbQuality(s: SparkSession, d: String): DataFrame = {
+    val lbl = txtQualityGate(s, d).select(col("doc_id"), col("pass"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("tks"))
+      .withColumn("h",
+        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2))
+      .join(lbl, "doc_id")
+    val train = docs.filter(col("h") < "cd")
+    val test = docs.filter(col("h") >= "cd")
+    val priors = train.agg(
+      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+      sum(when(col("pass"), 0L).otherwise(1L)).as("n_fail"))
+    val vocab = train.select(explode(col("tks")).as("token"), col("pass"))
+      .groupBy("token")
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("dfp"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("dff"))
+      .crossJoin(broadcast(priors))
+      .select(col("token"),
+        floor((log(col("dfp") + 1) - log(col("n_pass") + 2)
+          - log(col("dff") + 1) + log(col("n_fail") + 2)) * 1e6)
+          .cast("long").as("w_micro"))
+    val scored = test.select(col("doc_id"), explode(col("tks")).as("token"))
+      .join(vocab, "token")
+      .groupBy("doc_id")
+      .agg(sum("w_micro").as("s"))
+    test.select(col("doc_id"), col("pass"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id"),
+        (coalesce(col("s"), lit(0L)) +
+          floor((log(col("n_pass") + 1) - log(col("n_fail") + 1)) * 1e6)
+            .cast("long")).as("score_micro"),
+        col("pass").as("actual"))
+      .withColumn("pred", col("score_micro") > 0)
+      .select("doc_id", "score_micro", "pred", "actual")
+      .orderBy("doc_id")
+  }
+
+  val txtNbQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id,
+      |         len(tk) AS n,
+      |         list_sum(list_transform(tk, t -> len(t))) AS sum_len,
+      |         len(list_distinct(tk)) AS dn,
+      |         len(list_filter(tk, t -> len(t) <= 2)) AS sh,
+      |         len(list_intersect(list_distinct(tk),
+      |             ['the','a','of','and','to','in','is'])) AS st
+      |  FROM toks
+      |), base AS (
+      |  SELECT t.doc_id, list_distinct(t.tk) AS tks,
+      |         (m.n >= 50 AND m.n <= 1000)
+      |           AND (m.sum_len >= m.n * 3 AND m.sum_len <= m.n * 10)
+      |           AND (m.dn * 20 >= m.n) AND (m.st >= 2)
+      |           AND (m.sh * 4 <= m.n) AS pass,
+      |         substr(md5('split|' || CAST(t.doc_id AS VARCHAR)), 1, 2) AS h
+      |  FROM toks t JOIN m ON t.doc_id = m.doc_id
+      |), train AS (SELECT * FROM base WHERE h < 'cd'
+      |), test AS (SELECT * FROM base WHERE h >= 'cd'
+      |), pri AS (
+      |  SELECT sum(CASE WHEN pass THEN 1 ELSE 0 END) AS n_pass,
+      |         sum(CASE WHEN pass THEN 0 ELSE 1 END) AS n_fail
+      |  FROM train
+      |), vocab AS (
+      |  SELECT token,
+      |         CAST(floor((ln(sum(CASE WHEN pass THEN 1 ELSE 0 END) + 1)
+      |                     - ln(p.n_pass + 2)
+      |                     - ln(sum(CASE WHEN pass THEN 0 ELSE 1 END) + 1)
+      |                     + ln(p.n_fail + 2)) * 1000000.0) AS BIGINT) AS w_micro
+      |  FROM (SELECT unnest(tks) AS token, pass FROM train), pri p
+      |  GROUP BY token, p.n_pass, p.n_fail
+      |), sc AS (
+      |  SELECT tt.doc_id, sum(v.w_micro) AS s
+      |  FROM (SELECT doc_id, unnest(tks) AS token FROM test) tt
+      |  JOIN vocab v ON tt.token = v.token
+      |  GROUP BY tt.doc_id
+      |), prior_w AS (
+      |  SELECT CAST(floor((ln(n_pass + 1) - ln(n_fail + 1)) * 1000000.0)
+      |              AS BIGINT) AS w
+      |  FROM pri
+      |)
+      |SELECT t.doc_id,
+      |       CAST(coalesce(sc.s, 0) + pw.w AS BIGINT) AS score_micro,
+      |       coalesce(sc.s, 0) + pw.w > 0 AS pred,
+      |       t.pass AS actual
+      |FROM test t LEFT JOIN sc ON t.doc_id = sc.doc_id, prior_w pw
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---- exact-quota curriculum mix (largest-remainder interleaving) ----
   // Fixed-size training-mix construction: exactly T docs total, allocated
   // across (lang, source) strata proportionally to stratum size by the
@@ -382,6 +490,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "pipe_curate" -> (pipeCurate _),
     "txt_quality_gate" -> (txtQualityGate _),
+    "txt_nb_quality" -> (txtNbQuality _),
     "ds_interleave" -> (dsInterleave _),
     "a12_mad_outliers" -> (madOutliers _),
     "vocab_merges" -> (vocabMerges _))
@@ -389,6 +498,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
     "txt_quality_gate" -> txtQualityGateSql,
+    "txt_nb_quality" -> txtNbQualitySql,
     "ds_interleave" -> dsInterleaveSql,
     "a12_mad_outliers" -> madOutliersSql,
     "vocab_merges" -> vocabMergesSql)

@@ -160,6 +160,68 @@ object SimilarityQueries {
       |)
       |WHERE score >= 0.35 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- SemDeDup-style semantic dedup: pairs → clusters → keep/drop ----
+  // The end-to-end embedding dedup decision (Abbas et al., "SemDeDup",
+  // 2023, arXiv:2303.09540): sign-LSH buckets generate candidates, exact
+  // cosine >= 0.35 keeps semantic-duplicate pairs, connected components
+  // closes them transitively, and each cluster keeps exactly ONE
+  // representative (the min vec_id — deterministic, no float argmax to
+  // disagree about). Every corpus vector gets a verdict: singletons keep
+  // themselves. Composes three already-scale-shaped pieces — bucketed
+  // candidate generation (never all-pairs), star-contraction components
+  // (skew-linear, checkpointed rounds), and one left join — so the whole
+  // decision is a fixed number of bounded shuffles at any corpus size.
+  def ddSemdedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val pairs = Similarity.cosineNearDupPairs(emb, nBits = 8, minCos = 0.35)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val cc = graft.operators.TextDedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val ddSemdedupSql: String =
+    """WITH RECURSIVE b AS (
+      |  SELECT vec_id, embedding,
+      |         CAST(list_sum(list_transform(range(0, 8), i ->
+      |           CASE WHEN embedding[i+1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
+      |           AS bucket
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM (
+      |    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+      |      list_sum(list_transform(range(1, len(a.embedding)+1),
+      |                              i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) /
+      |      nullif(sqrt(list_sum(list_transform(range(1, len(a.embedding)+1),
+      |                              i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, len(c.embedding)+1),
+      |                              i -> c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE))), 0) AS score
+      |    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      |  ) WHERE score >= 0.35
+      |), nodes AS (
+      |  SELECT DISTINCT vec_id
+      |  FROM (SELECT vec_a AS vec_id FROM pairs
+      |        UNION ALL SELECT vec_b FROM pairs)
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL SELECT vec_b, vec_a FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT vec_id, vec_id FROM nodes
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+      |), cc AS (
+      |  SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node
+      |)
+      |SELECT e.vec_id,
+      |       CAST(coalesce(cc.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+      |       coalesce(cc.cluster_id, e.vec_id) = e.vec_id AS keep
+      |FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.vec_id
+      |ORDER BY e.vec_id""".stripMargin
+
   // ---- scalar quantization (int8-style codes, the vector-compression
   // step before ANN index build) ----
   // floor-based so both engines compute bit-identical codes: the full
@@ -285,7 +347,8 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_lsh_bucket" -> (simLshBucket _),
     "sim_ivf_topk" -> (simIvfTopk _),
-    "dd_embed_cosine" -> (ddEmbedCosine _)
+    "dd_embed_cosine" -> (ddEmbedCosine _),
+    "dd_semdedup" -> (ddSemdedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +357,7 @@ object SimilarityQueries {
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf_topk" -> simIvfTopkSql,
-    "dd_embed_cosine" -> ddEmbedCosineSql
+    "dd_embed_cosine" -> ddEmbedCosineSql,
+    "dd_semdedup" -> ddSemdedupSql
   )
 }

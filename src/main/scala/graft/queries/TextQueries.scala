@@ -320,6 +320,53 @@ object TextQueries {
       |SELECT doc_a, doc_b, round(est, 4) AS est_jaccard FROM pairs
       |WHERE est >= 0.25 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- near-dup: collapse-first MinHash + LSH (the duplicate-flood-safe
+  // composition: exact groups shrink to one representative before any
+  // signature or pair work; see TextDedup.minhashLshScaledPairs) ----
+  def ddMinhashScaled(s: SparkSession, d: String): DataFrame =
+    TextDedup.minhashLshScaledPairs(Tables.documents(s, d),
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .orderBy("doc_a", "doc_b")
+
+  val ddMinhashScaledSql: String =
+    """WITH g AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+      |         CAST(count(*) AS BIGINT) AS dup_count
+      |  FROM documents
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM g)
+      |), sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+      |  FROM sh
+      |), banded AS (
+      |  SELECT doc_id, sg, b AS band,
+      |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+      |)
+      |SELECT p.doc_a, p.doc_b, round(p.est, 4) AS est_jaccard,
+      |       ga.dup_count AS dups_a, gb.dup_count AS dups_b
+      |FROM pairs p
+      |JOIN g ga ON p.doc_a = ga.doc_id
+      |JOIN g gb ON p.doc_b = gb.doc_id
+      |WHERE p.est >= 0.25 ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- near-dup: simhash signature groups ----
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashGroups(Tables.documents(s, d)).orderBy("simhash")
@@ -834,6 +881,7 @@ object TextQueries {
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_scaled" -> (ddMinhashScaled _),
     "dd_simhash" -> (ddSimhash _)
   )
 
@@ -858,6 +906,7 @@ object TextQueries {
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_scaled" -> ddMinhashScaledSql,
     "dd_simhash" -> ddSimhashSql
   )
 }
