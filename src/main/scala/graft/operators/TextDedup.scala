@@ -64,21 +64,7 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, shingleN: Int, bands: Int,
                       rowsPerBand: Int, minEst: Double): DataFrame = {
     val k = bands * rowsPerBand
-    // `tk` staged as its own column BEFORE shingles references it in a
-    // lambda — a lambda body re-evaluates free expressions per element,
-    // so an inlined tokenize would re-split the text once per shingle
-    val sigd = graft.Par.spread(docs) // k md5s per shingle: spread the hash work
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), TextFns.shingles(col("tk"), shingleN).as("sh"))
-      .select(col("doc_id"), TextFns.minhashSignature(col("sh"), k).as("sig"))
-
-    // explode into (band, bandHash) bucket keys — one shuffle by bucket
-    val banded = sigd.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5(array_join(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), ",")))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = minhashBandIndex(docs, shingleN, bands, rowsPerBand)
 
     banded
       .groupBy("band", "band_hash")
@@ -96,6 +82,75 @@ object TextDedup {
       .distinct() // same pair can collide in several bands
       .filter(col("est_jaccard") >= minEst)
       .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+  }
+
+  /** MinHash band index: (doc_id, sig, band, band_hash) — one row per
+    * (document, band). This is the PERSISTABLE dedup artifact: at corpus
+    * scale it is written once (partitioned by band_hash prefix) and every
+    * later ingest batch joins against it instead of re-tokenizing,
+    * re-hashing, and re-banding the historical corpus — signatures are
+    * amortized over the corpus lifetime, not recomputed per batch.
+    * `minhashLshPairs` and `incrementalNearDups` both consume this exact
+    * shape, so the one-shot and incremental paths can share one index.
+    *
+    * `tk` staged as its own column BEFORE shingles references it in a
+    * lambda — a lambda body re-evaluates free expressions per element,
+    * so an inlined tokenize would re-split the text once per shingle.
+    */
+  def minhashBandIndex(docs: DataFrame, shingleN: Int, bands: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigd = graft.Par.spread(docs) // k md5s per shingle: spread the hash work
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextFns.shingles(col("tk"), shingleN).as("sh"))
+      .select(col("doc_id"), TextFns.minhashSignature(col("sh"), k).as("sig"))
+    // explode into (band, bandHash) bucket keys — one shuffle by bucket
+    sigd.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Incremental ingest dedup: match a NEW batch of documents against an
+    * existing corpus' precomputed [[minhashBandIndex]] without touching
+    * corpus text. Only the batch is tokenized/signed (linear in batch
+    * size); candidate generation is the (band, band_hash) equi-join into
+    * the index, and each batch doc reports its best corpus match (highest
+    * estimated Jaccard, ties to the smallest corpus id) or `novel = true`.
+    *
+    * The at-scale contract: ingesting a 1 GB batch into a 100 TB corpus
+    * costs O(batch + matched buckets), not O(corpus) — the historical
+    * index is read only at the joined band-hash keys (partition/bucket
+    * pruning on the persisted index makes that literal), and nothing is
+    * ever recomputed for old documents. Batch-internal duplicates are
+    * deliberately out of scope (run `minhashLshPairs` on the batch for
+    * those); `bands`/`rowsPerBand` must match the index's parameters.
+    */
+  def incrementalNearDups(corpusIndex: DataFrame, batch: DataFrame,
+                          shingleN: Int, bands: Int, rowsPerBand: Int,
+                          minEst: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val bIdx = minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val cIdx = corpusIndex.select(col("band"), col("band_hash"),
+      col("doc_id").as("c_id"), col("sig").as("c_sig"))
+    val matches = bIdx.join(cIdx, Seq("band", "band_hash"))
+      .select(col("b_id"), col("c_id"),
+        (size(filter(zip_with(col("b_sig"), col("c_sig"), (p, q) => p === q),
+          eq => eq)).cast("double") / k).as("est"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est") >= minEst)
+    val w = Window.partitionBy("b_id").orderBy(desc("est"), col("c_id"))
+    val best = matches
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("b_id").as("doc_id"), col("c_id").as("match_id"),
+        round(col("est"), 4).as("match_est"))
+    batch.select("doc_id").join(best, Seq("doc_id"), "left")
+      .withColumn("novel", col("match_id").isNull)
+      .select("doc_id", "novel", "match_id", "match_est")
   }
 
   /** Collapse-first MinHash LSH: exact duplicates (same normalized text)

@@ -81,6 +81,88 @@ object Curation {
       |         AND (dn * 20 >= n) AND (st >= 2) AND (sh * 4 <= n) AS pass
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---- temperature-flattened source mixing ----
+  // The standard multilingual/multi-source rebalancing rule (mT5 / data
+  // mixing literature): sample source i proportionally to cnt_i^α with
+  // α = 1/2, so big sources are down-weighted and small sources
+  // up-weighted relative to natural proportions. Exactly TempTotal docs
+  // come out, allocated by largest remainder over the α-weights.
+  //
+  // Determinism doctrine: cnt^0.5 is computed as `sqrt` — IEEE 754
+  // requires sqrt to be CORRECTLY ROUNDED (unlike pow/ln/exp, which are
+  // merely faithful), so floor(sqrt(cnt)·10⁹) lands on the same BIGINT in
+  // every engine, and all quota arithmetic after that single floor is
+  // integer (floor-div + exact largest remainder). No double ever decides
+  // a quota or a row. Selection within a source is the smallest-quota
+  // docs by md5 mix key, with the same 8× hash-threshold prune as
+  // ds_interleave so no full-source sort ever happens.
+  private val TempTotal = 200
+
+  def dsTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .withColumn("w", floor(sqrt(col("cnt").cast("double")) * 1e9).cast("long"))
+    val withTotal = strata.withColumn("wtot",
+      sum("w").over(Window.partitionBy()))
+    val base = withTotal
+      .withColumn("base", expr(s"($TempTotal * w) div wtot").cast("long"))
+      .withColumn("rem", (lit(TempTotal.toLong) * col("w")) % col("wtot"))
+    val wRem = Window.orderBy(desc("rem"), col("source"))
+    val quotas = base
+      .withColumn("deficit",
+        lit(TempTotal.toLong) - sum("base").over(Window.partitionBy()))
+      .withColumn("rk_rem", row_number().over(wRem))
+      .withColumn("quota",
+        (col("base") + when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("source"), col("cnt"), col("quota"))
+    val thr = format_string("%08x",
+      least(lit(4294967295L),
+        floor(least(lit(1.0), lit(8.0 * TempTotal) / col("cnt"))
+          * lit(4294967296.0)).cast("long")))
+    val wPick = Window.partitionBy("source")
+      .orderBy(col("mix_key"), col("doc_id"))
+    docs
+      .withColumn("mix_key",
+        md5(concat(lit("temp|"), col("doc_id").cast("string"))))
+      .join(broadcast(quotas.withColumn("mix_thr", thr)), Seq("source"))
+      .filter(substring(col("mix_key"), 1, 8) <= col("mix_thr"))
+      .withColumn("rk", row_number().over(wPick).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("rk"), col("doc_id"), col("quota"))
+      .orderBy("source", "rk")
+  }
+
+  val dsTemperatureSql: String =
+    """WITH strata AS (
+      |  SELECT source, count(*) AS cnt,
+      |         CAST(floor(sqrt(cnt) * 1000000000.0) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1
+      |), q AS (
+      |  SELECT source, cnt, w,
+      |         (200 * w) // sum(w) OVER () AS base,
+      |         (200 * w) % sum(w) OVER () AS rem
+      |  FROM strata
+      |), quotas AS (
+      |  SELECT source, cnt,
+      |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+      |                       <= 200 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
+      |  FROM q
+      |), kept AS (
+      |  SELECT d.source, d.doc_id, quotas.quota,
+      |         md5('temp|' || CAST(d.doc_id AS VARCHAR)) AS key
+      |  FROM documents d JOIN quotas ON d.source = quotas.source
+      |), ranked AS (
+      |  SELECT source, doc_id, quota,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY key, doc_id) AS rk
+      |  FROM kept
+      |)
+      |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id,
+      |       CAST(quota AS BIGINT) AS quota
+      |FROM ranked WHERE rk <= quota
+      |ORDER BY source, rk""".stripMargin
+
   // ---- trained quality classifier: Naive Bayes over the gate labels ----
   // The model-based scoring step that follows the rule gate in real
   // pipelines (CCNet / fastText quality filters): train a Bernoulli
@@ -491,6 +573,7 @@ object Curation {
     "pipe_curate" -> (pipeCurate _),
     "txt_quality_gate" -> (txtQualityGate _),
     "txt_nb_quality" -> (txtNbQuality _),
+    "ds_temperature" -> (dsTemperature _),
     "ds_interleave" -> (dsInterleave _),
     "a12_mad_outliers" -> (madOutliers _),
     "vocab_merges" -> (vocabMerges _))
@@ -499,6 +582,7 @@ object Curation {
     "pipe_curate" -> pipeCurateSql,
     "txt_quality_gate" -> txtQualityGateSql,
     "txt_nb_quality" -> txtNbQualitySql,
+    "ds_temperature" -> dsTemperatureSql,
     "ds_interleave" -> dsInterleaveSql,
     "a12_mad_outliers" -> madOutliersSql,
     "vocab_merges" -> vocabMergesSql)

@@ -367,6 +367,70 @@ object TextQueries {
       |JOIN g gb ON p.doc_b = gb.doc_id
       |WHERE p.est >= 0.25 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- incremental ingest dedup: new batch vs precomputed corpus index ----
+  // The last 20% of doc_ids play the "newly crawled batch"; the first 80%
+  // are the historical corpus whose band index already exists (here built
+  // in the same DAG; in production it is the persisted artifact —
+  // TextDedupSpec round-trips it through parquet to prove the shape
+  // survives storage). Split arithmetic is integer (doc_id*5 vs
+  // (max_id+1)*4), so both engines cut identically.
+  def ddIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val dd = docs.crossJoin(broadcast(mx))
+    val corpus = dd.filter(col("doc_id") * 5 < (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    val batch = dd.filter(col("doc_id") * 5 >= (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    val idx = TextDedup.minhashBandIndex(corpus,
+      shingleN = 2, bands = 4, rowsPerBand = 4)
+    TextDedup.incrementalNearDups(idx, batch,
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .orderBy("doc_id")
+  }
+
+  val ddIncrementalSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |), sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+      |  FROM sh
+      |), banded AS (
+      |  SELECT doc_id, sg, b AS band,
+      |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+      |), mx AS (SELECT max(doc_id) AS mx FROM documents
+      |), bb AS (SELECT banded.* FROM banded, mx WHERE doc_id * 5 >= (mx + 1) * 4
+      |), cb AS (SELECT banded.* FROM banded, mx WHERE doc_id * 5 < (mx + 1) * 4
+      |), matches AS (
+      |  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> CASE WHEN b.sg[i] = c.sg[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+      |  FROM bb b JOIN cb c ON b.band = c.band AND b.band_hash = c.band_hash
+      |), best AS (
+      |  SELECT b_id, c_id, est FROM (
+      |    SELECT b_id, c_id, est,
+      |           row_number() OVER (PARTITION BY b_id
+      |                              ORDER BY est DESC, c_id) AS rn
+      |    FROM matches WHERE est >= 0.25
+      |  ) WHERE rn = 1
+      |)
+      |SELECT d.doc_id, best.c_id IS NULL AS novel,
+      |       best.c_id AS match_id, round(best.est, 4) AS match_est
+      |FROM (SELECT doc_id FROM documents, mx WHERE doc_id * 5 >= (mx + 1) * 4) d
+      |LEFT JOIN best ON d.doc_id = best.b_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- near-dup: simhash signature groups ----
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashGroups(Tables.documents(s, d)).orderBy("simhash")
@@ -882,6 +946,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_scaled" -> (ddMinhashScaled _),
+    "dd_incremental" -> (ddIncremental _),
     "dd_simhash" -> (ddSimhash _)
   )
 
@@ -907,6 +972,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_scaled" -> ddMinhashScaledSql,
+    "dd_incremental" -> ddIncrementalSql,
     "dd_simhash" -> ddSimhashSql
   )
 }
