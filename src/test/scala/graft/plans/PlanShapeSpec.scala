@@ -179,6 +179,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.indexOf("Window") < p.indexOf("TakeOrderedAndProject"), p)
   }
 
+  test("dd_incremental joins the band index by equi-join, never cartesian") {
+    // the whole at-scale contract is that batch→index matching is a hash
+    // join on (band, band_hash): a cartesian/BNL here would be O(batch ×
+    // corpus) and defeat the index entirely
+    val p = plan("dd_incremental")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p) // scalar max-id crossjoin is BNL-1-row
+  }
+
+  test("ds_temperature broadcasts its quota table like ds_interleave") {
+    val p = plan("ds_temperature")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("txt_nb_quality: the two-row prior table is broadcast, not shuffled") {
+    val p = plan("txt_nb_quality")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
