@@ -41,10 +41,17 @@ object ScaleOps {
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .filter(size(col("parts")) > 1)
+      // pack the sorted pair into ONE long (a<<32 | b, exact for keys
+      // < 2^32 — ngramJaccardPairs' trick): the count shuffle then keys
+      // on an 8-byte primitive instead of a 16-byte struct, and the hash
+      // agg runs on long equality rather than struct comparison
       .select(explode(TextDedup.expandSortedPairs(col("parts"),
-        (x, y) => struct(x.as("part_a"), y.as("part_b")))).as("p"))
-      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
+        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pk"))
+      .groupBy("pk")
       .agg(count(lit(1)).as("orders_together"))
+      .select(shiftrightunsigned(col("pk"), 32).as("part_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
+        col("orders_together"))
       .orderBy(desc("orders_together"), col("part_a"), col("part_b"))
       .limit(25)
 

@@ -818,7 +818,17 @@ object TextQueries {
       .select(col("doc_id"), TextFns.shingles(col("tk"), 3).as("sh"))
       .select(col("doc_id"),
         size(col("sh")).cast("long").as("n_ngrams"),
-        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+        // distinct-count the 64-bit HASHES, not the strings:
+        // array_distinct on a string array is a quadratic pairwise
+        // UTF8String compare per document; on longs it's primitive
+        // equality. The count is identical unless two of a document's
+        // shingles collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻¹⁵ for a 400-token
+        // doc — the same collision-freedom the md5 fingerprint dedup
+        // already stakes correctness on). Each engine hashes with its
+        // own 64-bit function; only the per-doc distinct COUNT must
+        // agree, never the hash values.
+        size(array_distinct(transform(col("sh"), x => xxhash64(x))))
+          .cast("long").as("n_distinct"))
       // shingles() never yields an empty array, so the division is safe;
       // `div` is integral division (exact, unlike `/` which goes double)
       .withColumn("rep_bp",
@@ -837,12 +847,15 @@ object TextQueries {
       |         ELSE [array_to_string(tk, ' ')] END AS g
       |  FROM toks
       |)
-      |SELECT doc_id,
-      |       CAST(len(g) AS BIGINT) AS n_ngrams,
-      |       CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
-      |       CAST((len(g) - len(list_distinct(g))) * 10000 // len(g) AS BIGINT)
+      |SELECT doc_id, n_ngrams, n_distinct,
+      |       CAST((n_ngrams - n_distinct) * 10000 // n_ngrams AS BIGINT)
       |         AS rep_bp
-      |FROM sh ORDER BY doc_id""".stripMargin
+      |FROM (SELECT doc_id,
+      |        CAST(len(g) AS BIGINT) AS n_ngrams,
+      |        CAST(len(list_distinct(list_transform(g, x -> hash(x))))
+      |          AS BIGINT) AS n_distinct
+      |      FROM sh)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- weighted importance sampling: quality-biased corpus subset ----
   // Longer documents are kept with proportionally higher probability
