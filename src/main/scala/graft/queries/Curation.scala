@@ -115,6 +115,17 @@ object Curation {
       .withColumn("quota",
         (col("base") + when(col("rk_rem") <= col("deficit"), 1L).otherwise(0L))
           .cast("long"))
+      // flattening UP-weights small sources, so unlike proportional
+      // allocation a quota CAN exceed its stratum (precondition:
+      // T·sqrt(cnt_i)/Σsqrt(cnt) ≤ cnt_i for every source — always true
+      // when T ≪ corpus, the 100 TB regime). A violated precondition
+      // would silently deliver fewer than TempTotal rows; fail loudly
+      // instead, on the dozen-row quota frame (same doctrine as the
+      // dd_cluster convergence check and a11's overflow guard).
+      .withColumn("quota",
+        coalesce(when(col("quota") <= col("cnt"), col("quota")),
+          raise_error(lit("ds_temperature: quota exceeds stratum size — " +
+            "TempTotal too large for this source profile")).cast("long")))
       .select(col("source"), col("cnt"), col("quota"))
     val thr = format_string("%08x",
       least(lit(4294967295L),
@@ -143,11 +154,17 @@ object Curation {
       |         (200 * w) // sum(w) OVER () AS base,
       |         (200 * w) % sum(w) OVER () AS rem
       |  FROM strata
-      |), quotas AS (
+      |), quotas0 AS (
       |  SELECT source, cnt,
       |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
       |                       <= 200 - sum(base) OVER () THEN 1 ELSE 0 END AS quota
       |  FROM q
+      |), quotas AS (
+      |  SELECT source, cnt,
+      |         CASE WHEN quota <= cnt THEN quota
+      |              ELSE CAST(error('ds_temperature: quota exceeds stratum size')
+      |                        AS BIGINT) END AS quota
+      |  FROM quotas0
       |), kept AS (
       |  SELECT d.source, d.doc_id, quotas.quota,
       |         md5('temp|' || CAST(d.doc_id AS VARCHAR)) AS key

@@ -137,4 +137,91 @@ class PropertiesSpec extends SparkSuite {
     }
     assert(seen.values.toSet.size == seen.size) // injective on the sample
   }
+
+  test("property: temperature quotas sum to exactly TempTotal and respect α-order") {
+    // largest-remainder correctness over random source-size profiles: the
+    // quotas must sum EXACTLY to the requested total (no ±k drift), and a
+    // strictly larger source never gets a smaller quota (monotonicity of
+    // cnt^α allocation). Checked through the public query on synthetic
+    // parquet written per sample.
+    // 6 sources of 50..400 always satisfy the quota ≤ cnt precondition:
+    // the worst share is 200·sqrt(50)/(6·sqrt(50)) = 33 ≤ 50
+    val cntsGen = Gen.listOfN(6, Gen.chooseNum(50L, 400L))
+    for ((cnts, si) <- samples(cntsGen, 4).zipWithIndex) {
+      val dir = java.nio.file.Files.createTempDirectory(s"temp_prop$si").toString
+      var id = 0L
+      val rows = cnts.zipWithIndex.flatMap { case (c, s) =>
+        (1L to c).map { _ => id += 1; (id, s"src$s", "en", 10L, s"tok$id words") }
+      }
+      rows.toDF("doc_id", "source", "lang", "n_chars", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.queries.Curation.dsTemperature(spark, dir)
+        .groupBy("source").agg(max("quota").as("q"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // every source's selection fills its quota exactly, totals are exact
+      got.foreach { case (_, q, n) => assert(q == n) }
+      assert(got.map(_._3).sum == 200L)
+      val bySrc = got.map(t => t._1 -> t._2).toMap
+      for (a <- cnts.indices; b <- cnts.indices
+           if cnts(a) > cnts(b) && bySrc.contains(s"src$a") && bySrc.contains(s"src$b"))
+        assert(bySrc(s"src$a") >= bySrc(s"src$b"),
+          s"bigger source src$a quota ${bySrc(s"src$a")} < src$b ${bySrc(s"src$b")}")
+    }
+  }
+
+  test("ds_temperature fails loudly when flattening over-allocates a tiny source") {
+    // cnts (1, 400, 400): the tiny source's α-share is 200·1/41 ≈ 4 > 1
+    // doc — a silent shortfall under proportional-style selection; the
+    // quota guard must raise instead
+    val dir = java.nio.file.Files.createTempDirectory("temp_guard").toString
+    var id = 0L
+    val rows = Seq(1L, 400L, 400L).zipWithIndex.flatMap { case (c, s) =>
+      (1L to c).map { _ => id += 1; (id, s"src$s", "en", 10L, s"tok$id words") }
+    }
+    rows.toDF("doc_id", "source", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      graft.queries.Curation.dsTemperature(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("quota exceeds stratum size")
+      || e.getCause != null && e.getCause.getMessage.contains("quota exceeds stratum size"),
+      e.getMessage)
+  }
+
+  test("property: incremental verdicts agree with one-shot LSH pairs on the union") {
+    // consistency of the two MinHash consumers: a batch doc is non-novel
+    // with best match (c, est) iff the one-shot pair list over
+    // corpus ∪ batch contains cross pairs for it, and (c, est) is that
+    // doc's max-est (min-id tie) cross pair. Random small corpora with
+    // shared vocabulary so band collisions actually occur.
+    import graft.operators.TextDedup
+    val tokGen = Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    for (seed <- 1 to 3) {
+      val all = samples(Gen.listOfN(14, tokGen), 3)(seed - 1)
+        .map(_.mkString(" ")) // 14 docs of 10 tokens
+      val docs = all.zipWithIndex.map { case (t, i) => (i.toLong, "en", 10L, t) }
+        .toDF("doc_id", "lang", "n_chars", "text")
+      val corpus = docs.filter($"doc_id" < 10).select("doc_id", "text")
+      val batch = docs.filter($"doc_id" >= 10).select("doc_id", "text")
+      val idx = TextDedup.minhashBandIndex(corpus, 2, 4, 4)
+      val inc = TextDedup.incrementalNearDups(idx, batch, 2, 4, 4, 0.25)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+        .toMap
+      val cross = TextDedup.minhashLshPairs(
+          corpus.unionByName(batch), 2, 4, 4, 0.25)
+        .filter($"doc_b" >= 10 && $"doc_a" < 10)
+        .collect().map(r => (r.getLong(1), r.getLong(0), r.getDouble(2)))
+        .groupBy(_._1)
+      inc.foreach { case (bId, (novel, best)) =>
+        cross.get(bId) match {
+          case None => assert(novel && best.isEmpty, s"doc $bId should be novel")
+          case Some(ps) =>
+            val expect = ps.minBy(p => (-p._3, p._2))
+            assert(!novel && best.contains((expect._2, expect._3)),
+              s"doc $bId best $best vs expected $expect")
+        }
+      }
+    }
+  }
 }
