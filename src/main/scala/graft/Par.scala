@@ -24,6 +24,9 @@ object Par {
     // blocked probe merely skips an optional repartition, a wrong probe
     // executes half the query eagerly on the driver. Plans that fail the
     // check are post-exchange and already parallel anyway.
+    // a streaming frame has no .rdd at all — micro-batch planning sets
+    // its parallelism, so spread is a no-op there by definition
+    if (df.isStreaming) return df
     import org.apache.spark.sql.catalyst.plans.logical._
     val probeSafe = df.queryExecution.logical.collect { case n => n }.forall {
       case _: Project | _: Filter | _: SubqueryAlias => true

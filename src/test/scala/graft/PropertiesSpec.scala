@@ -224,4 +224,29 @@ class PropertiesSpec extends SparkSuite {
       }
     }
   }
+
+  test("dd_substring reports exactly the planted maximal spans") {
+    val dir = java.nio.file.Files.createTempDirectory("substr_prop").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val S12 = (1 to 12).map(i => s"sh$i") // 12-token shared run: reported
+    val S9 = (1 to 9).map(i => s"nn$i")   // 9 tokens: one below MinSpan
+    val tmpl = (1 to 20).map(i => s"cm$i") // template block in 18 docs: df-capped
+    val docs = (Seq(
+      1L -> (toks("a", 5) ++ S12 ++ toks("az", 5)),
+      2L -> (toks("b", 9) ++ S12 ++ toks("bz", 3)),
+      3L -> (toks("c", 4) ++ S9 ++ toks("cz", 6)),
+      4L -> (toks("d", 4) ++ S9 ++ toks("dz", 6))
+    ) ++ (5L to 22L).map(i => i -> (toks(s"e${i}x", 3) ++ tmpl)))
+      .map { case (id, tk) => (id, "en", tk.size.toLong, tk.mkString(" ")) }
+    docs.toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.ddSubstring(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // the 12-token run is maximal (unique flanks stop extension) and lands
+    // at its planted 1-based offsets; the 9-token run is below MinSpan;
+    // the 18-doc template block exceeds the df cap — a template, not a
+    // copy — so it emits nothing
+    assert(got == Seq((1L, 2L, 6L, 10L, 12L)))
+  }
 }

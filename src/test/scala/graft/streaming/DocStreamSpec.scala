@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.TextDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class DocStreamSpec extends SparkSuite {
+
+  private val TextA =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val TextANear =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+  private val TextOther =
+    "one two three four five six seven eight nine ten eleven twelve"
+  private val TextNovel =
+    "red orange yellow green blue indigo violet pink brown black white grey"
+
+  private def run(name: String)(batches: Seq[Seq[(Long, String)]]): Unit = {
+    val s = spark
+    import s.implicits._
+    val in = MemoryStream[(Long, String)](s)
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = DocStream.nearDupCandidates(docs,
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+  }
+
+  test("stream matches exact replicas across and within micro-batches") {
+    run("cand1")(Seq(
+      Seq(1L -> TextA, 2L -> TextANear, 3L -> TextOther),
+      Seq(4L -> TextA, 5L -> TextNovel),
+      Seq(6L -> TextA)))
+    val best = DocStream.bestMatches(spark.table("cand1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // exact replica of doc 1 in a later batch: full-signature agreement,
+    // and the matched representative is the ORIGINAL min id
+    assert(best(4L) == (1L, 1.0))
+    // replica of a replica: doc 4 never became a representative (the
+    // collapse rule), so doc 6 still matches 1, not 4
+    assert(best(6L) == (1L, 1.0))
+    // novel and unrelated docs emit no candidates at all
+    assert(!best.contains(5L) && !best.contains(3L))
+  }
+
+  test("stream verdicts equal the batch incremental matcher on the same split") {
+    val s = spark
+    import s.implicits._
+    run("cand2")(Seq(
+      Seq(1L -> TextA, 2L -> TextANear, 3L -> TextOther),
+      Seq(4L -> TextA, 5L -> TextNovel)))
+    val streamBest = DocStream.bestMatches(
+        spark.table("cand2").filter(col("doc_id") >= 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val corpus = Seq(1L -> TextA, 2L -> TextANear, 3L -> TextOther)
+      .toDF("doc_id", "text")
+    val batch = Seq(4L -> TextA, 5L -> TextNovel).toDF("doc_id", "text")
+    val idx = TextDedup.minhashBandIndex(corpus, 2, 4, 4)
+    val batchBest = TextDedup.incrementalNearDups(idx, batch, 2, 4, 4, 0.25)
+      .filter(!col("novel"))
+      .select("doc_id", "match_id", "match_est")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamBest == batchBest)
+  }
+
+  test("within-batch arrivals fold in doc_id order deterministically") {
+    // both replicas arrive in ONE batch, listed out of order: the lower
+    // id must become the representative, the higher one the match
+    run("cand3")(Seq(Seq(8L -> TextA, 7L -> TextA)))
+    val best = DocStream.bestMatches(spark.table("cand3"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(best(8L) == (7L, 1.0))
+    assert(!best.contains(7L))
+  }
+}
