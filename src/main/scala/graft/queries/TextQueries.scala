@@ -1049,8 +1049,193 @@ object TextQueries {
       |HAVING count(*) + 7 >= 10
       |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
 
+  // ---- TXT: intra-document repeated spans (self-similarity) ----
+  // The other half of the Lee et al. 2021 method: training corpora
+  // repeat text WITHIN documents too (quoted replies, boilerplate
+  // headers, scraper artifacts), and the paper dedups those spans the
+  // same way as cross-document ones. Identical machinery to
+  // `ddSubstring` — anchor windows at every position, diagonal islands
+  // chaining — but the pair join is a SELF-join inside one document:
+  // two occurrences of the same anchor at positions pa < pb lie on
+  // diagonal dg = pb − pa (the repeat period), and a repeated span of
+  // L tokens is L−7 consecutive anchor pairs on that diagonal.
+  // Overlapping (tandem) repeats need no special case: period-dg
+  // self-overlap just chains on its own diagonal. The per-(doc, anchor)
+  // occurrence cap [2, 8] bounds the C(occ, 2) pair fan-out; a window
+  // repeated more than 8 times in one document is degenerate
+  // repetition, which `txt_repetition` already scores — same division
+  // of labor as `ddSubstring`'s df cap vs collapse-first MinHash.
+  //
+  // Constants are corpus-tuned where `ddSubstring`'s are paper-tuned:
+  // intra-doc repeats in real scraped text (and this corpus) are short
+  // phrases, so the anchor is 3 tokens and every maximal repeat >= 3
+  // is reported — at production span thresholds the synthetic corpus
+  // would emit zero rows and the oracle would differential-test
+  // nothing. K and MinSpan scale together; the machinery is identical.
+  def txtSelfSpan(s: SparkSession, d: String): DataFrame = {
+    val K = 3        // anchor width (tokens)
+    val MinSpan = 3  // report maximal repeats of at least this many tokens
+    val OccCap = 8
+    val th = graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), transform(col("tk"), t => xxhash64(t)).as("th"))
+      .filter(size(col("th")) >= K)
+    val win = th.select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("th")) - (K - 1)),
+          i => xxhash64((0 until K).map(j =>
+            element_at(col("th"), (i + lit(j)).cast("int"))): _*))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    // occ = 1 anchors can't pair — dropping them up front shrinks the
+    // self-join input to just the repeating minority
+    val rep = win.groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ").between(2, OccCap))
+      .select("doc_id", "h")
+    val keep = win.join(rep, Seq("doc_id", "h"))
+    val pairs = keep.select(col("doc_id"), col("h"), col("pos").as("pa"))
+      .join(keep.select(col("doc_id"), col("h"), col("pos").as("pb")),
+        Seq("doc_id", "h"))
+      .filter(col("pa") < col("pb"))
+      .select(col("doc_id"), col("pa"), col("pb"))
+    val diag = Window.partitionBy(col("doc_id"), col("dg")).orderBy(col("pa"))
+    pairs.withColumn("dg", col("pb") - col("pa"))
+      .withColumn("isl", col("pa") - row_number().over(diag))
+      .groupBy("doc_id", "dg", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (K - 1)).cast("long").as("span_len"))
+      .filter(col("span_len") >= MinSpan)
+      // start_b − start_a recovers dg and a diagonal's runs are disjoint
+      // in pa, so (doc_id, start_a, start_b) is a total order
+      .select(col("doc_id"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("span_len"))
+      .orderBy("doc_id", "start_a", "start_b")
+  }
+
+  val txtSelfSpanSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 1)) AS pos, tk
+      |  FROM toks WHERE len(tk) >= 3
+      |), win AS (
+      |  SELECT doc_id, pos,
+      |         array_to_string(list_slice(tk, pos, pos + 2), ' ') AS g
+      |  FROM pos
+      |), rep AS (
+      |  SELECT doc_id, g
+      |  FROM (SELECT doc_id, g, count(*) AS occ FROM win GROUP BY 1, 2)
+      |  WHERE occ BETWEEN 2 AND 8
+      |), keep AS (
+      |  SELECT win.* FROM win JOIN rep USING (doc_id, g)
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb
+      |  FROM keep a JOIN keep b
+      |    ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+      |), runs AS (
+      |  SELECT doc_id, pa, pb, pb - pa AS dg,
+      |         pa - row_number() OVER (PARTITION BY doc_id, pb - pa
+      |                                 ORDER BY pa) AS isl
+      |  FROM pr
+      |)
+      |SELECT doc_id, CAST(min(pa) AS BIGINT) AS start_a,
+      |       CAST(min(pb) AS BIGINT) AS start_b,
+      |       CAST(count(*) + 2 AS BIGINT) AS span_len
+      |FROM runs GROUP BY doc_id, dg, isl
+      |HAVING count(*) + 2 >= 3
+      |ORDER BY doc_id, start_a, start_b""".stripMargin
+
+  // ---- TXT: repeated-span removal (the dedup ACTION) ----
+  // Detection composed into the edit Lee et al. actually apply: drop
+  // every LATER occurrence (the start_b side of each reported span,
+  // positions [start_b, start_b + len)) and rebuild the text from the
+  // surviving tokens. The first occurrence always survives, so no
+  // document empties. Distinct drop positions make overlapping spans
+  // (tandem repeats, triple+ occurrences — each later copy pairs with
+  // the first) compose without double-drop bookkeeping. The rebuild is
+  // one anti-join on (doc_id, pos) and one per-doc fold:
+  // array_sort(struct(pos, tok)) makes collect_list order-independent —
+  // bit-identical at any partitioning. Docs without repeats pass
+  // through unchanged; docs with no tokens have nothing to rebuild and
+  // are absent from both engines by construction.
+  def txtSelfClean(s: SparkSession, d: String): DataFrame = {
+    val drop = txtSelfSpan(s, d)
+      .select(col("doc_id"), explode(sequence(col("start_b"),
+        col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = graft.Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    toks.join(drop, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")), " ").as("clean_text"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks")), "doc_id")
+      .select(col("doc_id"), col("n_kept"),
+        (col("n_toks") - col("n_kept")).as("n_dropped"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val txtSelfCleanSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) - 1)) AS pos, tk
+      |  FROM toks WHERE len(tk) >= 3
+      |), win AS (
+      |  SELECT doc_id, pos,
+      |         array_to_string(list_slice(tk, pos, pos + 2), ' ') AS g
+      |  FROM pos
+      |), rep AS (
+      |  SELECT doc_id, g
+      |  FROM (SELECT doc_id, g, count(*) AS occ FROM win GROUP BY 1, 2)
+      |  WHERE occ BETWEEN 2 AND 8
+      |), keep AS (
+      |  SELECT win.* FROM win JOIN rep USING (doc_id, g)
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb
+      |  FROM keep a JOIN keep b
+      |    ON a.doc_id = b.doc_id AND a.g = b.g AND a.pos < b.pos
+      |), runs AS (
+      |  SELECT doc_id, pa, pb, pb - pa AS dg,
+      |         pa - row_number() OVER (PARTITION BY doc_id, pb - pa
+      |                                 ORDER BY pa) AS isl
+      |  FROM pr
+      |), spans AS (
+      |  SELECT doc_id, min(pb) AS start_b, count(*) + 2 AS span_len
+      |  FROM runs GROUP BY doc_id, dg, isl
+      |  HAVING count(*) + 2 >= 3
+      |), drop AS (
+      |  SELECT DISTINCT doc_id, unnest(range(start_b, start_b + span_len)) AS pos
+      |  FROM spans
+      |), tokpos AS (
+      |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, tk
+      |  FROM toks WHERE len(tk) >= 1
+      |), kept AS (
+      |  SELECT t.doc_id, t.pos, t.tk[t.pos] AS tok
+      |  FROM tokpos t LEFT JOIN drop d
+      |    ON t.doc_id = d.doc_id AND t.pos = d.pos
+      |  WHERE d.doc_id IS NULL
+      |)
+      |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |       CAST(any_value(n.n_toks) - count(*) AS BIGINT) AS n_dropped,
+      |       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      |FROM kept k JOIN (SELECT doc_id, len(tk) AS n_toks FROM toks) n
+      |  ON k.doc_id = n.doc_id
+      |GROUP BY k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "dd_substring" -> (ddSubstring _),
+    "txt_self_span" -> (txtSelfSpan _),
+    "txt_self_clean" -> (txtSelfClean _),
     "ds_weighted" -> (dsWeighted _),
     "txt_ppl_proxy" -> (txtPplProxy _),
     "dd_contaminate" -> (ddContaminate _),
@@ -1078,6 +1263,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "dd_substring" -> ddSubstringSql,
+    "txt_self_span" -> txtSelfSpanSql,
+    "txt_self_clean" -> txtSelfCleanSql,
     "ds_weighted" -> dsWeightedSql,
     "txt_ppl_proxy" -> txtPplProxySql,
     "dd_contaminate" -> ddContaminateSql,

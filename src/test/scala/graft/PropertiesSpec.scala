@@ -249,4 +249,43 @@ class PropertiesSpec extends SparkSuite {
     // copy — so it emits nothing
     assert(got == Seq((1L, 2L, 6L, 10L, 12L)))
   }
+
+  test("txt_self_span reports planted intra-document repeats") {
+    val dir = java.nio.file.Files.createTempDirectory("selfspan_prop").toString
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val S12 = (1 to 12).map(i => s"sh$i")
+    val S2 = Seq("nn1", "nn2")
+    val T10 = (1 to 10).map(i => s"tt$i")
+    val docs = Seq(
+      // S12 twice with unique flanks: one maximal 12-token repeat at the
+      // planted offsets (6, 22) — chained, not reported per-anchor
+      1L -> (toks("a", 5) ++ S12 ++ toks("am", 4) ++ S12 ++ toks("az", 5)),
+      // a 2-token repeat: no 3-token anchor repeats, nothing reported
+      2L -> (toks("b", 3) ++ S2 ++ toks("bm", 2) ++ S2 ++ toks("bz", 3)),
+      // one token 40 times: every anchor identical, 38 occurrences blow
+      // the [2, 8] cap — degenerate repetition, txt_repetition's regime
+      3L -> Seq.fill(40)("rr"),
+      // tandem repeat T10 T10: self-overlap chains on diagonal 10 with
+      // no special case — exactly one span of length 10 at (1, 11)
+      4L -> (T10 ++ T10)
+    ).map { case (id, tk) => (id, "en", tk.size.toLong, tk.mkString(" ")) }
+    docs.toDF("doc_id", "lang", "n_chars", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.txtSelfSpan(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, 6L, 22L, 12L), (4L, 1L, 11L, 10L)))
+
+    // the clean action drops exactly the later occurrences and rebuilds
+    // the surviving text in position order
+    val clean = graft.queries.TextQueries.txtSelfClean(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(clean(1L) ==
+      (26L, 12L, (toks("a", 5) ++ S12 ++ toks("am", 4) ++ toks("az", 5))
+        .mkString(" ")))
+    assert(clean(4L) == (10L, 10L, T10.mkString(" ")))
+    // untouched docs pass through verbatim
+    assert(clean(2L)._2 == 0L && clean(3L)._2 == 0L)
+  }
 }
