@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-exact approximate-distinct sketches.
+  *
+  * The HLL / quantile / count-min tier in [[graft.operators.Sketches]] is
+  * ScalaTest-verified against error bounds because Spark's HLL buckets
+  * aren't portable. KMV (k-minimum-values) is the sketch that IS portable:
+  * its state is the k smallest values of a uniform hash over the distinct
+  * set, and with md5 as the hash every engine computes the identical
+  * sketch, the identical θ, and therefore the identical estimate —
+  * approximate in value, exact in reproducibility. That makes it the one
+  * distinct-sketch whose full estimation pipeline the DuckDB oracle can
+  * certify bit-for-bit, including the set-intersection estimator that HLL
+  * fundamentally cannot provide (inclusion-exclusion on HLL compounds
+  * error; KMV intersects the sketches themselves).
+  *
+  * Scale design: the per-segment sketch is `orderBy(hash).limit(k)` — a
+  * TakeOrdered, i.e. each partition keeps its local k smallest and only
+  * k-row partials travel; no global sort, no single-partition window. The
+  * sketch-combine for the union is the same TakeOrdered over the distinct
+  * hash set. At 100 TB the only full-width work is the distinct() that an
+  * EXACT answer needs anyway — and the point of the query is to show the
+  * sketch tracking it.
+  */
+object Approx {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 64
+  private val SegA = "view"
+  private val SegB = "purchase"
+
+  /** First 12 hex chars of an md5 as a 48-bit integer — the θ parse.
+    * 12 nibbles keep the value unsigned-safe in a BIGINT in any engine.
+    */
+  private def hex48(h: Column): Column =
+    conv(substring(h, 1, 12), 16, 10).cast("long")
+
+  def skKmv(s: SparkSession, d: String): DataFrame = {
+    // distinct (segment, entity-hash); entity = user-day, the grain with
+    // enough cardinality to exercise the estimator at every SF
+    val hashed = Tables.events(s, d)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isin(SegA, SegB))
+      .select(col("event_type").as("seg"),
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          to_date(col("ts")).cast("string"))).as("h"))
+      .distinct()
+
+    def sketch(df: DataFrame): DataFrame = df.orderBy("h").limit(K)
+    // θ and sketch fill level for one segment's distinct-hash set
+    def thetaRow(df: DataFrame): DataFrame =
+      sketch(df).agg(max(hex48(col("h"))).as("hk"), count(lit(1)).as("nk"))
+
+    val aH = hashed.filter(col("seg") === SegA).select("h")
+    val bH = hashed.filter(col("seg") === SegB).select("h")
+    val uH = hashed.select("h").distinct()
+
+    // estimator: exact below the sketch capacity (the sketch holds the
+    // whole set), (k-1)/θ above it — integer-exact via the 48-bit parse
+    def est(exact: Column): Column =
+      when(col("nk") < K, exact)
+        .otherwise(expr(s"(${K - 1}L * ${1L << 48}L) div hk"))
+
+    def segRow(name: String, segH: DataFrame): DataFrame =
+      segH.agg(count(lit(1)).as("exact_distinct"))
+        .crossJoin(thetaRow(segH))
+        .select(lit(name).as("segment"), col("exact_distinct"),
+          est(col("exact_distinct")).as("kmv_est"))
+
+    // intersection: ρ = union-sketch members present in BOTH segments;
+    // est = (ρ/k) · |A∪B|_est. The union sketch is 64 rows — broadcast —
+    // so each membership probe is a map-side semi join
+    val uk = sketch(uH)
+    val rho = aH.join(broadcast(uk), Seq("h"), "leftsemi")
+      .join(broadcast(bH.join(broadcast(uk), Seq("h"), "leftsemi")), Seq("h"), "leftsemi")
+      .agg(count(lit(1)).as("rho"))
+    val exactBoth = hashed.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") === 2)
+      .agg(count(lit(1)).as("exact_distinct"))
+    val bothRow = exactBoth
+      .crossJoin(thetaRow(uH))
+      .crossJoin(rho)
+      .select(lit("both").as("segment"), col("exact_distinct"),
+        when(col("nk") < K, col("rho"))
+          .otherwise(expr(s"(rho * ${K - 1}L * ${1L << 48}L) div (${K}L * hk)"))
+          .as("kmv_est"))
+
+    segRow(SegA, aH).unionByName(segRow(SegB, bH)).unionByName(bothRow)
+      .orderBy("segment")
+  }
+
+  val skKmvSql: String = {
+    val hex48 =
+      """list_sum(list_transform(range(1, 13), j ->
+        |  CAST(strpos('0123456789abcdef', substr(h, j, 1)) - 1 AS BIGINT)
+        |    * (CAST(1 AS BIGINT) << (4 * (12 - j)))))""".stripMargin
+    s"""WITH hashed AS (
+       |  SELECT event_type AS seg,
+       |         md5(CAST(user_id AS VARCHAR) || ':' ||
+       |             CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+       |  FROM events
+       |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+       |    AND event_type IN ('$SegA', '$SegB')
+       |  GROUP BY 1, 2
+       |),
+       |ah AS (SELECT h FROM hashed WHERE seg = '$SegA'),
+       |bh AS (SELECT h FROM hashed WHERE seg = '$SegB'),
+       |uh AS (SELECT DISTINCT h FROM hashed),
+       |ska AS (SELECT max($hex48) AS hk, count(*) AS nk
+       |        FROM (SELECT h FROM ah ORDER BY h LIMIT $K)),
+       |skb AS (SELECT max($hex48) AS hk, count(*) AS nk
+       |        FROM (SELECT h FROM bh ORDER BY h LIMIT $K)),
+       |sku AS (SELECT max($hex48) AS hk, count(*) AS nk
+       |        FROM (SELECT h FROM uh ORDER BY h LIMIT $K)),
+       |ku AS (SELECT h FROM uh ORDER BY h LIMIT $K),
+       |rho AS (SELECT count(*) AS rho FROM ku
+       |        WHERE h IN (SELECT h FROM ah) AND h IN (SELECT h FROM bh)),
+       |ea AS (SELECT count(*) AS exact_distinct FROM ah),
+       |eb AS (SELECT count(*) AS exact_distinct FROM bh),
+       |eboth AS (SELECT count(*) AS exact_distinct
+       |          FROM (SELECT h FROM hashed GROUP BY h HAVING count(*) = 2))
+       |SELECT '$SegA' AS segment, exact_distinct,
+       |       CASE WHEN nk < $K THEN exact_distinct
+       |            ELSE (${K - 1} * (CAST(1 AS BIGINT) << 48)) // hk END AS kmv_est
+       |FROM ea, ska
+       |UNION ALL
+       |SELECT '$SegB', exact_distinct,
+       |       CASE WHEN nk < $K THEN exact_distinct
+       |            ELSE (${K - 1} * (CAST(1 AS BIGINT) << 48)) // hk END
+       |FROM eb, skb
+       |UNION ALL
+       |SELECT 'both', exact_distinct,
+       |       CASE WHEN nk < $K THEN rho
+       |            ELSE (rho * ${K - 1} * (CAST(1 AS BIGINT) << 48)) // ($K * hk) END
+       |FROM eboth, sku, rho
+       |ORDER BY segment""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sk_kmv" -> (skKmv _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_kmv" -> skKmvSql)
+}

@@ -119,9 +119,114 @@ object Graph {
        |FROM p$Iters ORDER BY pr DESC, part LIMIT 20""".stripMargin
   }
 
+  // ---- GR: degree-ordered triangle counting ----
+  // Triangles in the co-purchase graph (same "bought together in ≥2
+  // orders" edges as PageRank). The naive count joins the edge list with
+  // itself on a shared endpoint and probes the closing edge — on a graph
+  // with hubs the wedge set is Σ deg(v)², quadratic in the hottest
+  // degree. The degree-ordering trick (compact-forward): orient every
+  // edge from its lower-(deg,id) endpoint to its higher one, and only
+  // pair OUT-neighbors. Every triangle is then generated exactly once —
+  // at its minimum-(deg,id) corner — and the per-node wedge work is
+  // out-deg², which orientation bounds by O(√m) amortized: a hub's edges
+  // almost all point INTO it, so the hub generates no wedges. That is the
+  // difference between "falls over on the first celebrity node" and
+  // "survives 100 TB of power-law edges".
+  //
+  // Exactness: the triangle SET is independent of counting strategy, so
+  // the oracle uses the simple id-ordered 3-join — identical corners,
+  // identical per-part counts.
+  def grTriangles(s: SparkSession, d: String): DataFrame = {
+    // canonical (pa < pb, ≥2 shared orders) edges; one basket-expansion
+    // shuffle, staged to scratch because three joins re-read them
+    val scratch = graft.Scratch.dir(s, "graft_tri_")
+    val edgesPath = scratch + "/edges"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) > 1)
+      .select(explode(TextDedup.expandSortedPairs(col("parts"),
+        (x, y) => struct(x.as("pa"), y.as("pb")))).as("p"))
+      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("pa", "pb")
+      .write.mode("overwrite").parquet(edgesPath)
+
+    trianglesPerNode(s.read.parquet(edgesPath))
+      .orderBy(desc("triangles"), col("part"))
+      .limit(10)
+  }
+
+  /** Per-node triangle counts over a canonical (pa < pb) edge list —
+    * the degree-ordered core, factored out so specs can drive it with
+    * constructed graphs (hubs, cliques) independent of the co-purchase
+    * derivation.
+    */
+  def trianglesPerNode(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("node"))
+      .unionByName(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // total order (deg, id) packed into one long: deg<<32 | id — part
+    // keys are < 2^32 and degrees < 2^31, so the pack is order-preserving
+    // and the wedge inequality below compares one primitive
+    def key(dg: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      shiftleft(dg, 32).bitwiseOR(id)
+    val da = deg.select(col("node").as("pa"), col("deg").as("dega"))
+    val db = deg.select(col("node").as("pb"), col("deg").as("degb"))
+    // both deg joins broadcast: deg has one row per distinct part
+    val keyed = e.join(broadcast(da), "pa").join(broadcast(db), "pb")
+      .select(col("pa"), col("pb"),
+        key(col("dega"), col("pa")).as("ka"), key(col("degb"), col("pb")).as("kb"))
+    val o = keyed.select(
+      when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("u"),
+      when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("v"),
+      greatest(col("ka"), col("kb")).as("kv"))
+
+    // wedges at the min corner: out-neighbor pairs ordered by (deg,id);
+    // the closing probe is a semi-ish inner join back on the oriented
+    // edge (v1,v2) — kv(v1) < kv(v2) guarantees orientation matches
+    val w1 = o.select(col("u"), col("v").as("v1"), col("kv").as("k1"))
+    val w2 = o.select(col("u"), col("v").as("v2"), col("kv").as("k2"))
+    val wedges = w1.join(w2, "u").filter(col("k1") < col("k2"))
+    val closing = o.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = wedges.join(closing, Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+
+    // per-part participation: each triangle credits all three corners
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("triangles"))
+  }
+
+  val grTrianglesSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |),
+      |t AS (
+      |  SELECT e1.pa AS a, e1.pb AS x, e2.pb AS c
+      |  FROM e e1
+      |  JOIN e e2 ON e1.pb = e2.pa
+      |  JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+      |),
+      |corners AS (
+      |  SELECT a AS part FROM t
+      |  UNION ALL SELECT x FROM t
+      |  UNION ALL SELECT c FROM t
+      |)
+      |SELECT part, CAST(count(*) AS BIGINT) AS triangles
+      |FROM corners GROUP BY 1
+      |ORDER BY triangles DESC, part LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "pr_copurchase" -> (prCopurchase _))
+    "pr_copurchase" -> (prCopurchase _),
+    "gr_triangles" -> (grTriangles _))
 
   val oracles: Map[String, String] = Map(
-    "pr_copurchase" -> prCopurchaseSql)
+    "pr_copurchase" -> prCopurchaseSql,
+    "gr_triangles" -> grTrianglesSql)
 }

@@ -341,6 +341,122 @@ object SimilarityQueries {
       |FROM q0 LEFT JOIN hits h ON q0.query_id = h.query_id
       |ORDER BY q0.query_id""".stripMargin
 
+  // ---- EMB: deterministic Lloyd's k-means (IVF centroid training) ----
+  // The IVF variants above use rule-based representatives; this trains
+  // real centroids. Floating-point k-means is not cross-engine
+  // reproducible (centroid sums are order-dependent), so the whole
+  // iteration runs on floor-quantized integer vectors (×2^20): sums are
+  // exact BIGINTs, centroid components are truncating integer division,
+  // squared-L2 distances are exact BIGINTs (|x|≤2^21 ⇒ per-dim diff² ≤
+  // 2^44, ×64 dims ≤ 2^50 — no overflow), and argmin ties break on the
+  // lower centroid id. The fixpoint trajectory is bit-identical anywhere.
+  //
+  // Scale design per iteration: assignment is corpus ⨯ broadcast(k
+  // centroids) — a map-only pass plus one argmin shuffle keyed on
+  // vec_id (partial-aggregated, one row per vector); the update is a
+  // posexplode to (cluster, dim) cells whose map-side combine collapses
+  // to ≤ 32·k·64 partial rows per executor before the 2-byte-key
+  // shuffle. Nothing driver-side, nothing quadratic; 3 fixed rounds.
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmScale = 1048576L // 2^20
+
+  def embKmeans(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(KmScale.toDouble)).cast("long")).as("q"))
+
+    // init: the k lowest vec_ids, cid = 0..k-1 in id order (tiny TakeOrdered)
+    var cent = q.orderBy("vec_id").limit(KmK)
+      .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cid"),
+        col("q").as("cvec"))
+
+    def assign(c: DataFrame): DataFrame =
+      q.crossJoin(broadcast(c))
+        .withColumn("dist", aggregate(
+          zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        // argmin as a struct-min: (dist, cid) is unique per vector, so q
+        // rides along without influencing the comparison — one partial-
+        // aggregated shuffle of one row per vector, no window
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"),
+          col("m.dist").as("dist"), col("m.q").as("q"))
+
+    for (_ <- 1 to KmIters) {
+      val a = assign(cent)
+      // empty clusters drop out (inner aggregate) — mirrored by the oracle
+      cent = a.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        // truncating division with explicit sign so Spark's `div` and the
+        // oracle's abs-floor-div agree on negative sums
+        .select(col("cid"), col("pos"),
+          (when(col("sx") < 0, -1L).otherwise(1L) *
+            expr("abs(sx) div n")).as("cx"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          p => p.getField("cx")).as("cvec"))
+    }
+
+    assign(cent)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        min("vec_id").as("rep_vec"),
+        sum("dist").as("inertia"))
+      .orderBy("cid")
+  }
+
+  val embKmeansSql: String = {
+    val dist =
+      """list_sum(list_transform(range(1, len(q)+1),
+        |          i -> (q[i] - cvec[i]) * (q[i] - cvec[i])))""".stripMargin
+    def assignCte(centCte: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid, dist, q FROM (
+         |    SELECT e.vec_id, c.cid, $dist AS dist, e.q,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY $dist, c.cid) AS rk
+         |    FROM qv e, $centCte c)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      s"""${assignCte(s"cent${i - 1}", s"asg$i")},
+         |cells$i AS (
+         |  SELECT cid, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS x
+         |  FROM asg$i
+         |),
+         |cent$i AS (
+         |  SELECT cid, list(cx ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos,
+         |           CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END AS BIGINT)
+         |             * (abs(sum(x)) // count(*)) AS cx
+         |    FROM cells$i GROUP BY cid, pos)
+         |  GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $KmScale.0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |         q AS cvec
+       |  FROM (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT $KmK)
+       |),
+       |$rounds,
+       |${assignCte(s"cent$KmIters", "final_asg")}
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |       min(vec_id) AS rep_vec, CAST(sum(dist) AS BIGINT) AS inertia
+       |FROM final_asg GROUP BY cid ORDER BY cid""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
@@ -348,7 +464,8 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> (simLshBucket _),
     "sim_ivf_topk" -> (simIvfTopk _),
     "dd_embed_cosine" -> (ddEmbedCosine _),
-    "dd_semdedup" -> (ddSemdedup _)
+    "dd_semdedup" -> (ddSemdedup _),
+    "emb_kmeans" -> (embKmeans _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,6 +475,7 @@ object SimilarityQueries {
     "sim_lsh_bucket" -> simLshBucketSql,
     "sim_ivf_topk" -> simIvfTopkSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
-    "dd_semdedup" -> ddSemdedupSql
+    "dd_semdedup" -> ddSemdedupSql,
+    "emb_kmeans" -> embKmeansSql
   )
 }

@@ -201,6 +201,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("gr_triangles joins degrees by broadcast and top-10s via TakeOrdered") {
+    val p = plan("gr_triangles")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("emb_kmeans broadcasts the k-centroid side every iteration") {
+    // the corpus×centroids pass must be a broadcast nested loop over k=8
+    // rows, never a cartesian shuffle of the corpus
+    val p = plan("emb_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sk_kmv builds sketches as TakeOrdered partials, not global sorts") {
+    val p = plan("sk_kmv")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("scan-heavy relational aggregates run inside whole-stage codegen") {
     // AQE only annotates codegen stages once THIS plan is final — collect
     // the frame itself (df.count() would execute a different plan)
