@@ -22,6 +22,13 @@ object Drift {
   /** First non-null among candidate JSON paths of a JSON-string column.
     * Null-only semantics (SQL COALESCE), deliberately NOT Python-falsy
     * (SURVEY §2.10.4): empty string / 0 are real values here.
+    *
+    * Negative result, measured at the 100× SF: rewriting this as ONE
+    * `from_json` over a struct of all candidate keys is 30% SLOWER
+    * (8.8 s → 11.3 s on `p4_drift_coalesce`) — OptimizeJsonExprs prunes
+    * the schema per extracted field, splitting the "single" parse back
+    * into N full Jackson parses, each costlier than get_json_object's
+    * streaming path matcher. The chained form stays.
     */
   def jsonCoalesce(jsonCol: Column, paths: Seq[String]): Column =
     coalesce(paths.map(p => get_json_object(jsonCol, s"$$.$p")): _*)
@@ -51,11 +58,49 @@ object Drift {
   /** Lenient multi-format timestamp parse, null on failure — the
     * `pd.to_datetime(errors="coerce", utc=True)` analogue. Accepts the
     * string dialects plus integer epoch seconds (vendor_c).
+    *
+    * Semantically a first-match coalesce over [[TimestampFormats]] + epoch
+    * (the reference's try-them-all loop), but DISPATCHED: each format's
+    * parse is gated by a cheap structural test (separator char, length)
+    * that is a necessary condition for that format, so a row pays for at
+    * most ONE real `try_to_timestamp` instead of failing through up to
+    * five — each failed attempt costs a formatter run plus an internal
+    * exception, the dominant cost of a 100-TB normalize scan (measured
+    * ~3× on `p7_ts_multiformat` at the 100× SF). `DispatchEquivalenceSpec`
+    * in PropertiesSpec fuzzes dispatch == plain cascade.
     */
   def parseTimestampMulti(c: Column): Column = {
     val s = trim(c)
+    def f(fmt: String) = try_to_timestamp(s, lit(fmt))
+    // dialect discriminators — cheap probes whose FALSE proves the gated
+    // format(s) cannot parse (their literal layout requires the char),
+    // so skipping them never changes the cascade's first match:
+    //   all-digits 10-11 → epoch seconds (no format parses a digit run;
+    //                      length guard avoids the YYYYMMDD clash)
+    //   contains 'T'     → the two ISO forms (no other format's accepted
+    //                      strings can contain a T); length 19 cannot
+    //                      carry fmt-1's mandatory offset suffix
+    //   contains '/'     → vendor_a paidAt
+    //   length 19 / 16   → the dash-space pair, disjoint by layout width;
+    //                      other lengths fall back to the 2-try cascade
+    when(s.rlike("^[0-9]{10,11}$"), timestamp_seconds(s.cast("long")))
+      .when(instr(s, "T") > 0,
+        when(length(s) === 19, f("yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(coalesce(f("yyyy-MM-dd'T'HH:mm:ssXXX"),
+            f("yyyy-MM-dd'T'HH:mm:ss"))))
+      .when(instr(s, "/") > 0, f("yyyy/MM/dd HH:mm:ss"))
+      .when(length(s) === 19, f("yyyy-MM-dd HH:mm:ss"))
+      .when(length(s) === 16, f("yyyy-MM-dd HH:mm"))
+      .otherwise(coalesce(f("yyyy-MM-dd HH:mm:ss"), f("yyyy-MM-dd HH:mm")))
+  }
+
+  /** The undisguised first-match cascade — kept as the executable spec of
+    * [[parseTimestampMulti]]'s semantics; PropertiesSpec asserts the
+    * dispatched form agrees with it on dialect strings and garbage alike.
+    */
+  private[graft] def parseTimestampCascade(c: Column): Column = {
+    val s = trim(c)
     val viaFormats = TimestampFormats.map(f => try_to_timestamp(s, lit(f)))
-    // epoch seconds: all-digits strings (10-11 chars to avoid YYYYMMDD clash)
     val epochSecs = when(s.rlike("^[0-9]{10,11}$"), timestamp_seconds(s.cast("long")))
     coalesce(viaFormats :+ epochSecs: _*)
   }

@@ -47,6 +47,46 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: dispatched timestamp parse equals the plain format cascade") {
+    // the dispatch guards must be NECESSARY conditions for their gated
+    // formats — fuzz dialect strings, truncations, exotic year widths,
+    // offsets, and garbage, and demand bit-equal agreement with the
+    // undisguised coalesce cascade parseTimestampMulti replaced
+    val dialectGen: Gen[String] = {
+      val y = Gen.chooseNum(1990, 2120)
+      val mo = Gen.chooseNum(1, 12); val dd = Gen.chooseNum(1, 28)
+      val hh = Gen.chooseNum(0, 23); val mi = Gen.chooseNum(0, 59)
+      val ss = Gen.chooseNum(0, 59)
+      def p(n: Int) = f"$n%02d"
+      val base = Gen.zip(y, Gen.zip(mo, dd), Gen.zip(hh, mi), ss)
+      Gen.oneOf(
+        base.map { case (a, (b, c), (d, e), f) => s"$a-${p(b)}-${p(c)}T${p(d)}:${p(e)}:${p(f)}" },
+        base.map { case (a, (b, c), (d, e), f) => s"$a-${p(b)}-${p(c)}T${p(d)}:${p(e)}:${p(f)}Z" },
+        base.map { case (a, (b, c), (d, e), f) => s"$a-${p(b)}-${p(c)}T${p(d)}:${p(e)}:${p(f)}+05:30" },
+        base.map { case (a, (b, c), (d, e), f) => s"$a-${p(b)}-${p(c)} ${p(d)}:${p(e)}:${p(f)}" },
+        base.map { case (a, (b, c), (d, e), _) => s"$a-${p(b)}-${p(c)} ${p(d)}:${p(e)}" },
+        base.map { case (a, (b, c), (d, e), f) => s"$a/${p(b)}/${p(c)} ${p(d)}:${p(e)}:${p(f)}" },
+        // exotic year widths probe the length-based dispatch arms
+        base.map { case (_, (b, c), (d, e), f) => s"12345-${p(b)}-${p(c)} ${p(d)}:${p(e)}:${p(f)}" },
+        base.map { case (_, (b, c), (d, e), f) => s"123-${p(b)}-${p(c)}T${p(d)}:${p(e)}:${p(f)}" },
+        Gen.chooseNum(1000000000L, 99999999999L).map(_.toString),
+        Gen.numStr.map(_.take(12)),
+        Gen.alphaNumStr.map(_.take(24)),
+        Gen.const(""),
+        // truncations and padding of a valid ISO string
+        base.map { case (a, (b, c), (d, e), f) => s"$a-${p(b)}-${p(c)}T${p(d)}:${p(e)}:${p(f)}".dropRight(3) },
+        base.map { case (a, (b, c), (d, e), f) => s"  $a-${p(b)}-${p(c)} ${p(d)}:${p(e)}:${p(f)}  " })
+    }
+    for (strs <- samples(Gen.listOfN(200, dialectGen), 5) if strs.nonEmpty) {
+      val df = strs.toDF("s")
+        .select($"s", Drift.parseTimestampMulti($"s").as("fast"),
+          Drift.parseTimestampCascade($"s").as("ref"))
+      val diff = df.filter(!($"fast" <=> $"ref")).collect()
+      assert(diff.isEmpty,
+        s"dispatch diverges from cascade on: ${diff.take(5).mkString(", ")}")
+    }
+  }
+
   test("property: coalesce-chain totality — result is first non-null or null") {
     val optGen = Gen.option(Gen.alphaNumStr.map(_.take(6)))
     for (rows <- samples(Gen.listOfN(25, Gen.zip(optGen, optGen, optGen)), 5)
