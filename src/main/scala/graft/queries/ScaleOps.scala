@@ -246,6 +246,99 @@ object ScaleOps {
       |       CAST(count(DISTINCT day_ord & 255) AS BIGINT) AS days
       |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
 
+  // ---- DS: Hilbert clustering key ----
+  // Same data-skipping goal as ds_zorder, stronger locality: the Hilbert
+  // curve never takes the long diagonal jumps Morton takes at bit
+  // boundaries, so a contiguous key range maps to a tighter bounding box
+  // — per coarse bucket, BOTH dimensions' spans stay ≤ 1/8 of the
+  // domain, where Morton's worst buckets straddle half of one dimension.
+  // The x_span/y_span columns surface exactly that, next to the same
+  // bucket stats as ds_zorder for side-by-side comparison.
+  //
+  // The index is the classic xy2d walk over the 256×256 grid: 8 rounds
+  // of quadrant pick + rotation, all integer CASE/XOR/shift arithmetic —
+  // bit-identical in any engine. Each round is staged as a PROJECTION
+  // (one select per round, attribute refs in between), not nested
+  // expressions: inlining would re-evaluate each round's x/y once per
+  // reference and grow the tree ~3^8 — the same lambda-staging lesson as
+  // txt_winnow. The oracle mirrors the rounds as a CTE chain.
+  private val HilbertRounds = Seq(128L, 64L, 32L, 16L, 8L, 4L, 2L, 1L)
+
+  /** Stages the 8 xy2d rounds over a frame with `x`,`y` ∈ [0,255]:
+    * returns (x0, y0, h) where x0/y0 are the UNROTATED inputs (the
+    * rounds mutate their working copy) and h the Hilbert index.
+    * Factored out so the spec can certify bijection + unit-step
+    * adjacency over the full 256×256 grid.
+    */
+  private[queries] def hilbertStaged(df0: DataFrame): DataFrame = {
+    var df = df0.select(col("x").as("x0"), col("y").as("y0"),
+      col("x"), col("y"), lit(0L).as("h"))
+    for (sz <- HilbertRounds) {
+      val rx = when(col("x").bitwiseAND(lit(sz)) > 0, 1L).otherwise(0L)
+      val ry = when(col("y").bitwiseAND(lit(sz)) > 0, 1L).otherwise(0L)
+      df = df
+        .select(col("x0"), col("y0"), col("x"), col("y"), col("h"),
+          rx.as("rx"), ry.as("ry"))
+        .select(col("x0"), col("y0"),
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255L) - col("y")).otherwise(col("y")))
+            .otherwise(col("x")).as("x"),
+          when(col("ry") === 0,
+            when(col("rx") === 1, lit(255L) - col("x")).otherwise(col("x")))
+            .otherwise(col("y")).as("y"),
+          (col("h") + lit(sz * sz) *
+            (lit(3L) * col("rx")).bitwiseXOR(col("ry"))).as("h"))
+    }
+    df.select(col("x0"), col("y0"), col("h"))
+  }
+
+  def dsHilbert(s: SparkSession, d: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1992-01-01").cast("date")).cast("long")
+    hilbertStaged(Tables.orders(s, d).select(
+        col("o_custkey").bitwiseAND(lit(255L)).as("x"),
+        day.bitwiseAND(lit(255L)).as("y")))
+      .groupBy(shiftright(col("h"), 10).cast("long").as("hbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("h").cast("long").as("min_h"),
+        max("h").cast("long").as("max_h"),
+        (max("x0") - min("x0")).as("x_span"),
+        (max("y0") - min("y0")).as("y_span"))
+      .orderBy("hbucket")
+  }
+
+  val dsHilbertSql: String = {
+    val rounds = HilbertRounds.zipWithIndex.map { case (sz, i) =>
+      s"""r${i + 1} AS (
+         |  SELECT x0, y0,
+         |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - y ELSE y END
+         |              ELSE x END AS x,
+         |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - x ELSE x END
+         |              ELSE y END AS y,
+         |         h + ${sz * sz} * xor(3 * rx, ry) AS h
+         |  FROM (SELECT x0, y0, x, y, h,
+         |               CASE WHEN (x & $sz) > 0 THEN 1 ELSE 0 END AS rx,
+         |               CASE WHEN (y & $sz) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM r$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT CAST(o_custkey & 255 AS BIGINT) AS x,
+       |         CAST(CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+       |              & 255 AS BIGINT) AS y
+       |  FROM orders
+       |),
+       |r0 AS (SELECT x AS x0, y AS y0, x, y, CAST(0 AS BIGINT) AS h FROM b),
+       |$rounds
+       |SELECT CAST(h >> 10 AS BIGINT) AS hbucket,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(h) AS BIGINT) AS min_h,
+       |       CAST(max(h) AS BIGINT) AS max_h,
+       |       CAST(max(x0) - min(x0) AS BIGINT) AS x_span,
+       |       CAST(max(y0) - min(y0) AS BIGINT) AS y_span
+       |FROM r8 GROUP BY 1 ORDER BY hbucket""".stripMargin
+  }
+
   // ---- J6: Bloom-pruned semi join ----
   // The medium-dim pattern: customer is (at 100 TB) too big to broadcast
   // as a hash relation, but its ~10%-selective high-balance key set
@@ -318,6 +411,7 @@ object ScaleOps {
     "s10_partition_prune" -> (s10PartitionPrune _),
     "s11_bucketed_join" -> (s11BucketedJoin _),
     "ds_zorder" -> (dsZorder _),
+    "ds_hilbert" -> (dsHilbert _),
     "txt_search" -> (txtSearch _))
 
   val oracles: Map[String, String] = Map(
@@ -328,5 +422,6 @@ object ScaleOps {
     "s10_partition_prune" -> s10PartitionPruneSql,
     "s11_bucketed_join" -> s11BucketedJoinSql,
     "ds_zorder" -> dsZorderSql,
+    "ds_hilbert" -> dsHilbertSql,
     "txt_search" -> txtSearchSql)
 }

@@ -357,40 +357,67 @@ object SimilarityQueries {
   // posexplode to (cluster, dim) cells whose map-side combine collapses
   // to ≤ 32·k·64 partial rows per executor before the 2-byte-key
   // shuffle. Nothing driver-side, nothing quadratic; 3 fixed rounds.
+  //
+  // Two measured hot-path rules (40 s → ~3 s together at the 100× SF):
+  //  - the squared-L2 is NOT the aggregate(zip_with(...)) HOF — that's
+  //    CodegenFallback, allocating an array and interpreting two lambdas
+  //    per pair; it's the algebraic expansion |q|² − 2q·c + |c|² over
+  //    the codegen'd integer dot product (plans/DotProductL), with |q|²
+  //    staged once per vector and |c|² once per centroid. Long math is
+  //    associative, so the expansion is bit-equal to the per-dim fold.
+  //  - each iteration's 8-row centroid table is STAGED to scratch
+  //    parquet (PageRank's pattern): chaining iteration k's plan onto
+  //    iteration k−1's re-embeds every earlier assignment into one
+  //    deeply nested DAG that re-executes per level.
   private val KmK = 8
   private val KmIters = 3
   private val KmScale = 1048576L // 2^20
 
   def embKmeans(s: SparkSession, d: String): DataFrame = {
-    val q = Tables.embeddings(s, d)
+    import graft.plans.DotProductL.dotL
+    val scratch = graft.Scratch.dir(s, "graft_km_")
+    def stage(c: DataFrame, name: String): DataFrame = {
+      val p = s"$scratch/$name"
+      c.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+
+    // quantize ONCE and stage: transform()'s lambda is CodegenFallback
+    // (interpreted per element), and every iteration + the final pass is
+    // its own action — inlined, the 64-element quantize would re-run
+    // 5× over the corpus; staged, later actions read plain long columns
+    val q = stage(Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(KmScale.toDouble)).cast("long")).as("q"))
+      .withColumn("qq", dotL(col("q"), col("q"))), "q")
 
     // init: the k lowest vec_ids, cid = 0..k-1 in id order (tiny TakeOrdered)
-    var cent = q.orderBy("vec_id").limit(KmK)
+    var cent = stage(q.orderBy("vec_id").limit(KmK)
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
           .cast("long").as("cid"),
-        col("q").as("cvec"))
+        col("q").as("cvec")), "cent_0")
 
+    // argmin as a struct-min over (dist, cid) ONLY — an earlier version
+    // carried q inside the min struct to save the re-join below, but a
+    // 512-byte array in every partial-agg buffer update is a copy per
+    // input row; the compact agg + a join against the staged q table is
+    // measurably cheaper, and the join is on the staged parquet (no
+    // recompute)
     def assign(c: DataFrame): DataFrame =
-      q.crossJoin(broadcast(c))
-        .withColumn("dist", aggregate(
-          zip_with(col("q"), col("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
-        // argmin as a struct-min: (dist, cid) is unique per vector, so q
-        // rides along without influencing the comparison — one partial-
-        // aggregated shuffle of one row per vector, no window
+      q.crossJoin(broadcast(c.withColumn("cc", dotL(col("cvec"), col("cvec")))))
+        .withColumn("dist",
+          col("qq") - lit(2L) * dotL(col("q"), col("cvec")) + col("cc"))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"), col("q"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"),
-          col("m.dist").as("dist"), col("m.q").as("q"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
 
-    for (_ <- 1 to KmIters) {
+    for (i <- 1 to KmIters) {
       val a = assign(cent)
       // empty clusters drop out (inner aggregate) — mirrored by the oracle
-      cent = a.select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+      cent = a.join(q.select("vec_id", "q"), "vec_id")
+        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         // truncating division with explicit sign so Spark's `div` and the
@@ -401,6 +428,7 @@ object SimilarityQueries {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
           p => p.getField("cx")).as("cvec"))
+      cent = stage(cent, s"cent_$i")
     }
 
     assign(cent)

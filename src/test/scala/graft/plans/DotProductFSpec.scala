@@ -29,6 +29,28 @@ class DotProductFSpec extends SparkSuite {
     assert(got(1) == 2.0) // shorter length wins
   }
 
+  test("dot_l (integer sibling) equals the HOF fold and the squared-L2 expansion") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong,
+        Seq.fill(64)((rnd.nextInt(1 << 21) - (1 << 20)).toLong),
+        Seq.fill(64)((rnd.nextInt(1 << 21) - (1 << 20)).toLong))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        DotProductL.dotL($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("hof"),
+        // the emb_kmeans identity: Σ(a-b)² == aa - 2ab + bb in exact longs
+        aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("l2direct"),
+        (DotProductL.dotL($"a", $"a") - lit(2L) * DotProductL.dotL($"a", $"b")
+          + DotProductL.dotL($"b", $"b")).as("l2expanded"))
+      .filter($"native" =!= $"hof" || $"l2direct" =!= $"l2expanded")
+      .count()
+    assert(bad === 0L)
+  }
+
   test("dot_f is SQL-callable via GraftExtensions-style registration") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
