@@ -37,22 +37,40 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     memoize((spark, dir, name))(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as a nanosecond
-    * Long (legacy conf) and truncate to a microsecond TimestampType —
-    * the exact same truncation DuckDB applies when it reads TIMESTAMP_NS
-    * into its microsecond TIMESTAMP, so oracle comparisons agree.
-    * The division MUST be integer `div`: epoch-ns (~1.7e18) exceeds 2^53,
-    * so `/` (evaluated in double) can land ±1µs off DuckDB's integer
-    * truncation.
+  /** `events.ts` has shipped in three physical encodings across testdata
+    * generations, so the loader is schema-adaptive — it probes the parquet
+    * footer type and normalizes `ts` to a session-TZ `TimestampType`:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects this
+    *    ([PARQUET_TYPE_ILLEGAL]) unless `nanosAsLong` is set, so we read a
+    *    nanosecond Long and truncate to microseconds. The division MUST be
+    *    integer `div`: epoch-ns (~1.7e18) exceeds 2^53, so `/` (double)
+    *    can land ±1µs off DuckDB's integer truncation.
+    *  - INT64 TIMESTAMP_MICROS with isAdjustedToUTC=false: Spark loads
+    *    `TIMESTAMP_NTZ`; a cast under the UTC session re-tags the same
+    *    micros as TimestampType (no value shift), matching what DuckDB
+    *    reads, so oracle comparisons agree.
+    *  - TIMESTAMP_MICROS UTC-adjusted: already TimestampType, pass through.
+    *
+    * The probe happens inside the memoized block, so it costs one footer
+    * read per (session, dir) — the same footer `load` reads anyway.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     memoize((s, d, "events.norm")) {
-      load(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Probe with nanosAsLong ON so a NANOS footer resolves as Long
+      // instead of throwing; harmless for MICROS footers.
+      if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = load(s, d, "events")
+      raw.schema("ts").dataType match {
+        case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType    => raw
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+      }
     }
   }
 

@@ -26,11 +26,13 @@ object Verify {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       case None => SparkEntry.queries
     }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -49,6 +51,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud failure record (round-4 postmortem: stderr-only errors let a
+    // broken round ship). Written even when empty so its absence vs
+    // emptiness is distinguishable in the driver's artifacts.
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

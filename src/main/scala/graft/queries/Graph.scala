@@ -1,7 +1,5 @@
 package graft.queries
 
-import graft.Tables
-import graft.operators.TextDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,6 +25,16 @@ import org.apache.spark.sql.functions._
   * light cadence bounds analysis cost without paying a write barrier per
   * round (measured: per-round staging of small frames costs more than it
   * saves — see TextDedup's freq note).
+  *
+  * Negative result, measured at the 100× SF: staging the symmetric edge
+  * list as a 32-bucket table on `src` (degree folded in) so the ten
+  * rank⋈edge joins never exchange the edge side LOSES 13% (36.6 s →
+  * 41.4 s isolated min-of-3). Within one action ReusedExchange already
+  * dedupes the identical edge exchange (~2-3 paid per run with the
+  * checkpoint cadence, not 10), while bucketing adds a full extra
+  * materialization of 2×|edges| rows plus catalog overhead. Bucketed
+  * layouts win on CROSS-query reuse (s11), not in-query loops; the
+  * plain parquet staging stays.
   */
 object Graph {
 
@@ -37,22 +45,9 @@ object Graph {
 
   def prCopurchase(s: SparkSession, d: String): DataFrame = {
     val scratch = graft.Scratch.dir(s, "graft_pr_")
-    // undirected co-purchase edges (≥ 2 shared orders), one shuffle +
-    // bounded basket expansion — see mb_copurchase for the shape rationale
-    val edgesPath = scratch + "/edges"
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      .select(explode(TextDedup.expandSortedPairs(col("parts"),
-        (x, y) => struct(x.as("pa"), y.as("pb")))).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("pa", "pb")
-      .write.mode("overwrite").parquet(edgesPath)
-    val e = s.read.parquet(edgesPath)
+    // undirected co-purchase edges (≥ 2 shared orders) from the shared
+    // staged derivation — see Copurchase for the shuffle-shape rationale
+    val e = Copurchase.edges(s, d)
     val sym = e.select(col("pa").as("src"), col("pb").as("dst"))
       .unionByName(e.select(col("pb").as("src"), col("pa").as("dst")))
     // deg staged once: it is re-read by EVERY materialization (each
@@ -136,28 +131,13 @@ object Graph {
   // Exactness: the triangle SET is independent of counting strategy, so
   // the oracle uses the simple id-ordered 3-join — identical corners,
   // identical per-part counts.
-  def grTriangles(s: SparkSession, d: String): DataFrame = {
-    // canonical (pa < pb, ≥2 shared orders) edges; one basket-expansion
-    // shuffle, staged to scratch because three joins re-read them
-    val scratch = graft.Scratch.dir(s, "graft_tri_")
-    val edgesPath = scratch + "/edges"
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      .select(explode(TextDedup.expandSortedPairs(col("parts"),
-        (x, y) => struct(x.as("pa"), y.as("pb")))).as("p"))
-      .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-      .select("pa", "pb")
-      .write.mode("overwrite").parquet(edgesPath)
-
-    trianglesPerNode(s.read.parquet(edgesPath))
+  def grTriangles(s: SparkSession, d: String): DataFrame =
+    // canonical (pa < pb, ≥2 shared orders) edges from the shared staged
+    // derivation (Copurchase) — parquet-backed, so the three joins below
+    // re-read files, not a recomputed shuffle
+    trianglesPerNode(Copurchase.edges(s, d))
       .orderBy(desc("triangles"), col("part"))
       .limit(10)
-  }
 
   /** Per-node triangle counts over a canonical (pa < pb) edge list —
     * the degree-ordered core, factored out so specs can drive it with
@@ -175,8 +155,12 @@ object Graph {
       shiftleft(dg, 32).bitwiseOR(id)
     val da = deg.select(col("node").as("pa"), col("deg").as("dega"))
     val db = deg.select(col("node").as("pb"), col("deg").as("degb"))
-    // both deg joins broadcast: deg has one row per distinct part
-    val keyed = e.join(broadcast(da), "pa").join(broadcast(db), "pb")
+    // deg has one row per distinct part — a set that grows with the data,
+    // so the joins are deliberately NOT hint-forced: a forced broadcast is
+    // fine at sf10 (~2M parts) and fatal at 100 TB (billions). The planner
+    // (static stats off the staged parquet, or AQE at runtime) broadcasts
+    // while deg fits and degrades to shuffle joins when it doesn't.
+    val keyed = e.join(da, "pa").join(db, "pb")
       .select(col("pa"), col("pb"),
         key(col("dega"), col("pa")).as("ka"), key(col("degb"), col("pb")).as("kb"))
     val o = keyed.select(

@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{Scratch, Tables}
 import graft.functions.TextFns
-import graft.operators.TextDedup
 import graft.sources.Sinks
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -36,22 +35,11 @@ object ScaleOps {
   // expansion is ≤ C(7,2) rows per order, linear in the fact table), then
   // a partial-agg count per pair.
   def mbCopurchase(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .filter(size(col("parts")) > 1)
-      // pack the sorted pair into ONE long (a<<32 | b, exact for keys
-      // < 2^32 — ngramJaccardPairs' trick): the count shuffle then keys
-      // on an 8-byte primitive instead of a 16-byte struct, and the hash
-      // agg runs on long equality rather than struct comparison
-      .select(explode(TextDedup.expandSortedPairs(col("parts"),
-        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pk"))
-      .groupBy("pk")
-      .agg(count(lit(1)).as("orders_together"))
-      .select(shiftrightunsigned(col("pk"), 32).as("part_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("part_b"),
-        col("orders_together"))
+    // the expansion + packed-long count shuffle lives in Copurchase,
+    // staged once and shared with pr_copurchase / gr_triangles
+    Copurchase.pairCounts(s, d)
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("w").as("orders_together"))
       .orderBy(desc("orders_together"), col("part_a"), col("part_b"))
       .limit(25)
 

@@ -102,6 +102,60 @@ object EventStream {
       .select(col("day.start").cast("date").as("event_date"),
         col("approx_orders"))
 
+  /** Per-day KMV state: the ≤k smallest md5 hashes of the day's distinct
+    * order refs (sorted ascending) — bounded, mergeable, engine-portable.
+    */
+  case class KmvDaily(event_date: java.sql.Date, nk: Int, hk: Long, kmv_est: Long)
+
+  /** Deterministic per-day KMV distinct-ref sketch over the stream — the
+    * streaming twin of [[graft.queries.Approx]]'s `sk_kmv` estimator.
+    *
+    * Why this exists next to `dailyApproxOrders` (HLL): HLL buckets are
+    * not portable, so that path can only ever be band-asserted. KMV state
+    * is the k smallest md5 hashes — a value any engine computes
+    * identically — so the streaming result is BIT-EQUAL to the batch
+    * sketch over the same events, which is what KmvStreamSpec asserts
+    * (the repo's exactness doctrine, extended to streaming state).
+    *
+    * State per day is ≤ k hashes (~2 KB at k=64) regardless of day
+    * volume; merging a micro-batch is distinct-union + re-take-k, which
+    * is associative and order-insensitive — the reason the cross-batch
+    * trajectory lands on the same sketch as a one-shot batch pass.
+    * Estimate: exact (= nk) below capacity, (k-1)·2⁴⁸ div θ above it,
+    * integer-exact via the same 48-bit hash prefix as the batch query.
+    *
+    * NoTimeout is deliberate for the spec surface; a production deploy
+    * would anchor an event-time TTL exactly like [[orderLifecycle]].
+    */
+  def dailyKmvOrders(deduped: DataFrame, k: Int = 64): Dataset[KmvDaily] = {
+    val spark = deduped.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = deduped
+      .withColumn("ref",
+        Drift.jsonCoalesce(col("payload"), Seq("orderRef", "order_id")))
+      .filter(col("ref").isNotNull)
+      .select(to_date(col("event_ts")).cast("string").as("day"),
+        md5(col("ref")).as("h"))
+      .as[(String, String)]
+
+    def update(day: String, rows: Iterator[(String, String)],
+               state: GroupState[Array[String]]): Iterator[KmvDaily] = {
+      val merged = (state.getOption.getOrElse(Array.empty[String]).iterator
+          ++ rows.map(_._2))
+        .toArray.distinct.sorted.take(k)
+      state.update(merged)
+      val nk = merged.length
+      // θ = 48-bit prefix of the kth smallest hash, same parse as batch
+      val hk = java.lang.Long.parseLong(merged.last.substring(0, 12), 16)
+      val est = if (nk < k) nk.toLong else ((k - 1).toLong * (1L << 48)) / hk
+      Iterator.single(KmvDaily(java.sql.Date.valueOf(day), nk, hk, est))
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-static enrichment: join the live stream against a static
     * dimension snapshot (broadcast per micro-batch; no stream state).
     */
