@@ -29,9 +29,10 @@ object ScaleUp {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is INT64 TIMESTAMP(NANOS): read it as a plain long and
-      // write it back as one — Tables.events applies the same `div 1000`
-      // to either encoding
+      // events.ts round-trips whatever encoding the source uses: NANOS
+      // reads as a plain long under this conf and writes back as one;
+      // TIMESTAMP_MICROS NTZ reads/writes natively. Tables.events probes
+      // the footer of the OUTPUT and normalizes either encoding.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
