@@ -217,6 +217,17 @@ class PlanShapeSpec extends SparkSuite {
     assert(!analyzed.contains("ResolvedHint"), analyzed)
   }
 
+  test("mb_copurchase reads the shared staged pair counts — no basket " +
+    "re-expansion in its own plan") {
+    // the C(basket,2) explode + count shuffle lives in Copurchase's
+    // staging job, paid once per (session, dir); this query's plan must
+    // be a staged-parquet scan + top-k, nothing more
+    val p = plan("mb_copurchase")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("collect_set"), p)
+  }
+
   test("emb_kmeans broadcasts the k-centroid side every iteration") {
     // the corpus×centroids pass must be a broadcast nested loop over k=8
     // rows, never a cartesian shuffle of the corpus
