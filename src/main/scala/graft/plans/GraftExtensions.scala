@@ -22,5 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_f(a, b) expects exactly 2 arguments, got ${children.length}")
         DotProductF(children(0), children(1))
       }))
+    // the integer sibling (quantized-embedding dot products, k-means
+    // assignment) gets the same SQL surface as dot_f
+    e.injectFunction((
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductL].getName, "dot_l"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_l(a, b) expects exactly 2 arguments, got ${children.length}")
+        DotProductL(children(0), children(1))
+      }))
   }
 }

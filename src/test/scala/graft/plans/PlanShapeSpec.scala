@@ -152,6 +152,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(got == 11.0)
   }
 
+  test("dot_l (integer sibling) resolves in plain SQL too") {
+    val got = spark.sql(
+      "SELECT dot_l(array(1L, 2L), array(3L, 4L)) AS d").collect()(0).getLong(0)
+    assert(got == 11L)
+  }
+
   test("tpch_q21 reads lineitem once — the EXISTS/NOT-EXISTS pair must not become self-joins") {
     val p = plan("tpch_q21")
     val liScans = "Scan parquet[^\\n]*".r.findAllIn(p).count(_.contains("lineitem"))
