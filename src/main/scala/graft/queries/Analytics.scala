@@ -283,6 +283,73 @@ object Analytics {
       |FROM c JOIN st USING (o_orderpriority)
       |GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority""".stripMargin
 
+  // ---- TS: rolling z-test anomaly days (integer-exact, trailing window) ----
+  // The time-series sibling of a11's cross-sectional z-test: flag each
+  // day whose revenue departs >3σ from the TRAILING 7 full days (the
+  // frame excludes the current row — an anomaly must not dilute the
+  // baseline it is judged against). Same exact integer algebra on cents:
+  // (n·x − S)² > 9·n·(n·Q − S²) with n, S, Q from the window — no sqrt,
+  // no float variance, so both engines flag the identical day set.
+  //
+  // Scale shape: the only full-width work is the one groupBy(day) over
+  // orders; the window then runs on the DAY SERIES, whose row count is
+  // bounded by the calendar (~3.6k rows/decade) no matter how many
+  // orders feed it — a global single-partition window over a
+  // calendar-bounded frame is fine at any data scale (same argument as
+  // the o5 date spine). Overflow: Q sums cents² (~10²⁰ per window at big
+  // SF) into decimal(38,0); the rhs guard raises loudly like a11's —
+  // here it is per day-row, thousands of rows, so CodegenFallback cost
+  // is irrelevant.
+  def tsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
+    rollingZFlags(
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(cents).as("cents")))
+  }
+
+  /** The rolling z-test core over a (day, cents decimal(38,0)) series —
+    * factored out so specs can drive it with constructed series (planted
+    * spikes, constant baselines) independent of the orders derivation.
+    */
+  def rollingZFlags(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    val lhsRoot = col("n") * col("cents") - col("s_sum")
+    daily
+      .select(col("day"), col("cents"),
+        count(lit(1)).over(w).cast(DecimalType(38, 0)).as("n"),
+        sum(col("cents")).over(w).as("s_sum"),
+        sum(col("cents") * col("cents")).over(w).as("s_q"))
+      .filter(col("n") === 7) // full trailing week only: no cold-start flags
+      .select(col("day"), col("cents").cast("long").as("cents"),
+        (lhsRoot * lhsRoot >
+          coalesce(
+            lit(9) * col("n") * (col("n") * col("s_q") - col("s_sum") * col("s_sum")),
+            raise_error(lit("ts_anomaly: decimal(38,0) overflow in 9n(nQ - S^2)" +
+              " — daily cents too large for the exact integer z-test"))))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
+  val tsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |           AS HUGEINT) AS HUGEINT) AS c
+      |  FROM orders GROUP BY 1
+      |), win AS (
+      |  SELECT day, c,
+      |         CAST(count(*) OVER w AS HUGEINT) AS n,
+      |         sum(c) OVER w AS s_sum,
+      |         sum(c * c) OVER w AS s_q
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT day, CAST(c AS BIGINT) AS cents,
+      |       (n * c - s_sum) * (n * c - s_sum) >
+      |         9 * n * (n * s_q - s_sum * s_sum) AS is_anomaly
+      |FROM win WHERE n = 7 ORDER BY day""".stripMargin
+
   // ---- TS: date-spine gap fill + last-observation-carried-forward ----
   // One year of per-priority daily gross on a dense spine; missing days
   // inherit the last observed value via an ignore-nulls running last.
@@ -602,6 +669,7 @@ object Analytics {
     "ev_cohort" -> (evCohort _),
     "ev_funnel" -> (evFunnel _),
     "a11_outliers" -> (a11Outliers _),
+    "ts_anomaly" -> (tsAnomaly _),
     "ts_locf" -> (tsLocf _),
     "scd2_runs" -> (scd2Runs _),
     "txt_dtm" -> (txtDtm _)
@@ -619,6 +687,7 @@ object Analytics {
     "ev_cohort" -> evCohortSql,
     "ev_funnel" -> evFunnelSql,
     "a11_outliers" -> a11OutliersSql,
+    "ts_anomaly" -> tsAnomalySql,
     "ts_locf" -> tsLocfSql,
     "scd2_runs" -> scd2RunsSql,
     "txt_dtm" -> txtDtmSql
