@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.normalize.Drift
 import graft.operators.{DailyRevenue, Dedup, Dimensions, Quality}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -510,6 +510,78 @@ object Relational {
       |        CAST((SELECT count(*) FROM orders) AS DOUBLE), 4)
       |    AS avg_items_per_order""".stripMargin
 
+  // ---- QR: order-independent table checksums (migration validation) ----
+  // The fingerprint this whole library exists for: "did the port produce
+  // EXACTLY the same warehouse?" answered with one number per table. Each
+  // row folds to a 48-bit slice of its md5 over a CANONICAL rendering
+  // (integers as digits, money as rounded cents, timestamps as epoch
+  // micros, NULL as an explicit \0 sentinel — every cast chosen because
+  // both engines render it identically; raw double→string formatting
+  // does NOT agree across engines and never appears). The table checksum
+  // is the SUM of row fingerprints — commutative, so it is partition-,
+  // order-, and engine-independent, and any single changed/missing/extra
+  // row changes it. Sum lives in decimal(38): 2^48 per row overflows
+  // BIGINT at ~32k rows but fits 38 digits to ~10²⁶ rows.
+  //
+  // Scale shape: embarrassingly parallel — one scan per table, a 48-bit
+  // long per row into a partial sum; no shuffle at all beyond the final
+  // single-row partials merge. This is the cheapest possible full-table
+  // read, which is the point: you run it after every migration batch.
+  def qrChecksum(s: SparkSession, d: String): DataFrame = {
+    def nn(c: Column) = coalesce(c.cast("string"), lit("\u0000"))
+    def money(c: Column) = round(c * 100).cast("long")
+    def fp(parts: Seq[Column]): Column =
+      conv(substring(md5(concat_ws("|", parts.map(nn): _*)), 1, 12), 16, 10)
+        .cast("long")
+    def row(table: String, df: DataFrame, parts: Seq[Column]): DataFrame =
+      df.select(fp(parts).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string").as("checksum"))
+        .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
+
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val l = Tables.lineitem(s, d)
+    row("customer", c, Seq(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), money(col("c_acctbal")), col("c_mktsegment")))
+      .unionByName(row("lineitem", l, Seq(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), money(col("l_quantity")),
+        money(col("l_extendedprice")), money(col("l_discount")),
+        money(col("l_tax")), col("l_returnflag"), col("l_linestatus"),
+        unix_micros(col("l_shipdate").cast("timestamp")))))
+      .unionByName(row("orders", o, Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), money(col("o_totalprice")),
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))))
+      .orderBy("tbl")
+  }
+
+  val qrChecksumSql: String = {
+    // the same 48-bit md5-prefix parse the sk_kmv oracle uses
+    def h(expr: String): String =
+      s"""list_sum(list_transform(range(1, 13), j ->
+         |  CAST(strpos('0123456789abcdef', substr(md5($expr), j, 1)) - 1 AS BIGINT)
+         |    * (CAST(1 AS BIGINT) << (4 * (12 - j)))))""".stripMargin
+    def nn(e: String) = s"COALESCE(CAST($e AS VARCHAR), chr(0))"
+    def money(e: String) = s"CAST(round($e * 100) AS BIGINT)"
+    def canon(parts: Seq[String]): String =
+      parts.map(nn).mkString("concat_ws('|', ", ", ", ")")
+    def tbl(name: String, parts: Seq[String]): String =
+      s"""SELECT '$name' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(CAST(${h(canon(parts))} AS HUGEINT)) AS VARCHAR) AS checksum
+         |FROM $name""".stripMargin
+    Seq(
+      tbl("customer", Seq("c_custkey", "c_name", "c_nationkey",
+        money("c_acctbal"), "c_mktsegment")),
+      tbl("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", money("l_quantity"), money("l_extendedprice"),
+        money("l_discount"), money("l_tax"), "l_returnflag", "l_linestatus",
+        "epoch_us(l_shipdate)")),
+      tbl("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        money("o_totalprice"), "epoch_us(o_orderdate)", "o_orderpriority"))
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   /** All relational queries. */
   val queries: Map[String, Q] = Map(
     "a1_fact_order_daily" -> (a1FactOrderDaily _),
@@ -534,7 +606,8 @@ object Relational {
     "o2_topk" -> (o2TopK _),
     "o5_date_spine" -> (o5DateSpine _),
     "qr_completeness" -> (qrCompleteness _),
-    "qr_report" -> (qrReport _)
+    "qr_report" -> (qrReport _),
+    "qr_checksum" -> (qrChecksum _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -560,6 +633,7 @@ object Relational {
     "o2_topk" -> o2TopKSql,
     "o5_date_spine" -> o5DateSpineSql,
     "qr_completeness" -> qrCompletenessSql,
-    "qr_report" -> qrReportSql
+    "qr_report" -> qrReportSql,
+    "qr_checksum" -> qrChecksumSql
   )
 }
