@@ -540,19 +540,30 @@ object Relational {
             .cast("string").as("checksum"))
         .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
 
-    val o = Tables.orders(s, d)
-    val c = Tables.customer(s, d)
-    val l = Tables.lineitem(s, d)
-    row("customer", c, Seq(col("c_custkey"), col("c_name"),
+    // the complete relational star schema — a migration signs off on the
+    // whole warehouse, not a sample of it (events/documents/embeddings
+    // carry free doubles and float arrays, whose string rendering is NOT
+    // engine-portable; their integrity checks are the oracle queries
+    // themselves)
+    row("customer", Tables.customer(s, d), Seq(col("c_custkey"), col("c_name"),
         col("c_nationkey"), money(col("c_acctbal")), col("c_mktsegment")))
-      .unionByName(row("lineitem", l, Seq(col("l_orderkey"), col("l_partkey"),
-        col("l_suppkey"), col("l_linenumber"), money(col("l_quantity")),
-        money(col("l_extendedprice")), money(col("l_discount")),
-        money(col("l_tax")), col("l_returnflag"), col("l_linestatus"),
-        unix_micros(col("l_shipdate").cast("timestamp")))))
-      .unionByName(row("orders", o, Seq(col("o_orderkey"), col("o_custkey"),
-        col("o_orderstatus"), money(col("o_totalprice")),
+      .unionByName(row("lineitem", Tables.lineitem(s, d), Seq(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        money(col("l_quantity")), money(col("l_extendedprice")),
+        money(col("l_discount")), money(col("l_tax")), col("l_returnflag"),
+        col("l_linestatus"), unix_micros(col("l_shipdate").cast("timestamp")))))
+      .unionByName(row("nation", Tables.nation(s, d),
+        Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
+      .unionByName(row("orders", Tables.orders(s, d), Seq(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), money(col("o_totalprice")),
         unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))))
+      .unionByName(row("part", Tables.part(s, d), Seq(col("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        money(col("p_retailprice")))))
+      .unionByName(row("region", Tables.region(s, d),
+        Seq(col("r_regionkey"), col("r_name"))))
+      .unionByName(row("supplier", Tables.supplier(s, d), Seq(col("s_suppkey"),
+        col("s_name"), col("s_nationkey"), money(col("s_acctbal")))))
       .orderBy("tbl")
   }
 
@@ -577,8 +588,14 @@ object Relational {
         "l_linenumber", money("l_quantity"), money("l_extendedprice"),
         money("l_discount"), money("l_tax"), "l_returnflag", "l_linestatus",
         "epoch_us(l_shipdate)")),
+      tbl("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
       tbl("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        money("o_totalprice"), "epoch_us(o_orderdate)", "o_orderpriority"))
+        money("o_totalprice"), "epoch_us(o_orderdate)", "o_orderpriority")),
+      tbl("part", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        money("p_retailprice"))),
+      tbl("region", Seq("r_regionkey", "r_name")),
+      tbl("supplier", Seq("s_suppkey", "s_name", "s_nationkey",
+        money("s_acctbal")))
     ).mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
   }
 
