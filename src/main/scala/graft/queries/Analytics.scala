@@ -219,29 +219,34 @@ object Analytics {
 
   // ---- A11: exact integer-algebra z-score outliers ----
   // Per-priority 3-sigma outlier counts WITHOUT floating point: with
-  // price in integer cents, x is an outlier iff (n*x - S)^2 > 9*n*(n*Q -
-  // S^2) where S = sum(x), Q = sum(x^2) — the z>3 test multiplied out so
-  // both engines evaluate exact integer arithmetic (Spark decimal(38,0),
-  // DuckDB HUGEINT) and the boundary is bit-identical. Group stats are 5
-  // rows -> broadcast back; one shuffle total.
+  // price in integer cents, x is an outlier iff (n*x - S)^2 > 9*(n*Q -
+  // S^2) where S = sum(x), Q = sum(x^2) — the population z>3 test
+  // multiplied out ((x−μ)² > 9σ² with μ = S/n, σ² = (nQ−S²)/n², both
+  // sides scaled by n²) so both engines evaluate exact integer
+  // arithmetic (Spark decimal(38,0), DuckDB HUGEINT) and the boundary is
+  // bit-identical. Group stats are 5 rows -> broadcast back; one shuffle
+  // total. (r6: dropped a spurious extra n factor on the RHS that made
+  // the effective threshold 3·sqrt(n)·σ — both engines shared the bug so
+  // the oracle couldn't see it; advisor caught it by algebra.)
   //
-  // Capacity bound: the RHS equals 9·n³·σ² (translation-invariant, so
+  // Capacity bound: the RHS equals 9·n²·σ² (translation-invariant, so
   // mean-centering cannot shrink it) — with σ ≈ 10^7 cents it exceeds
-  // decimal(38,0) around n ≈ 5·10^7 rows per group. Past that, Spark
+  // decimal(38,0) around n ≈ 3·10^11 rows per group, the same order at
+  // which the per-row LHS (n·x − S)² ~ (nσ)² overflows. Past that, Spark
   // (non-ANSI) would silently null the product and count every row as a
   // non-outlier while DuckDB raises on HUGEINT overflow — a silent
   // divergence. The coalesce(·, raise_error) guards turn that into a loud
   // per-engine failure at the same boundary; the documented escape at
   // genuinely larger groups is a per-group double threshold
-  // |n·x − S| > 3·sqrt(n·(nQ − S²)), exact to within half an ulp.
+  // |n·x − S| > 3·sqrt(nQ − S²), exact to within half an ulp.
   def a11Outliers(s: SparkSession, d: String): DataFrame = {
     val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
-    // the RHS 9n(nQ − S²) is per-GROUP, so the overflow guard lives in
+    // the RHS 9(nQ − S²) is per-GROUP, so the overflow guard lives in
     // this 5-row projection — raise_error is CodegenFallback, and putting
     // it in the per-row comparison would drop the fact-side projection
     // out of whole-stage codegen (measured +30% on the query). The
     // per-row LHS (n·x − S)² ~ (nσ)² needs no guard: it reaches 10^38
-    // only around n ≈ 10^12 rows/group, four orders past the RHS bound.
+    // around n ≈ 10^12 rows/group, just past the RHS guard's bound.
     val stats = Tables.orders(s, d)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
@@ -249,9 +254,9 @@ object Analytics {
         sum(cents * cents).as("s_sq"))
       .select(col("o_orderpriority"), col("n"), col("s_sum"),
         coalesce(
-          lit(9) * col("n") * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")),
-          raise_error(lit("a11_outliers: decimal(38,0) overflow in 9n(nQ - S^2)" +
-            " — group too large for the exact integer z-test (~5e7 rows/group)")))
+          lit(9) * (col("n") * col("s_sq") - col("s_sum") * col("s_sum")),
+          raise_error(lit("a11_outliers: decimal(38,0) overflow in 9(nQ - S^2)" +
+            " — group too large for the exact integer z-test (~3e11 rows/group)")))
           .as("rhs"))
     val lhsRoot = col("n") * col("cents") - col("s_sum")
     Tables.orders(s, d)
@@ -278,7 +283,7 @@ object Analytics {
       |SELECT c.o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_orders,
       |       CAST(sum(CASE WHEN (n * cents - s_sum) * (n * cents - s_sum) >
-      |                          9 * n * (n * s_sq - s_sum * s_sum)
+      |                          9 * (n * s_sq - s_sum * s_sum)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM c JOIN st USING (o_orderpriority)
       |GROUP BY c.o_orderpriority ORDER BY c.o_orderpriority""".stripMargin
@@ -288,8 +293,10 @@ object Analytics {
   // day whose revenue departs >3σ from the TRAILING 7 full days (the
   // frame excludes the current row — an anomaly must not dilute the
   // baseline it is judged against). Same exact integer algebra on cents:
-  // (n·x − S)² > 9·n·(n·Q − S²) with n, S, Q from the window — no sqrt,
+  // (n·x − S)² > 9·(n·Q − S²) with n, S, Q from the window — no sqrt,
   // no float variance, so both engines flag the identical day set.
+  // (r6: same spurious-n fix as a11 — the old RHS 9·n·(nQ−S²) tested at
+  // 3·sqrt(7)·σ ≈ 7.9σ, silently missing moderate anomalies.)
   //
   // Scale shape: the only full-width work is the one groupBy(day) over
   // orders; the window then runs on the DAY SERIES, whose row count is
@@ -324,8 +331,8 @@ object Analytics {
       .select(col("day"), col("cents").cast("long").as("cents"),
         (lhsRoot * lhsRoot >
           coalesce(
-            lit(9) * col("n") * (col("n") * col("s_q") - col("s_sum") * col("s_sum")),
-            raise_error(lit("ts_anomaly: decimal(38,0) overflow in 9n(nQ - S^2)" +
+            lit(9) * (col("n") * col("s_q") - col("s_sum") * col("s_sum")),
+            raise_error(lit("ts_anomaly: decimal(38,0) overflow in 9(nQ - S^2)" +
               " — daily cents too large for the exact integer z-test"))))
           .as("is_anomaly"))
       .orderBy("day")
@@ -347,7 +354,7 @@ object Analytics {
       |)
       |SELECT day, CAST(c AS BIGINT) AS cents,
       |       (n * c - s_sum) * (n * c - s_sum) >
-      |         9 * n * (n * s_q - s_sum * s_sum) AS is_anomaly
+      |         9 * (n * s_q - s_sum * s_sum) AS is_anomaly
       |FROM win WHERE n = 7 ORDER BY day""".stripMargin
 
   // ---- TS: date-spine gap fill + last-observation-carried-forward ----

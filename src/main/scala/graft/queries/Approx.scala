@@ -34,10 +34,16 @@ object Approx {
   private val SegA = "view"
   private val SegB = "purchase"
 
+  /** (k−1)·2⁴⁸ — the estimator numerator, spelled as ONE literal in both
+    * engines so no engine-side operator (`<<`, `*` promotion) is involved
+    * in producing it.
+    */
+  private val Num: Long = (K - 1).toLong << 48
+
   /** First 12 hex chars of an md5 as a 48-bit integer — the θ parse.
     * 12 nibbles keep the value unsigned-safe in a BIGINT in any engine.
     */
-  private def hex48(h: Column): Column =
+  private[queries] def hex48(h: Column): Column =
     conv(substring(h, 1, 12), 16, 10).cast("long")
 
   def skKmv(s: SparkSession, d: String): DataFrame = {
@@ -64,7 +70,7 @@ object Approx {
     // whole set), (k-1)/θ above it — integer-exact via the 48-bit parse
     def est(exact: Column): Column =
       when(col("nk") < K, exact)
-        .otherwise(expr(s"(${K - 1}L * ${1L << 48}L) div hk"))
+        .otherwise(expr(s"${Num}L div hk"))
 
     def segRow(name: String, segH: DataFrame): DataFrame =
       segH.agg(count(lit(1)).as("exact_distinct"))
@@ -87,18 +93,39 @@ object Approx {
       .crossJoin(rho)
       .select(lit("both").as("segment"), col("exact_distinct"),
         when(col("nk") < K, col("rho"))
-          .otherwise(expr(s"(rho * ${K - 1}L * ${1L << 48}L) div (${K}L * hk)"))
+          .otherwise(expr(s"(rho * ${Num}L) div (${K}L * hk)"))
           .as("kmv_est"))
 
     segRow(SegA, aH).unionByName(segRow(SegB, bH)).unionByName(bothRow)
       .orderBy("segment")
   }
 
+  /** Oracle portability (r6): r5's driver gate flagged `sk_kmv` with a
+    * one-cell hash mismatch that did NOT reproduce on a local DuckDB
+    * 1.0.0 (bit-identical to Spark at sf0.01 and sf0.1) — an
+    * engine-VERSION divergence in the oracle SQL itself. Every construct
+    * with cross-version churn is therefore spelled out long-hand:
+    *   - the 48-bit hex parse is 12 explicit `strpos`·weight terms
+    *     (no `list_transform` lambda — DuckDB changed lambda syntax
+    *     across 1.x — no `list_sum`, whose return type widened to
+    *     HUGEINT in some versions, and no `<<`);
+    *   - integer division `a div b` is `(a - mod(a,b)) / b`: the
+    *     numerator is exactly divisible, so the quotient is exact under
+    *     BOTH historical DuckDB division semantics — integer `/` returns
+    *     the integer quotient directly, double `/` (DuckDB ≥0.10)
+    *     returns a float within ~1e-9 of the true integer (operands
+    *     ≤2⁶⁰, so relative error ~2⁻⁵⁰) which the BIGINT cast rounds to
+    *     exactly — where a bare `//` or `CAST(a/b ...)` is floor vs
+    *     round vs version-dependent;
+    *   - the estimator numerator (k−1)·2⁴⁸ is one pre-computed literal.
+    * `KmvFixtureSpec` + `tools/kmv_fixture.py` pin parse and both
+    * estimator branches to the same expected integers on both engines.
+    */
   val skKmvSql: String = {
-    val hex48 =
-      """list_sum(list_transform(range(1, 13), j ->
-        |  CAST(strpos('0123456789abcdef', substr(h, j, 1)) - 1 AS BIGINT)
-        |    * (CAST(1 AS BIGINT) << (4 * (12 - j)))))""".stripMargin
+    val hex48 = (1 to 12).map { j =>
+      val w = 1L << (4 * (12 - j))
+      s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", "\n        + ", ")")
     s"""WITH hashed AS (
        |  SELECT event_type AS seg,
        |         md5(CAST(user_id AS VARCHAR) || ':' ||
@@ -126,20 +153,27 @@ object Approx {
        |          FROM (SELECT h FROM hashed GROUP BY h HAVING count(*) = 2))
        |SELECT '$SegA' AS segment, exact_distinct,
        |       CASE WHEN nk < $K THEN exact_distinct
-       |            ELSE (${K - 1} * (CAST(1 AS BIGINT) << 48)) // hk END AS kmv_est
+       |            ELSE ${idiv(s"CAST($Num AS BIGINT)", "hk")} END AS kmv_est
        |FROM ea, ska
        |UNION ALL
        |SELECT '$SegB', exact_distinct,
        |       CASE WHEN nk < $K THEN exact_distinct
-       |            ELSE (${K - 1} * (CAST(1 AS BIGINT) << 48)) // hk END
+       |            ELSE ${idiv(s"CAST($Num AS BIGINT)", "hk")} END
        |FROM eb, skb
        |UNION ALL
        |SELECT 'both', exact_distinct,
        |       CASE WHEN nk < $K THEN rho
-       |            ELSE (rho * ${K - 1} * (CAST(1 AS BIGINT) << 48)) // ($K * hk) END
+       |            ELSE ${idiv(s"rho * CAST($Num AS BIGINT)", s"$K * hk")} END
        |FROM eboth, sku, rho
        |ORDER BY segment""".stripMargin
   }
+
+  /** Version-stable integer division for the oracle: truncating division
+    * of non-negative BIGINTs without `//` or a bare fractional cast —
+    * see the portability note on [[skKmvSql]].
+    */
+  private def idiv(a: String, b: String): String =
+    s"CAST((($a) - mod(($a), ($b))) / ($b) AS BIGINT)"
 
   val queries: Map[String, Q] = Map(
     "sk_kmv" -> (skKmv _))
