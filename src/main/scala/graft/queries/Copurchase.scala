@@ -55,8 +55,15 @@ object Copurchase {
       // dirFor (not dir): benchmark min-of-N reruns in a fresh session
       // overwrite one directory instead of accreting copies. The key
       // carries the sfDir: one session reading two SFs (AnalyzesSpec)
-      // must stage two distinct artifacts.
-      val path = Scratch.dirFor(s, s"graft_copairs_${d.hashCode.toHexString}") + "/pairs"
+      // must stage two distinct artifacts. md5 of the full path, not
+      // String.hashCode: a 32-bit collision between two sfDirs would
+      // silently cross-wire their staged pair counts (the Memo key is
+      // the full path, so the first dir's memoized frame would read the
+      // second dir's overwrite).
+      val path = Scratch.dirFor(s, "graft_copairs_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).take(8)
+          .map("%02x".format(_)).mkString) + "/pairs"
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")

@@ -540,11 +540,12 @@ object Relational {
             .cast("string").as("checksum"))
         .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
 
-    // the complete relational star schema — a migration signs off on the
-    // whole warehouse, not a sample of it (events/documents/embeddings
-    // carry free doubles and float arrays, whose string rendering is NOT
-    // engine-portable; their integrity checks are the oracle queries
-    // themselves)
+    // the complete relational star schema PLUS documents (all
+    // BIGINT/VARCHAR — nothing non-portable in it); a migration signs
+    // off on the whole warehouse, not a sample of it. Only events.value
+    // (free DOUBLE) and embeddings.embedding (FLOAT[]) stay out: their
+    // string rendering is NOT engine-portable, so their integrity checks
+    // are the oracle queries themselves.
     row("customer", Tables.customer(s, d), Seq(col("c_custkey"), col("c_name"),
         col("c_nationkey"), money(col("c_acctbal")), col("c_mktsegment")))
       .unionByName(row("lineitem", Tables.lineitem(s, d), Seq(col("l_orderkey"),
@@ -552,6 +553,9 @@ object Relational {
         money(col("l_quantity")), money(col("l_extendedprice")),
         money(col("l_discount")), money(col("l_tax")), col("l_returnflag"),
         col("l_linestatus"), unix_micros(col("l_shipdate").cast("timestamp")))))
+      .unionByName(row("documents", Tables.documents(s, d),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))))
       .unionByName(row("nation", Tables.nation(s, d),
         Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
       .unionByName(row("orders", Tables.orders(s, d), Seq(col("o_orderkey"),
@@ -568,19 +572,22 @@ object Relational {
   }
 
   val qrChecksumSql: String = {
-    // the same 48-bit md5-prefix parse the sk_kmv oracle uses
-    def h(expr: String): String =
-      s"""list_sum(list_transform(range(1, 13), j ->
-         |  CAST(strpos('0123456789abcdef', substr(md5($expr), j, 1)) - 1 AS BIGINT)
-         |    * (CAST(1 AS BIGINT) << (4 * (12 - j)))))""".stripMargin
+    // the same 48-bit md5-prefix parse as the sk_kmv oracle, spelled
+    // long-hand for engine-version portability (r6: no list lambdas, no
+    // list_sum, no `<<` — see the note on Approx.skKmvSql); the md5 is
+    // computed once per row in a subquery, the 12 terms parse its prefix
+    val parse12 = (1 to 12).map { j =>
+      val w = 1L << (4 * (12 - j))
+      s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", "\n         + ", ")")
     def nn(e: String) = s"COALESCE(CAST($e AS VARCHAR), chr(0))"
     def money(e: String) = s"CAST(round($e * 100) AS BIGINT)"
     def canon(parts: Seq[String]): String =
       parts.map(nn).mkString("concat_ws('|', ", ", ", ")")
     def tbl(name: String, parts: Seq[String]): String =
       s"""SELECT '$name' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-         |       CAST(sum(CAST(${h(canon(parts))} AS HUGEINT)) AS VARCHAR) AS checksum
-         |FROM $name""".stripMargin
+         |       CAST(sum(CAST($parse12 AS HUGEINT)) AS VARCHAR) AS checksum
+         |FROM (SELECT md5(${canon(parts)}) AS h FROM $name)""".stripMargin
     Seq(
       tbl("customer", Seq("c_custkey", "c_name", "c_nationkey",
         money("c_acctbal"), "c_mktsegment")),
@@ -588,6 +595,7 @@ object Relational {
         "l_linenumber", money("l_quantity"), money("l_extendedprice"),
         money("l_discount"), money("l_tax"), "l_returnflag", "l_linestatus",
         "epoch_us(l_shipdate)")),
+      tbl("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
       tbl("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
       tbl("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
         money("o_totalprice"), "epoch_us(o_orderdate)", "o_orderpriority")),

@@ -148,7 +148,18 @@ object EventStream {
       val nk = merged.length
       // θ = 48-bit prefix of the kth smallest hash, same parse as batch
       val hk = java.lang.Long.parseLong(merged.last.substring(0, 12), 16)
-      val est = if (nk < k) nk.toLong else ((k - 1).toLong * (1L << 48)) / hk
+      // hk == 0 in the estimator branch means k DISTINCT md5s all share a
+      // 12-zero hex prefix — probability ~k·2⁻⁴⁸ per day, i.e. corrupt or
+      // adversarial refs. /0 would kill the stream with a bare
+      // ArithmeticException; fail loudly and say why (loud-guard
+      // doctrine, same as a11/ts_anomaly's raise_error).
+      val est =
+        if (nk < k) nk.toLong
+        else if (hk == 0L) throw new IllegalStateException(
+          s"dailyKmvOrders: day $day kth-smallest hash has an all-zero " +
+            "48-bit prefix (k distinct md5s sharing 12 leading zero hex " +
+            "chars) — refs are corrupt or adversarial; KMV θ undefined")
+        else ((k - 1).toLong * (1L << 48)) / hk
       Iterator.single(KmvDaily(java.sql.Date.valueOf(day), nk, hk, est))
     }
 
