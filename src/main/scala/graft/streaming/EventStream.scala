@@ -328,6 +328,138 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One attribution verdict: the purchase, its money, and the channel of
+    * the latest touch at-or-before it ("direct" when none).
+    */
+  case class AttributionVerdict(purchase_id: Long, user_id: Long,
+                                cents: Option[Long], channel: String)
+
+  /** Per-user attribution state: touches as (epochMillis, nanos, channel)
+    * — the two-int timestamp split survives the product encoder exactly —
+    * purchases as (id, millis, nanos, cents), and the last emitted channel
+    * per purchase (so re-emission happens only on verdict CHANGES).
+    */
+  case class AttribState(touches: Array[(Long, Int, String)],
+                         purchases: Array[(Long, Long, Int, Option[Long])],
+                         verdicts: Map[Long, String])
+
+  /** Streaming twin of the batch `ev_attribution` as-of composition
+    * ([[graft.operators.AsOf.joinAsOf]] over purchases × touches): a
+    * per-user state machine that continuously assigns each purchase the
+    * channel of the user's latest touch at-or-before it, revising the
+    * verdict when a late touch lands between the previous best touch and
+    * the purchase. Emission is delta-only: a purchase row appears when its
+    * verdict is first computed or CHANGES — downstream keeps latest per
+    * purchase_id, and the final map is bit-equal to the batch as-of join
+    * over the same events (AttributionStreamSpec's assertion, per the
+    * repo's streaming-exactness doctrine alongside KmvStreamSpec).
+    *
+    * Batch-parity semantics, replayed exactly: touches at the same
+    * (user, instant) collapse to max(event_type) — the deterministic
+    * tie-break both engines use — and the as-of comparison is inclusive
+    * (a touch AT the purchase instant wins). Timestamps compare at full
+    * parquet precision via the (millis, nanos) split, never truncated.
+    *
+    * State is WATERMARK-BOUNDED, which is what lets this run forever at
+    * 100 TB/day: once the watermark passes a purchase's ts no touch that
+    * could re-attribute it can still arrive (late rows are dropped
+    * upstream), so the purchase and its verdict entry are pruned; touches
+    * strictly older than the watermark are dominated — any FUTURE purchase
+    * probes at ts ≥ watermark, so only the latest pre-watermark touch can
+    * ever win again and only that one is kept. Per-user state is therefore
+    * O(events inside the lateness horizon), not O(user history). A replay
+    * of an already-pruned purchase re-emits the same final verdict —
+    * idempotent downstream, same contract as the upsert sinks.
+    */
+  def purchaseAttribution(events: DataFrame, lateness: String = "7 days")
+      : Dataset[AttributionVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, java.sql.Timestamp, String, Option[Long])]
+
+    def key(ts: java.sql.Timestamp): (Long, Int) = (ts.getTime, ts.getNanos)
+
+    def update(user: Long,
+               rows: Iterator[(Long, Long, java.sql.Timestamp, String, Option[Long])],
+               state: GroupState[AttribState]): Iterator[AttributionVerdict] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val s0 = state.getOption.getOrElse(
+        AttribState(Array.empty, Array.empty, Map.empty))
+      val touches = scala.collection.mutable.Map[(Long, Int), String]()
+      s0.touches.foreach { case (ms, ns, ch) => touches((ms, ns)) = ch }
+      val purchases =
+        scala.collection.mutable.Map[Long, (Long, Int, Option[Long])]()
+      s0.purchases.foreach { case (id, ms, ns, c) => purchases(id) = (ms, ns, c) }
+      rows.foreach { case (_, eid, ts, et, cents) =>
+        val (ms, ns) = key(ts)
+        if (et == "purchase") {
+          if (!purchases.contains(eid)) purchases(eid) = (ms, ns, cents)
+        } else {
+          val ch = touches.get((ms, ns)) match {
+            case Some(prev) if prev >= et => prev
+            case _ => et
+          }
+          touches((ms, ns)) = ch
+        }
+      }
+      // (millis, nanos) tuples order exactly like full-precision timestamps
+      val sorted = touches.toArray.sortBy(_._1)
+      def channelFor(ms: Long, ns: Int): String = {
+        // latest touch with (touch ms, ns) <= (ms, ns): binary search for
+        // the insertion point of the key just past the probe
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          val (tms, tns) = sorted(mid)._1
+          if (tms < ms || (tms == ms && tns <= ns)) lo = mid + 1 else hi = mid
+        }
+        if (lo == 0) "direct" else sorted(lo - 1)._2
+      }
+      val out = scala.collection.mutable.ArrayBuffer[AttributionVerdict]()
+      val verdicts = scala.collection.mutable.Map[Long, String]()
+      purchases.foreach { case (id, (ms, ns, cents)) =>
+        val ch = channelFor(ms, ns)
+        verdicts(id) = ch
+        if (!s0.verdicts.get(id).contains(ch))
+          out += AttributionVerdict(id, user, cents, ch)
+      }
+      // watermark pruning (see scaladoc): finalized purchases leave,
+      // pre-watermark touches collapse to the single dominating latest one
+      val wm = state.getCurrentWatermarkMs()
+      val keptP = purchases.iterator
+        .filter { case (_, (ms, _, _)) => ms >= wm }
+        .map { case (id, (ms, ns, c)) => (id, ms, ns, c) }.toArray
+      val (oldT, liveT) = sorted.partition(_._1._1 < wm)
+      val keptT = (oldT.takeRight(1) ++ liveT)
+        .map { case ((ms, ns), ch) => (ms, ns, ch) }
+      val keptV = verdicts.iterator
+        .filter { case (id, _) => purchases(id)._1 >= wm }.toMap
+      if (keptP.isEmpty && keptT.isEmpty) state.remove()
+      else {
+        state.update(AttribState(keptT, keptP, keptV))
+        // any real future anchor works; the state's own live horizon is
+        // the natural one — wm alone is 0 on the first batch (orderLifecycle
+        // learned this the hard way)
+        val maxTs = (keptP.map(_._2) ++ keptT.map(_._1)).max
+        val anchor = math.max(wm, maxTs)
+        if (anchor > 0) state.setTimeoutTimestamp(
+          anchor + 8L * 24 * 3600 * 1000) // lateness horizon + a day
+      }
+      out.iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** foreachBatch upsert of normalized current-order state — streaming
     * writes through the same idempotent sink as batch.
     */

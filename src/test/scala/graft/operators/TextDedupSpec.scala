@@ -143,6 +143,26 @@ class TextDedupSpec extends SparkSuite {
     assert(plain >= 40L * 39L / 2)
   }
 
+  test("minhashLshPairs: collapse-first expansion is bit-equal to the naive definition") {
+    // the collapse+re-expand path must reproduce the naive all-replicas
+    // output EXACTLY: every intra-group pair at est 1.0 (identical texts
+    // share all k minhashes), every cross-group pair at its rep pair's
+    // est. Same corpus as the flood test: 40 replicas (groups {1..40})
+    // + near-dup 100 whose rep pair (1, 100) scores 0.8125.
+    val baseText =
+      "alpha beta gamma delta epsilon zeta theta iota kappa lam mu nu xi omicron pi rho"
+    val nearText = baseText.split(' ').filterNot(_ == "zeta").mkString(" ")
+    val flood = (1L to 40L).map(i => (i, "en", 40L, baseText))
+    val near = Seq((100L, "en", 40L, nearText))
+    val got = TextDedup.minhashLshPairs(docs(flood ++ near),
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected =
+      (for { a <- 1L to 40L; b <- (a + 1) to 40L } yield (a, b, 1.0)).toSet ++
+      (1L to 40L).map(a => (a, 100L, 0.8125)).toSet
+    assert(got == expected)
+  }
+
   test("incrementalNearDups works from a parquet-persisted band index") {
     // the production shape: the corpus index is a stored artifact, not a
     // same-DAG intermediate — round-trip it through parquet and verify
