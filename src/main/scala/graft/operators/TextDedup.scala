@@ -289,17 +289,37 @@ object TextDedup {
                         minJaccard: Double, dfCap: Int = 64,
                         starCap: Int = 4096): DataFrame = {
     val spark = docs.sparkSession
-    // The shingle-set projection feeds THREE consumers (candidate
-    // explosion + both verification legs). Stage it once to scratch
-    // parquet instead of recomputing the tokenize+shingle work per leg or
-    // persist()-ing (which round 1 leaked): one write, three cheap scans,
-    // nothing cached. Production pipelines stage this exact intermediate.
     val scratch = graft.Scratch.dir(spark, "graft_ngram_")
-    val path = scratch + "/sets"
-    // shingles staged as 64-bit hashes, not strings: the scratch file
-    // shrinks to fixed-width longs and the verification intersect runs on
-    // primitive arrays. Collision odds ~2^-64 per compared pair —
-    // immaterial (the candidate stage already keys on this hash).
+    // Collapse-first, like minhashLshPairs, with the SAME exactness
+    // argument extended to df-based candidates: shingle sets are functions
+    // of the normalized text, so the document frequency of a (block,
+    // shingle) key equals the g-weighted count over unique texts —
+    // sum(group size) reproduces every df EXACTLY, candidates and
+    // verification run over representatives only, and doc pairs re-expand
+    // through group membership per candidate class afterwards. The
+    // collapse key includes the block columns (lang, len_bucket): two
+    // identical texts with different lang/n_chars metadata must NOT share
+    // a representative, or block-local dfs would drift.
+    val gpath = scratch + "/groups"
+    graft.Par.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / lenBand).cast("long").as("len_bucket"),
+        col("text"), TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp", "lang", "len_bucket")
+      .agg(min("doc_id").as("rep_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).as("g"))
+      .select("rep_id", "lang", "len_bucket", "text", "members", "g")
+      .write.mode("overwrite").parquet(gpath)
+    val groups = spark.read.parquet(gpath)
+
+    // The rep-level shingle-set projection feeds THREE consumers
+    // (candidate explosion + both verification legs). Stage it once to
+    // scratch parquet instead of recomputing the tokenize+shingle work
+    // per leg or persist()-ing (which round 1 leaked). Shingles staged as
+    // 64-bit hashes, not strings: fixed-width longs, and verification
+    // intersects primitive arrays (collision odds ~2^-64 per pair).
     //
     // Two deliberate moves in the projection (6× staging speedup measured
     // at derived sf1, 5.1 s → 0.8 s):
@@ -314,50 +334,58 @@ object TextDedup {
     //    sees these internal keys (it verifies on shingle strings). Docs
     //    shorter than n keep a whole-text hash — disjoint from the
     //    n-window space, so cross-class equality never existed to lose.
+    val path = scratch + "/sets"
     val winHash = when(size(col("th")) >= shingleN,
       transform(sequence(lit(1), size(col("th")) - (shingleN - 1)),
         i => xxhash64((0 until shingleN).map(k =>
           element_at(col("th"), (i + k).cast("int"))): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", col("tk")))))
-    graft.Par.spread(docs) // spread shingle construction on narrow scans
+    groups
       .select(
-        col("doc_id"), col("lang"),
-        (col("n_chars") / lenBand).cast("long").as("len_bucket"),
-        TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"), col("tk"),
+        col("rep_id").as("doc_id"), col("lang"), col("len_bucket"),
+        col("g"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"), col("tk"),
         transform(col("tk"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"),
+      .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"),
         array_distinct(winHash).as("sh"))
       .write.mode("overwrite").parquet(path)
     val withSets = spark.read.parquet(path)
     val blockKeys = Seq("lang", "len_bucket", "sh_h")
     val exploded = withSets
-      .select(col("lang"), col("len_bucket"), col("doc_id"),
+      .select(col("lang"), col("len_bucket"), col("doc_id"), col("g"),
         explode(col("sh")).as("sh_h"))
-    // document frequency per (block, shingle) — counts only, so a stop
-    // shingle with df = 10⁶ costs one counter, never a collected list
-    // (round 2 collected EVERY bucket's member list before filtering:
-    // a hot-key array build this formulation removes).
+    // DOCUMENT frequency per (block, shingle) — sum of group sizes, bit-
+    // equal to counting docs directly; counts only, so a stop shingle with
+    // df = 10⁶ costs one counter, never a collected list (round 2
+    // collected EVERY bucket's member list before filtering).
     // Deliberately NOT staged to scratch despite three consumers:
     // measured at derived sf1, re-aggregating from the staged set file
     // (~1.5 s/consumer, fully pipelined) beats the synchronous write
     // barrier of materializing it (+50% end-to-end) — same verdict for
-    // the bucket member lists (+30%). The set file stays the only staged
-    // intermediate.
+    // the bucket member lists (+30%). The set and group files stay the
+    // only staged intermediates.
     val freq = exploded.groupBy(blockKeys.map(col): _*)
-      .agg(count(lit(1)).as("df"))
-    // EXACT low-df intersection per pair, straight from the inverted
-    // index: member lists are collected only for df ∈ [2, dfCap] buckets
-    // (bounded arrays), each bucket contributes one count per i<j pair —
+      .agg(sum(col("g")).as("df"))
+    // EXACT low-df intersection per REP pair from the inverted index:
+    // rep lists are collected only for df ∈ [2, dfCap] buckets (bounded
+    // arrays), each bucket contributes one count per i<j rep pair —
     // groupBy(pair).count IS |A∩B| over low-df shingles. Shared shingles
     // always have df ≥ 2, so inter_full = inter_low + inter_high.
-    val lowKeys = freq.filter(col("df").between(2, dfCap))
-      .select(blockKeys.map(col): _*)
-    val lowPacked = exploded.join(lowKeys, blockKeys)
+    // SELF pairs (r, r) for reps with g ≥ 2 ride the same packed-key path:
+    // a duplicated text shares every shingle with its replicas, and the
+    // identical verification algebra lands on jaccard 1.0 without a
+    // special case (inter_low counts ALL its low shingles, inter_high the
+    // rest, union = its own set).
+    val selfPair = (x: org.apache.spark.sql.Column) =>
+      shiftleft(x("doc_id"), 32).bitwiseOR(x("doc_id"))
+    val lowPacked = exploded.join(freq.filter(col("df").between(2, dfCap))
+        .select(blockKeys.map(col): _*), blockKeys)
       .groupBy(blockKeys.map(col): _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(expandSortedPairs(col("ids"),
-        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("g")))).as("ms"))
+      .select(explode(concat(
+        expandSortedPairs(col("ms"), (x, y) =>
+          shiftleft(x("doc_id"), 32).bitwiseOR(y("doc_id"))),
+        transform(filter(col("ms"), m => m("g") >= 2), selfPair))).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("inter_low"))
     // star fallback for template-scale clusters: a cluster of MORE than
     // dfCap near-identical docs has no df ≤ dfCap shared shingle at all —
@@ -370,25 +398,39 @@ object TextDedup {
     // components restores the full cluster. Shingles beyond starCap
     // (true stop-shingles) stay excluded: even one edge per member of a
     // corpus-wide key would verify millions of ~0-jaccard pairs.
-    val midKeys = freq.filter(col("df") > dfCap && col("df") <= starCap)
-      .select(blockKeys.map(col): _*)
-    val starPacked = exploded.join(midKeys, blockKeys)
+    // At rep level a star bucket contributes (minRep, r) for every other
+    // rep — the bucket's min DOC is the min rep's id, since rep_id is its
+    // group's min member and every group member shares the shingle — plus
+    // (minRep, minRep) when the min rep itself is a multi-doc group.
+    val starPacked = exploded.join(freq.filter(
+        col("df") > dfCap && col("df") <= starCap)
+        .select(blockKeys.map(col): _*), blockKeys)
       .groupBy(blockKeys.map(col): _*)
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(explode(expandStarPairs(col("ids"),
-        (x, y) => shiftleft(x, 32).bitwiseOR(y))).as("pair"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("g")))).as("ms"))
+      .select(explode(concat(
+        expandStarPairs(col("ms"), (x, y) =>
+          shiftleft(x("doc_id"), 32).bitwiseOR(y("doc_id"))),
+        transform(filter(slice(col("ms"), 1, 1), m => m("g") >= 2),
+          selfPair))).as("pair"))
       .distinct()
       // star pairs not already counted by the low index truly share zero
       // low-df shingles — inter_low = 0 is exact, not an approximation
+      // (and the anti-join is exact at rep level: a doc pair is low-
+      // reachable iff its REP pair is, because low expansion covers every
+      // member pair of a low rep pair)
       .join(lowPacked.select("pair"), Seq("pair"), "left_anti")
       .withColumn("inter_low", lit(0L))
-    val pairsLow = lowPacked.unionByName(starPacked)
+    // star expansion is bucket-min ↔ member, not full bipartite — keep
+    // the class through verification so each verified rep pair expands
+    // with its own shape
+    val pairsLow = lowPacked.withColumn("star", lit(false))
+      .unionByName(starPacked.withColumn("star", lit(true)))
       .select(
         shiftrightunsigned(col("pair"), 32).as("doc_a"),
         col("pair").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
-        col("inter_low"))
-    // per-doc verification sidecar: total distinct-shingle count plus the
-    // (small) array of this doc's high-df shingles — the only part of the
+        col("inter_low"), col("star"))
+    // per-rep verification sidecar: total distinct-shingle count plus the
+    // (small) array of this rep's high-df shingles — the only part of the
     // set an exact jaccard still needs once inter_low is known. The full
     // shingle arrays are never joined per pair again (round 2 shipped
     // both docs' complete sets through two joins for all ~d²-shaped
@@ -420,7 +462,7 @@ object TextDedup {
     // doubles must never drop a boundary pair, only the exact final
     // filter decides those)
     val ubInter = col("inter_low") + least(col("szh_a"), col("szh_b"))
-    pairsLow.join(aScalar, "doc_a").join(bScalar, "doc_b")
+    val verified = pairsLow.join(aScalar, "doc_a").join(bScalar, "doc_b")
       .filter(ubInter * (lit(1.0) + lit(minJaccard)) >=
         lit(minJaccard) * (col("szt_a") + col("szt_b")) - lit(1e-6))
       .join(aHigh, "doc_a").join(bHigh, "doc_b")
@@ -430,7 +472,100 @@ object TextDedup {
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .filter(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard", "star")
+    // re-expand verified REP pairs to DOC pairs, class by class:
+    //  - low pair (r1, r2): every member pair — full bipartite for
+    //    r1 ≠ r2, i<j within members for the self pair (replicas of one
+    //    text at jaccard 1.0);
+    //  - star pair (r0, r): bucket-min doc (= r0's rep_id, the global min
+    //    of the bucket) ↔ every member of r — and for the self star,
+    //    rep_id ↔ its other members.
+    // A doc pair determines its rep pair and classes are disjoint after
+    // the anti-join, so no pair is produced twice and no final distinct
+    // is needed. least/greatest order cross-group pairs whose memberships
+    // interleave.
+    val m = groups.select(col("rep_id"), col("members"))
+    val lowX = verified.filter(!col("star"))
+      .join(m.toDF("doc_a", "ma"), "doc_a")
+      .join(m.toDF("doc_b", "mb"), "doc_b")
+      .select(explode(when(col("doc_a") === col("doc_b"),
+        expandSortedPairs(col("ma"), (x, y) =>
+          struct(x.as("doc_a"), y.as("doc_b"))))
+        .otherwise(flatten(transform(col("ma"), x =>
+          transform(col("mb"), y =>
+            struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))).as("p"),
+        col("jaccard"))
+    val starX = verified.filter(col("star"))
+      .join(m.toDF("doc_b", "mb"), "doc_b")
+      .select(explode(transform(
+        when(col("doc_a") === col("doc_b"),
+          slice(col("mb"), lit(2), greatest(size(col("mb")) - 1, lit(0))))
+          .otherwise(col("mb")),
+        y => struct(col("doc_a").as("doc_a"), y.as("doc_b")))).as("p"),
+        col("jaccard"))
+    lowX.unionByName(starX)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("jaccard"))
+  }
+
+  /** Exact cross-document substring-span dedup (Lee et al. 2021,
+    * arXiv:2107.06499), Spark-shaped: every MAXIMAL shared token span of
+    * length >= `minSpan` between a doc pair, without a suffix array.
+    *
+    * Pigeonhole completeness: anchor `anchorK`-token windows are taken at
+    * EVERY position, so any shared span of >= anchorK tokens contains an
+    * aligned anchor in both docs — grouping by anchor hash is a complete
+    * candidate generator (the same blocked-not-all-pairs shape as LSH
+    * banding). Aligned anchor pairs chain into maximal runs on their
+    * DIAGONAL (pa - pb): a shared span of L tokens is exactly L-anchorK+1
+    * consecutive anchors on one diagonal, recovered with the islands trick
+    * (pa - row_number), so span_len = run + anchorK - 1.
+    *
+    * `dfCap` is the scale valve: anchors shared by more than dfCap docs
+    * are excluded from pairing — a boilerplate anchor in 1000 docs is a
+    * template, not a copy (the collapse-first MinHash path owns that
+    * regime), and pairing it would cost O(df²) join rows per anchor.
+    * With dfCap = Int.MaxValue this IS the exact definition (the
+    * pigeonhole argument leaves no other loss path), which is what
+    * SubstringRecallSpec runs to MEASURE the capped recall on a planted
+    * corpus: 100% of copy-regime spans (every span with df <= dfCap),
+    * 0 of pure template-regime spans — by construction, not by accident.
+    * Anchors hash to one long (xxhash64 over token hashes — no per-window
+    * string concat), so the join key is an 8-byte primitive.
+    */
+  def substringSpanPairs(docs: DataFrame, anchorK: Int = 8,
+                         minSpan: Int = 10, dfCap: Int = 16): DataFrame = {
+    val win = graft.Par.spread(docs)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), transform(col("tk"), t => xxhash64(t)).as("th"))
+      .filter(size(col("th")) >= anchorK)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("th")) - (anchorK - 1)),
+          i => xxhash64((0 until anchorK).map(j =>
+            element_at(col("th"), (i + lit(j)).cast("int"))): _*))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val rare = win.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("h")
+    val keep = win.join(rare, "h")
+    val pairs = keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(keep.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val diag = Window.partitionBy(col("doc_a"), col("doc_b"), col("dg"))
+      .orderBy(col("pa"))
+    pairs.withColumn("dg", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(diag))
+      .groupBy("doc_a", "doc_b", "dg", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (anchorK - 1)).cast("long").as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      // (start_a, start_b) determines the diagonal and a diagonal's runs
+      // are disjoint, so this 4-column order is total
+      .select(col("doc_a"), col("doc_b"),
+        col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("span_len"))
   }
 
   /** Connected components over a near-dup pair list: every document in a

@@ -955,66 +955,16 @@ object TextQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- DD: exact substring-span dedup (suffix-chain style) ----
-  // The Lee et al. 2021 "Deduplicating Training Data Makes Language
-  // Models Better" (arXiv:2107.06499) method, Spark-shaped: find every
-  // MAXIMAL cross-document token span of length >= 10 shared by a doc
-  // pair, without a suffix array. Pigeonhole completeness: anchor
-  // 8-token windows are taken at EVERY position, so any shared span of
-  // >= 8 tokens contains an aligned anchor in both docs — grouping by
-  // anchor hash is a complete candidate generator (same
-  // blocked-not-all-pairs shape as MinHash LSH banding). Aligned anchor
-  // pairs chain into maximal runs on their DIAGONAL (pa - pb): a shared
-  // span of L tokens is exactly L-7 consecutive anchors on one
-  // diagonal, recovered with the islands trick (pa - row_number), so
-  // span_len = run + 7. Scale: anchors hash to one long (xxhash64 over
-  // token hashes — no per-window string concat), the join key is that
-  // 8-byte primitive, and a df cap (<= 16 docs per anchor) bounds the
-  // pair fan-out the way ngram_jaccard's inverted index does — a
-  // boilerplate anchor shared by 1000 docs is a template, not a copy
-  // (the collapse-first MinHash path owns that regime). Each engine
+  // Lee et al. 2021 (arXiv:2107.06499) maximal shared spans — the full
+  // design and the measured recall contract live on
+  // TextDedup.substringSpanPairs + SubstringRecallSpec. Each engine
   // hashes with its own 64-bit function; only in-engine equality
   // matters, and a false span needs an in-corpus 64-bit collision
   // (~n²/2⁶⁵ — the same stake the md5 fingerprint dedup makes).
-  def ddSubstring(s: SparkSession, d: String): DataFrame = {
-    val K = 8        // anchor width (tokens)
-    val MinSpan = 10 // report maximal spans of at least this many tokens
-    val DfCap = 16
-    // th staged before the window lambda references it (free expressions
-    // in lambdas re-evaluate per element)
-    val th = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), transform(col("tk"), t => xxhash64(t)).as("th"))
-      .filter(size(col("th")) >= K)
-    // one row per anchor position: (doc_id, pos 1-based, anchor hash)
-    val win = th.select(col("doc_id"), posexplode(
-        transform(sequence(lit(1), size(col("th")) - (K - 1)),
-          i => xxhash64((0 until K).map(j =>
-            element_at(col("th"), (i + lit(j)).cast("int"))): _*))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val rare = win.groupBy("h")
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") <= DfCap)
-      .select("h")
-    val keep = win.join(rare, "h")
-    val pairs = keep.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(keep.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-    val diag = Window.partitionBy(col("doc_a"), col("doc_b"), col("dg"))
-      .orderBy(col("pa"))
-    pairs.withColumn("dg", col("pa") - col("pb"))
-      .withColumn("isl", col("pa") - row_number().over(diag))
-      .groupBy("doc_a", "doc_b", "dg", "isl")
-      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
-        (count(lit(1)) + (K - 1)).cast("long").as("span_len"))
-      .filter(col("span_len") >= MinSpan)
-      // (start_a, start_b) determines the diagonal and a diagonal's runs
-      // are disjoint, so this 4-column order is total
-      .select(col("doc_a"), col("doc_b"),
-        col("start_a").cast("long").as("start_a"),
-        col("start_b").cast("long").as("start_b"), col("span_len"))
+  def ddSubstring(s: SparkSession, d: String): DataFrame =
+    TextDedup.substringSpanPairs(Tables.documents(s, d),
+        anchorK = 8, minSpan = 10, dfCap = 16)
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
-  }
 
   val ddSubstringSql: String =
     """WITH toks AS (

@@ -64,6 +64,39 @@ class TextDedupSpec extends SparkSuite {
     assert(got.forall { case (a, _, j) => a == 1L && j == 0.7778 })
   }
 
+  test("ngramJaccardPairs: duplicate groups expand to the naive doc-pair set (low regime)") {
+    // group A = 3 replicas, group B = 2 replicas of a near-dup, plus an
+    // unrelated singleton: every (block, shingle) df is ≤ 5, so all
+    // candidates are low-regime. The collapse-first rewrite must emit
+    // exactly the naive definition's pairs: all intra-group pairs at
+    // jaccard 1.0 and the full A×B bipartite at jaccard(T1, T2) = 4/6.
+    val t1 = "a b c d e f"; val t2 = "a b c d e g"
+    val d = docs(
+      (1L to 3L).map(i => (i, "en", 10L, t1)) ++
+      Seq((10L, "en", 10L, t2), (11L, "en", 10L, t2),
+        (50L, "en", 10L, "x y z w v u")))
+    val got = TextDedup.ngramJaccardPairs(d, shingleN = 2, lenBand = 100,
+        minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected =
+      Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (10L, 11L, 1.0)) ++
+      (for { a <- 1L to 3L; b <- Seq(10L, 11L) } yield (a, b, 0.6667)).toSet
+    assert(got == expected)
+  }
+
+  test("ngramJaccardPairs: a 70-replica flood stays linear — star pairs to the min, jaccard 1.0") {
+    // 70 bit-identical docs: every shingle's df is 70 > dfCap 64, so the
+    // naive definition itself only emits bucket-min star pairs (1, d) —
+    // 69 rows, not C(70,2) — and the self-star expansion must reproduce
+    // exactly that.
+    val d = docs((1L to 70L).map(i =>
+      (i, "en", 60L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val got = TextDedup.ngramJaccardPairs(d, shingleN = 2, lenBand = 100,
+        minJaccard = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == (2L to 70L).map(i => (1L, i, 1.0)).toSet)
+  }
+
   test("minhashLshPairs pairs identical docs at est 1.0") {
     val d = docs(Seq(
       (10L, "en", 30L, "the quick brown fox jumps over"),
