@@ -732,4 +732,83 @@ object TextDedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
       .filter(col("n_docs") > 1)
   }
+
+  /** Asymmetric near-dup detection: shingle-set CONTAINMENT
+    * |A∩B| / min(|A|,|B|) — the doc-in-doc signal (a snippet quoted
+    * inside a longer page scores ~1.0 where Jaccard, diluted by the long
+    * side's union, misses it). This is why it deliberately does NOT block
+    * on length band the way [[ngramJaccardPairs]] does: cross-length
+    * pairs are exactly the interesting ones here.
+    *
+    * Defined over DISTINCT texts (one representative per (fingerprint,
+    * lang) group, min doc_id): containment between exact replicas is
+    * trivially 1.0 and already reported by [[exactGroups]], and the
+    * rep-level definition makes the operator collapse-first by
+    * construction — a duplicate flood can't quadratically inflate the
+    * pair set, so the output is vocabulary-sized at any corpus scale.
+    *
+    * Scale shape: one fingerprint shuffle (the collapse), a df-capped
+    * inverted index for candidates (a shingle shared by >dfCap reps is
+    * boilerplate, not quotation — same regime split as ngramJaccard's
+    * low/mid tiers), exact verification on candidate pairs only via a
+    * bounded array intersect. No all-pairs join at any stage.
+    */
+  def containmentPairs(docs: DataFrame, shingleN: Int = 2,
+                       minContainBp: Int = 8000, dfCap: Int = 64,
+                       minSet: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val scratch = graft.Scratch.dir(spark, "graft_contain_")
+    val path = scratch + "/sets"
+    // same staged-hashed-shingle projection as ngramJaccardPairs (fixed-
+    // width longs, token hashes staged before the window lambda touches
+    // them); short docs keep the whole-text fallback hash
+    val winHash = when(size(col("th")) >= shingleN,
+      transform(sequence(lit(1), size(col("th")) - (shingleN - 1)),
+        i => xxhash64((0 until shingleN).map(k =>
+          element_at(col("th"), (i + k).cast("int"))): _*)))
+      .otherwise(array(xxhash64(concat_ws(" ", col("tk")))))
+    graft.Par.spread(docs)
+      .select(col("lang"), TextFns.fingerprint(col("text")).as("fp"),
+        col("doc_id"), col("text"))
+      .groupBy("fp", "lang")
+      .agg(min("doc_id").as("doc_id"), min_by(col("text"), col("doc_id")).as("text"))
+      .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("tk"),
+        transform(col("tk"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"), col("lang"), array_distinct(winHash).as("sh"))
+      .write.mode("overwrite").parquet(path)
+    val sets = spark.read.parquet(path)
+    val exploded = sets.select(col("lang"), col("doc_id"),
+      explode(col("sh")).as("sh_h"))
+    val lowKeys = exploded.groupBy("lang", "sh_h")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select("lang", "sh_h")
+    // i<j rep pairs per low-df bucket, packed to one long (ids < 2^32 by
+    // the suite-wide pair-packing contract), deduped across buckets
+    val cand = exploded.join(lowKeys, Seq("lang", "sh_h"))
+      .groupBy("lang", "sh_h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(explode(expandSortedPairs(col("ids"),
+        (a, b) => shiftleft(a, 32).bitwiseOR(b))).as("pk"))
+      .distinct()
+      .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit((1L << 32) - 1)).as("doc_b"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long").as("min_set"))
+      // threshold decided in exact integer basis points: inter/min_set ≥
+      // bp/10⁴ ⇔ inter·10⁴ ≥ min_set·bp — a double 0.8·min_set lands just
+      // ABOVE the integer boundary (0.8 isn't representable) and would
+      // silently drop every exactly-at-threshold pair
+      .filter(col("min_set") >= minSet &&
+        col("inter") * 10000L >= col("min_set") * minContainBp)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("min_set"), 4))
+      .select("doc_a", "doc_b", "containment", "min_set")
+      .orderBy("doc_a", "doc_b")
+  }
 }

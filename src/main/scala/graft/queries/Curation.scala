@@ -586,7 +586,60 @@ object Curation {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM packed GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---- tokenizer vocabulary coverage / OOV audit ----
+  // The measurement behind a vocab-size decision: fix the top-K corpus
+  // tokens (ties broken by token text so the cut is total-ordered), then
+  // report per-language token volume and the out-of-vocabulary share in
+  // integer basis points. K = 16 here, corpus-aware: the synthetic corpus
+  // has a 31-token vocabulary, so a production-sized K would cover 100%
+  // and the audit would differential-test nothing (a real pipeline runs
+  // the same query with K ≈ 30k-100k — K is data, not design).
+  // Scale shape: the vocab is
+  // one token-count shuffle followed by a global TakeOrdered (never a
+  // single-partition row_number window — the vocabulary can be 10⁸ rows
+  // at corpus scale, but only K survive the heap); coverage is a second
+  // scan with the K-row vocab broadcast. Two scans are inherent — the
+  // statistic is self-referential (corpus-defined vocab over the corpus).
+  def tokCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(16)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_bp", expr("(oov_tokens * 10000) div total_tokens"))
+      .select("lang", "total_tokens", "oov_tokens", "oov_bp")
+      .orderBy("lang")
+  }
+
+  val tokCoverageSql: String =
+    """WITH toks AS (
+      |  SELECT lang,
+      |         unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                            t -> len(t) > 0)) AS tok
+      |  FROM documents
+      |), vocab AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+      |  ORDER BY cnt DESC, tok LIMIT 16
+      |), cov AS (
+      |  SELECT t.lang, CAST(count(*) AS BIGINT) AS total_tokens,
+      |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS oov_tokens
+      |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      |  GROUP BY 1
+      |)
+      |SELECT lang, total_tokens, oov_tokens,
+      |       CAST((oov_tokens * 10000 - mod(oov_tokens * 10000, total_tokens))
+      |              / total_tokens AS BIGINT) AS oov_bp
+      |FROM cov ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "tok_coverage" -> (tokCoverage _),
     "pipe_curate" -> (pipeCurate _),
     "txt_quality_gate" -> (txtQualityGate _),
     "txt_nb_quality" -> (txtNbQuality _),
@@ -596,6 +649,7 @@ object Curation {
     "vocab_merges" -> (vocabMerges _))
 
   val oracles: Map[String, String] = Map(
+    "tok_coverage" -> tokCoverageSql,
     "pipe_curate" -> pipeCurateSql,
     "txt_quality_gate" -> txtQualityGateSql,
     "txt_nb_quality" -> txtNbQualitySql,

@@ -463,6 +463,64 @@ object Extended {
       |       min(ts) AS session_start, max(ts) AS session_end
       |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
 
+  // ---- top user journeys (first 3 events per session) ----
+  // The Sankey/funnel-discovery input: sessionize (same 30-min-gap logic
+  // as ev_sessionize, same ONE shuffle by user), take each session's
+  // first ≤3 event types in time order as a path string, count sessions
+  // per path, global top-20. The path agg runs over session-count rows;
+  // the top-20 is a TakeOrdered heap, never a global sort. Deterministic
+  // rank-20 cut: (count desc, path asc) is a total order.
+  def evPathTopk(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess
+      .groupBy("user_id", "session_id")
+      // struct-sorted collect_list (the a13_listagg idiom): order-
+      // independent under any partitioning, so the path is deterministic
+      .agg(slice(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))), 1, 3).as("f3"))
+      .select(array_join(transform(col("f3"),
+        x => x("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+  }
+
+  val evPathTopkSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+      |           ORDER BY ts, event_id) AS rn
+      |  FROM s
+      |), p AS (
+      |  SELECT user_id, session_id,
+      |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1, 2
+      |)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   // ---- TPC-H Q5-style regional revenue (5-table join bench anchor) ----
   // the join tree the optimizer should produce at scale: region→nation→
   // supplier collapse to one broadcast dim; lineitem⋈orders⋈customer is
@@ -639,6 +697,7 @@ object Extended {
     "tpch_q5" -> (tpchQ5 _),
     "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
+    "ev_path_topk" -> (evPathTopk _),
     "ev_asof" -> (evAsof _),
     "ev_asof_fwd" -> (evAsofFwd _),
     "s9_orc_roundtrip" -> (s9OrcRoundtrip _),
@@ -665,6 +724,7 @@ object Extended {
     "tpch_q5" -> tpchQ5Sql,
     "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
+    "ev_path_topk" -> evPathTopkSql,
     "ev_asof" -> evAsofSql,
     "ev_asof_fwd" -> evAsofFwdSql,
     "s9_orc_roundtrip" -> s9OrcRoundtripSql,

@@ -284,6 +284,57 @@ object TextQueries {
       |)
       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- asymmetric near-dup: shingle-set containment (doc-in-doc) ----
+  // rep-level by definition (one rep per (fingerprint, lang)); see
+  // TextDedup.containmentPairs for why there is NO length-band block here
+  def ddContainment(s: SparkSession, d: String): DataFrame =
+    TextDedup.containmentPairs(Tables.documents(s, d),
+      shingleN = 2, minContainBp = 8000, dfCap = 64, minSet = 5)
+
+  // the oracle replays the rep-level definition directly: collapse to
+  // (fingerprint, lang) reps, df-capped candidate buckets per lang, exact
+  // string-shingle intersection, integer basis-point threshold
+  val ddContainmentSql: String =
+    """WITH reps AS (
+      |  SELECT min(doc_id) AS doc_id, lang, arg_min(text, doc_id) AS text
+      |  FROM documents
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), lang
+      |), sh AS (
+      |  SELECT doc_id, lang,
+      |         list_distinct(CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END) AS s
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM reps)
+      |), ex AS (
+      |  SELECT doc_id, lang, unnest(s) AS shingle FROM sh
+      |), low AS (
+      |  SELECT lang, shingle FROM ex GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND 64
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM (SELECT e.* FROM ex e JOIN low f
+      |          ON e.lang = f.lang AND e.shingle = f.shingle) a
+      |  JOIN (SELECT e.* FROM ex e JOIN low f
+      |          ON e.lang = f.lang AND e.shingle = f.shingle) b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, containment, min_set FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |         round(len(list_intersect(a.s, b.s))::DOUBLE /
+      |               least(len(a.s), len(b.s)), 4) AS containment,
+      |         CAST(least(len(a.s), len(b.s)) AS BIGINT) AS min_set,
+      |         len(list_intersect(a.s, b.s)) AS inter
+      |  FROM cand c
+      |  JOIN sh a ON c.doc_a = a.doc_id
+      |  JOIN sh b ON c.doc_b = b.doc_id
+      |)
+      |WHERE min_set >= 5 AND inter * 10000 >= min_set * 8000
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- near-dup: MinHash + LSH banding ----
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
     TextDedup.minhashLshPairs(Tables.documents(s, d),
@@ -1205,6 +1256,7 @@ object TextQueries {
     "txt_winnow" -> (txtWinnow _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment" -> (ddContainment _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_scaled" -> (ddMinhashScaled _),
     "dd_incremental" -> (ddIncremental _),
@@ -1234,6 +1286,7 @@ object TextQueries {
     "txt_winnow" -> txtWinnowSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_scaled" -> ddMinhashScaledSql,
     "dd_incremental" -> ddIncrementalSql,

@@ -222,4 +222,40 @@ class TextDedupSpec extends SparkSuite {
     assert(fromDisk.map(r => (r._1, r._2, r._3)) ==
       Seq((10L, false, Some(1L)), (11L, true, None)))
   }
+
+  test("containmentPairs finds the doc-in-doc pair Jaccard misses") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val snippet = (10 to 17).map(i => s"tok$i").mkString(" ") // 8 of 30 tokens
+    val corpus = docs(Seq(
+      (1L, "en", 200L, long),
+      (2L, "en", 50L, snippet),
+      (3L, "en", 50L, "wholly unrelated words nothing shared at all")))
+    val got = TextDedup.containmentPairs(corpus)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // snippet: 7 bigrams, every one inside the long doc ⇒ containment 1.0;
+    // jaccard would be 7/29 ≈ 0.24 — diluted by the long side's union
+    assert(got == Seq((1L, 2L, 1.0, 7L)))
+  }
+
+  test("containmentPairs threshold is an exact integer boundary") {
+    // min_set = 5 shingles, 4 shared ⇒ containment 0.8 EXACTLY — the pair
+    // must survive (a double 0.8·5 lands just above 4 and would drop it)
+    val a = "a b c d e f" // bigrams: ab bc cd de ef (5)
+    val b = "a b c d e zzz" // bigrams: ab bc cd de e-zzz ⇒ 4 shared, min_set 5
+    val got = TextDedup.containmentPairs(docs(Seq(
+        (1L, "en", 20L, a), (2L, "en", 20L, b))))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.8, 5L)))
+  }
+
+  test("containmentPairs is rep-level: a replica flood adds no pairs") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val snippet = (10 to 17).map(i => s"tok$i").mkString(" ")
+    val flood = (100L to 160L).map(i => (i, "en", 50L, snippet))
+    val got = TextDedup.containmentPairs(docs(
+        Seq((1L, "en", 200L, long), (2L, "en", 50L, snippet)) ++ flood))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // 61 replicas collapse into doc 2's rep: still exactly one pair
+    assert(got == Seq((1L, 2L, 1.0, 7L)))
+  }
 }
