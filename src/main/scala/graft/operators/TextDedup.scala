@@ -300,26 +300,19 @@ object TextDedup {
     // collapse key includes the block columns (lang, len_bucket): two
     // identical texts with different lang/n_chars metadata must NOT share
     // a representative, or block-local dfs would drift.
-    val gpath = scratch + "/groups"
-    graft.Par.spread(docs)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / lenBand).cast("long").as("len_bucket"),
-        col("text"), TextFns.fingerprint(col("text")).as("fp"))
-      .groupBy("fp", "lang", "len_bucket")
-      .agg(min("doc_id").as("rep_id"),
-        min_by(col("text"), col("doc_id")).as("text"),
-        sort_array(collect_list(col("doc_id"))).as("members"),
-        count(lit(1)).as("g"))
-      .select("rep_id", "lang", "len_bucket", "text", "members", "g")
-      .write.mode("overwrite").parquet(gpath)
-    val groups = spark.read.parquet(gpath)
-
-    // The rep-level shingle-set projection feeds THREE consumers
-    // (candidate explosion + both verification legs). Stage it once to
-    // scratch parquet instead of recomputing the tokenize+shingle work
-    // per leg or persist()-ing (which round 1 leaked). Shingles staged as
-    // 64-bit hashes, not strings: fixed-width longs, and verification
-    // intersects primitive arrays (collision odds ~2^-64 per pair).
+    // The rep-level shingle-set projection feeds FOUR consumers
+    // (candidate explosion, both verification legs, and the membership
+    // expansion). Stage it ONCE to scratch parquet — collapse groupBy,
+    // tokenize, and shingle-hash pipelined into a single job, so the raw
+    // text is never materialized to disk at all (an earlier two-file
+    // form staged (rep, text, members) first and re-read the text to
+    // build the sets: one extra write barrier plus a parquet round-trip
+    // of the corpus' biggest column, measured ~35% of the operator's 1×
+    // wall time). The `members` arrays ride along as one column — parquet
+    // column pruning means only the expansion consumer ever reads them.
+    // Shingles staged as 64-bit hashes, not strings: fixed-width longs,
+    // and verification intersects primitive arrays (collision odds
+    // ~2^-64 per pair).
     //
     // Two deliberate moves in the projection (6× staging speedup measured
     // at derived sf1, 5.1 s → 0.8 s):
@@ -340,14 +333,22 @@ object TextDedup {
         i => xxhash64((0 until shingleN).map(k =>
           element_at(col("th"), (i + k).cast("int"))): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", col("tk")))))
-    groups
-      .select(
-        col("rep_id").as("doc_id"), col("lang"), col("len_bucket"),
-        col("g"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"), col("tk"),
+    graft.Par.spread(docs)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / lenBand).cast("long").as("len_bucket"),
+        col("text"), TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp", "lang", "len_bucket")
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).as("g"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"),
+        col("members"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"),
+        col("members"), col("tk"),
         transform(col("tk"), t => xxhash64(t)).as("th"))
       .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"),
-        array_distinct(winHash).as("sh"))
+        col("members"), array_distinct(winHash).as("sh"))
       .write.mode("overwrite").parquet(path)
     val withSets = spark.read.parquet(path)
     val blockKeys = Seq("lang", "len_bucket", "sh_h")
@@ -484,7 +485,7 @@ object TextDedup {
     // the anti-join, so no pair is produced twice and no final distinct
     // is needed. least/greatest order cross-group pairs whose memberships
     // interleave.
-    val m = groups.select(col("rep_id"), col("members"))
+    val m = withSets.select(col("doc_id").as("rep_id"), col("members"))
     val lowX = verified.filter(!col("star"))
       .join(m.toDF("doc_a", "ma"), "doc_a")
       .join(m.toDF("doc_b", "mb"), "doc_b")
