@@ -256,4 +256,27 @@ class PlanShapeSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // codegen stage markers
   }
+
+  test("ev_path_topk physicalizes the global top-20 as a TakeOrdered heap, " +
+    "never a full sort of the path table") {
+    assert(plan("ev_path_topk").contains("TakeOrderedAndProject"),
+      plan("ev_path_topk"))
+  }
+
+  test("tok_coverage: the vocab cut is a TakeOrdered heap and the coverage " +
+    "join broadcasts the K-row vocab") {
+    val p = plan("tok_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("blocked pair generators (er_name_match, dd_containment) never " +
+    "physicalize a cartesian or nested-loop join") {
+    for (q <- Seq("er_name_match", "dd_containment")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
+    }
+  }
 }
