@@ -781,32 +781,58 @@ object TextDedup {
     val sets = spark.read.parquet(path)
     val exploded = sets.select(col("lang"), col("doc_id"),
       explode(col("sh")).as("sh_h"))
-    val lowKeys = exploded.groupBy("lang", "sh_h")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, dfCap))
-      .select("lang", "sh_h")
-    // i<j rep pairs per low-df bucket, packed to one long (ids < 2^32 by
-    // the suite-wide pair-packing contract), deduped across buckets
-    val cand = exploded.join(lowKeys, Seq("lang", "sh_h"))
+    val freq = exploded.groupBy("lang", "sh_h").agg(count(lit(1)).as("df"))
+    // two-tier exact intersection (the ngramJaccardPairs machinery with
+    // containment algebra): per-pair counts over df ∈ [2, dfCap] buckets
+    // ARE the low-df intersection — candidates and inter_low come out of
+    // the same groupBy, so the full shingle arrays are never joined for
+    // the (much larger) pruned-away candidate majority. Pairs packed to
+    // one long (ids < 2^32, the suite-wide pair-packing contract).
+    val lowPairs = exploded
+      .join(freq.filter(col("df").between(2, dfCap))
+        .select("lang", "sh_h"), Seq("lang", "sh_h"))
       .groupBy("lang", "sh_h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(explode(expandSortedPairs(col("ids"),
         (a, b) => shiftleft(a, 32).bitwiseOR(b))).as("pk"))
-      .distinct()
+      .groupBy("pk").agg(count(lit(1)).as("inter_low"))
       .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit((1L << 32) - 1)).as("doc_b"))
-    cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        col("pk").bitwiseAND(lit((1L << 32) - 1)).as("doc_b"),
+        col("inter_low"))
+    // per-rep sidecar: total set size (scalar, joined by every candidate)
+    // and the doc's df>dfCap shingles (array, joined only by survivors).
+    // A shared shingle has df ≥ 2 and exactly one tier, so
+    // inter = inter_low + |high_a ∩ high_b| EXACTLY.
+    val aux = sets.select(col("doc_id"), size(col("sh")).cast("long").as("szt"))
+      .join(exploded.join(freq.filter(col("df") > dfCap)
+          .select("lang", "sh_h"), Seq("lang", "sh_h"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(col("sh_h"))).as("sh_high")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("szt"),
+        coalesce(col("sh_high"), array().cast("array<bigint>")).as("sh_high"),
+        coalesce(size(col("sh_high")), lit(0)).cast("long").as("szh"))
+    val aScalar = aux.select(col("doc_id").as("doc_a"),
+      col("szt").as("szt_a"), col("szh").as("szh_a"))
+    val bScalar = aux.select(col("doc_id").as("doc_b"),
+      col("szt").as("szt_b"), col("szh").as("szh_b"))
+    // upper-bound prune in EXACT integer basis points — unlike the
+    // jaccard prune no double slack is needed, the containment threshold
+    // is integral: best-case inter = inter_low + min(szh), and
+    // inter/min_set ≥ bp/10⁴ ⇔ inter·10⁴ ≥ min_set·bp. (A double
+    // 0.8·min_set lands just ABOVE the integer boundary and would
+    // silently drop every exactly-at-threshold pair.)
+    val minSetC = least(col("szt_a"), col("szt_b"))
+    val ub = col("inter_low") + least(col("szh_a"), col("szh_b"))
+    lowPairs.join(aScalar, "doc_a").join(bScalar, "doc_b")
+      .filter(minSetC >= minSet && ub * 10000L >= minSetC * minContainBp)
+      .join(aux.select(col("doc_id").as("doc_a"), col("sh_high").as("high_a")), "doc_a")
+      .join(aux.select(col("doc_id").as("doc_b"), col("sh_high").as("high_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-        least(size(col("sh_a")), size(col("sh_b"))).cast("long").as("min_set"))
-      // threshold decided in exact integer basis points: inter/min_set ≥
-      // bp/10⁴ ⇔ inter·10⁴ ≥ min_set·bp — a double 0.8·min_set lands just
-      // ABOVE the integer boundary (0.8 isn't representable) and would
-      // silently drop every exactly-at-threshold pair
-      .filter(col("min_set") >= minSet &&
-        col("inter") * 10000L >= col("min_set") * minContainBp)
+        (col("inter_low") +
+          size(array_intersect(col("high_a"), col("high_b"))).cast("long")).as("inter"),
+        minSetC.as("min_set"))
+      .filter(col("inter") * 10000L >= col("min_set") * minContainBp)
       .withColumn("containment",
         round(col("inter").cast("double") / col("min_set"), 4))
       .select("doc_a", "doc_b", "containment", "min_set")

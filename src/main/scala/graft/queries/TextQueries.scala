@@ -286,10 +286,18 @@ object TextQueries {
 
   // ---- asymmetric near-dup: shingle-set containment (doc-in-doc) ----
   // rep-level by definition (one rep per (fingerprint, lang)); see
-  // TextDedup.containmentPairs for why there is NO length-band block here
+  // TextDedup.containmentPairs for why there is NO length-band block
+  // here. 4-gram grain, deliberately coarser than dd_ngram_jaccard's
+  // bigrams: a shared 4-token run is quotation evidence where a shared
+  // bigram is just shared vocabulary — and over THIS corpus's 31-token
+  // vocabulary the bigram key space (≤31²/lang) pushes every df to the
+  // cap and the candidate set toward all-pairs, while 4-grams (31⁴ keys)
+  // keep dfs sparse and candidates content-driven (measured 4.4 → 2.2 s
+  // at sf0.1 for the same machinery; the remainder is the collapse+stage
+  // floor every dd_* query pays)
   def ddContainment(s: SparkSession, d: String): DataFrame =
     TextDedup.containmentPairs(Tables.documents(s, d),
-      shingleN = 2, minContainBp = 8000, dfCap = 64, minSet = 5)
+      shingleN = 4, minContainBp = 8000, dfCap = 64, minSet = 5)
 
   // the oracle replays the rep-level definition directly: collapse to
   // (fingerprint, lang) reps, df-capped candidate buckets per lang, exact
@@ -301,9 +309,9 @@ object TextQueries {
       |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), lang
       |), sh AS (
       |  SELECT doc_id, lang,
-      |         list_distinct(CASE WHEN len(tk) >= 2
-      |           THEN list_transform(range(1, len(tk)),
-      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |         list_distinct(CASE WHEN len(tk) >= 4
+      |           THEN list_transform(range(1, len(tk) - 2),
+      |                               i -> array_to_string(tk[i:i+3], ' '))
       |           ELSE [array_to_string(tk, ' ')] END) AS s
       |  FROM (SELECT doc_id, lang,
       |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
