@@ -61,6 +61,66 @@ object Linkage {
       |WHERE levenshtein(a.name, b.name) <= 4
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---- er_cluster: entity groups from the fuzzy-match pair graph ----
+  // The resolution step after er_name_match's detection: names linked by
+  // a match edge collapse into one entity (transitively — "cold widget" ~
+  // "bold widget" ~ "bold gadget" is one cluster even if the ends don't
+  // match directly). Node ids are each name's min p_partkey (deterministic,
+  // corpus-derived); components run on graft's large-star/small-star
+  // contraction — O(log d) rounds, per-node state one MIN, the same
+  // machinery dd_cluster certifies. Output: every matched name with its
+  // entity label (min node id in the component) and the name's part
+  // multiplicity; singleton names (no match edge) are not entities and
+  // stay out, like dd_cluster's n_docs ≥ 2 rule.
+  def erCluster(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("name_id"), count(lit(1)).as("cnt"))
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    val a = names.select(col("block"), col("name").as("name_a"),
+      col("name_id").as("id_a"))
+    val b = names.select(col("block"), col("name").as("name_b"),
+      col("name_id").as("id_b"))
+    val edges = a.join(b, Seq("block"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 4)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.operators.TextDedup.connectedComponents(edges)
+      .select(col("doc_id").as("name_id"), col("cluster_id").as("entity_id"))
+      .join(names.select("name", "name_id", "cnt"), "name_id")
+      .select(col("name"), col("entity_id"), col("cnt").as("n_parts"))
+      .orderBy("name")
+  }
+
+  // recursive-CTE components over the same symmetric edge set (the
+  // dd_cluster oracle shape): walk labels outward, min reachable label
+  // per node IS the component min because edges go both ways
+  val erClusterSql: String =
+    """WITH RECURSIVE n AS (
+      |  SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS name_id,
+      |         CAST(count(*) AS BIGINT) AS cnt,
+      |         string_split(p_name, ' ')[-1] AS block
+      |  FROM part GROUP BY 1
+      |), e0 AS (
+      |  SELECT a.name_id AS src, b.name_id AS dst
+      |  FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+      |  WHERE levenshtein(a.name, b.name) <= 4
+      |), edges AS (
+      |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      |), nodes AS (
+      |  SELECT DISTINCT src AS node FROM edges
+      |), walk(node, label) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+      |), comp AS (
+      |  SELECT node AS name_id, CAST(min(label) AS BIGINT) AS entity_id
+      |  FROM walk GROUP BY node
+      |)
+      |SELECT n.name, c.entity_id, n.cnt AS n_parts
+      |FROM comp c JOIN n ON n.name_id = c.name_id
+      |ORDER BY n.name""".stripMargin
+
   // ---- ev_markov: behavioral transition matrix over the event stream ----
   // Input for session-based behavior models: count (from_type → to_type)
   // transitions per user timeline, and publish the per-from transition
@@ -169,12 +229,14 @@ object Linkage {
 
   val queries: Map[String, Q] = Map(
     "er_name_match" -> (erNameMatch _),
+    "er_cluster" -> (erCluster _),
     "ev_markov" -> (evMarkov _),
     "qr_drift" -> (qrDrift _)
   )
 
   val oracles: Map[String, String] = Map(
     "er_name_match" -> erNameMatchSql,
+    "er_cluster" -> erClusterSql,
     "ev_markov" -> evMarkovSql,
     "qr_drift" -> qrDriftSql
   )

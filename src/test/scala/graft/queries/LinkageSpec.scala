@@ -59,6 +59,30 @@ class LinkageSpec extends SparkSuite {
     assert(gotPairs === want, "blocked match must equal the brute-force definition")
   }
 
+  test("er_cluster: entities are the transitive closure of the match pairs") {
+    val d = "/root/testdata/sf0.01"
+    val ents = Linkage.erCluster(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val pairs = Linkage.erNameMatch(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.nonEmpty && ents.nonEmpty)
+    // exactly the matched names are clustered, and every match edge is
+    // intra-entity (the closure can only merge, never split)
+    assert(ents.keySet === (pairs.map(_._1) ++ pairs.map(_._2)).toSet)
+    pairs.foreach { case (na, nb) =>
+      assert(ents(na) === ents(nb), s"$na and $nb match but landed apart")
+    }
+    // labels are canonical: each entity's id is the min name_id among its
+    // members (name_id = min p_partkey of the name)
+    val nameId = graft.Tables.part(spark, d)
+      .groupBy("p_name").agg(min("p_partkey").as("id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    ents.groupBy(_._2).foreach { case (eid, members) =>
+      assert(members.size >= 2, "singleton names are not entities")
+      assert(eid === members.keys.map(nameId).min)
+    }
+  }
+
   test("ev_markov: transitions conserve the per-user timeline") {
     val d = "/root/testdata/sf0.01"
     val out = Linkage.evMarkov(spark, d).collect()
