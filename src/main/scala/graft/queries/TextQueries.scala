@@ -343,6 +343,69 @@ object TextQueries {
       |WHERE min_set >= 5 AND inter * 10000 >= min_set * 8000
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- dedup-quality evaluation: LSH recall vs exact Jaccard ----
+  // The reindex-quality loop for dedup (sim_recall's sibling): how much
+  // of the EXACT near-dup pair set (dd_ngram_jaccard's definition,
+  // restricted to jaccard ≥ 0.8 — the regime 4×4 banding is tuned for)
+  // does the shipped dd_minhash_lsh query recover, reported per jaccard
+  // band in integer basis points. Composes the two SHIPPED queries
+  // verbatim — this measures the system a user actually runs, including
+  // the est ≥ 0.25 filter and the banding's S-curve. Both engines replay
+  // the same composition, so the recall numbers themselves are
+  // oracle-certified. Cost is the two sub-pipelines re-run (bounded by
+  // their own scale arguments); the recall join is pair-set-sized.
+  def ddLshRecall(s: SparkSession, d: String): DataFrame = {
+    val bandOf = when(col("jaccard") >= 1.0, "c_exact_1.0")
+      .when(col("jaccard") >= 0.9, "b_[0.9,1.0)")
+      .otherwise("a_[0.8,0.9)")
+    val truth = ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
+      .withColumn("jband", bandOf)
+    val lsh = ddMinhashLsh(s, d).select("doc_a", "doc_b")
+    val nTrue = truth.groupBy("jband").agg(count(lit(1)).as("n_true"))
+    val nFound = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("jband").agg(count(lit(1)).as("n_found"))
+    nTrue.join(nFound, Seq("jband"), "left")
+      .na.fill(0L, Seq("n_found"))
+      .withColumn("recall_bp", expr("(n_found * 10000) div n_true"))
+      .select("jband", "n_true", "n_found", "recall_bp")
+      .orderBy("jband")
+  }
+
+  // the two shipped oracles embedded verbatim as subqueries (nested WITH
+  // is legal in a parenthesized subquery), so this oracle can never
+  // drift from the queries it evaluates. Lazy: ddMinhashLshSql is
+  // declared later in this object — a strict val would capture null.
+  lazy val ddLshRecallSql: String =
+    s"""WITH truth AS (
+       |  SELECT doc_a, doc_b,
+       |         CASE WHEN jaccard >= 1.0 THEN 'c_exact_1.0'
+       |              WHEN jaccard >= 0.9 THEN 'b_[0.9,1.0)'
+       |              ELSE 'a_[0.8,0.9)' END AS jband
+       |  FROM (
+       |$ddNgramJaccardSql
+       |  ) WHERE jaccard >= 0.8
+       |), lshp AS (
+       |  SELECT doc_a, doc_b FROM (
+       |$ddMinhashLshSql
+       |  )
+       |), t AS (
+       |  SELECT jband, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM truth GROUP BY 1
+       |), f AS (
+       |  SELECT jband, CAST(count(*) AS BIGINT) AS n_found
+       |  FROM truth
+       |  WHERE EXISTS (SELECT 1 FROM lshp l
+       |                WHERE l.doc_a = truth.doc_a AND l.doc_b = truth.doc_b)
+       |  GROUP BY 1
+       |)
+       |SELECT t.jband AS jband, t.n_true,
+       |       CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+       |       CAST((coalesce(f.n_found, 0) * 10000
+       |              - mod(coalesce(f.n_found, 0) * 10000, t.n_true))
+       |            / t.n_true AS BIGINT) AS recall_bp
+       |FROM t LEFT JOIN f ON t.jband = f.jband
+       |ORDER BY t.jband""".stripMargin
+
   // ---- near-dup: MinHash + LSH banding ----
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
     TextDedup.minhashLshPairs(Tables.documents(s, d),
@@ -1265,6 +1328,7 @@ object TextQueries {
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> (ddContainment _),
+    "dd_lsh_recall" -> (ddLshRecall _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_scaled" -> (ddMinhashScaled _),
     "dd_incremental" -> (ddIncremental _),
@@ -1295,6 +1359,7 @@ object TextQueries {
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
+    "dd_lsh_recall" -> ddLshRecallSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_scaled" -> ddMinhashScaledSql,
     "dd_incremental" -> ddIncrementalSql,

@@ -25,6 +25,21 @@ class CoverageSpec extends SparkSuite {
     assert(out.map(_.getLong(2)).sum < total, "some tokens must be covered")
   }
 
+  test("dd_lsh_recall: found is a subset of truth and exact-dup recall is total") {
+    val d = "/root/testdata/sf0.01"
+    val out = TextQueries.ddLshRecall(spark, d).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nt, nf, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nf <= nt, "LSH can only recover pairs the truth set contains")
+      assert(bp === nf * 10000L / nt)
+    }
+    // exact duplicates share every minhash — banding can never miss them,
+    // so IF the 1.0 band exists its recall must be total
+    out.filter(_.getString(0) == "c_exact_1.0")
+      .foreach(r => assert(r.getLong(3) === 10000L))
+  }
+
   test("ev_path_topk: paths are ≤3 stages of real event types, cut is total-ordered") {
     val d = "/root/testdata/sf0.01"
     val out = Linkage.evMarkov(spark, d).collect() // warm types
