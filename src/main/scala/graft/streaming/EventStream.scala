@@ -460,6 +460,90 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  case class TypeShift(event_type: String, day: String, n: Long,
+                       prev_n: Long, delta: Long)
+  case class TypeShiftState(counts: Map[String, Long],
+                            emitted: Map[String, (Long, Long)])
+
+  /** Day-over-day volume-shift monitor per event type — the streaming
+    * sibling of the batch `qr_drift` distribution monitor. For every day
+    * after a type's first, emits (n, prev_n = the CALENDAR-previous
+    * day's count or 0, delta) and RE-emits only when either count
+    * changes (the purchaseAttribution change-only doctrine), so the
+    * downstream alert sink sees a bounded, idempotent row stream.
+    *
+    * State per event type is a day→count map bounded by `retainDays`
+    * (oldest days pruned first — beyond the watermark they can no longer
+    * change, and a day only needs its calendar predecessor alive to
+    * compute its delta) plus the last-emitted pairs; with ~10 types and
+    * a 45-day horizon, total state is a few KB regardless of event
+    * volume — the property that lets the monitor run forever at
+    * 100 TB/day. Counting is associative, so cross-batch accumulation
+    * equals the one-shot batch count (spec-asserted).
+    */
+  def typeShiftMonitor(deduped: DataFrame, retainDays: Int = 45,
+                       stateTtlMs: Long = 90L * 24 * 3600 * 1000)
+      : Dataset[TypeShift] = {
+    val spark = deduped.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMillis = stateTtlMs
+    // event_ts stays the untouched watermarked column (same constraint
+    // as orderLifecycle); the day is derived UTC-side inside the state fn
+    val typed = deduped
+      .filter(col("event_type").isNotNull && col("event_ts").isNotNull)
+      .select(col("event_type"), col("event_ts"))
+      .as[(String, java.sql.Timestamp)]
+
+    def dayOf(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+    def update(et: String, rows: Iterator[(String, java.sql.Timestamp)],
+               state: GroupState[TypeShiftState]): Iterator[TypeShift] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var s = state.getOption.getOrElse(TypeShiftState(Map.empty, Map.empty))
+        var maxTs = 0L
+        rows.foreach { case (_, ts) =>
+          if (ts != null) {
+            val ms = ts.getTime
+            if (ms > maxTs) maxTs = ms
+            val day = dayOf(ms)
+            s = s.copy(counts = s.counts + (day -> (s.counts.getOrElse(day, 0L) + 1L)))
+          }
+        }
+        if (s.counts.size > retainDays) {
+          val keep = s.counts.keys.toSeq.sorted.takeRight(retainDays).toSet
+          s = TypeShiftState(s.counts.filter(e => keep(e._1)),
+            s.emitted.filter(e => keep(e._1)))
+        }
+        val out = scala.collection.mutable.ArrayBuffer[TypeShift]()
+        if (s.counts.nonEmpty) {
+          val minDay = s.counts.keys.min
+          s.counts.toSeq.sortBy(_._1).foreach { case (day, n) =>
+            if (day != minDay) {
+              val prev = s.counts.getOrElse(
+                java.time.LocalDate.parse(day).minusDays(1).toString, 0L)
+              if (!s.emitted.get(day).contains((n, prev))) {
+                out += TypeShift(et, day, n, prev, n - prev)
+                s = s.copy(emitted = s.emitted + (day -> ((n, prev))))
+              }
+            }
+          }
+        }
+        state.update(s)
+        val anchor = math.max(state.getCurrentWatermarkMs(), maxTs)
+        if (anchor > 0) state.setTimeoutTimestamp(anchor + ttlMillis)
+        out.iterator
+      }
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** foreachBatch upsert of normalized current-order state — streaming
     * writes through the same idempotent sink as batch.
     */
