@@ -179,6 +179,34 @@ object TextDedup {
       .withColumnRenamed("col", "band_hash")
   }
 
+  /** Index maintenance for the incremental-ingest loop: fold a new batch
+    * into an existing [[minhashBandIndex]] so the corpus is NEVER
+    * re-signed. Only the batch is tokenized/signed; the result is
+    * row-identical to rebuilding the index over (corpus ∖ replaced) ∪
+    * batch because index rows are pure per-document functions
+    * (spec-asserted for both the append and the replacement case).
+    *
+    * `replaceExisting = true` upserts: a re-ingested doc_id's old rows are
+    * anti-joined out (the batch id set broadcasts — batches are small at
+    * any corpus scale) before the batch rows append. With
+    * `replaceExisting = false` the anti-join is skipped entirely and the
+    * plan is a pure append — the common crawl-ingest case where ids are
+    * fresh, and the shape that lets a 100 TB index be maintained as
+    * partition appends plus an occasional compaction
+    * (`Sinks.compactParquet`) rather than rewrites.
+    */
+  def mergeBandIndex(corpusIndex: DataFrame, batch: DataFrame,
+                     shingleN: Int, bands: Int, rowsPerBand: Int,
+                     replaceExisting: Boolean = true): DataFrame = {
+    val bIdx = minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+    val kept =
+      if (replaceExisting)
+        corpusIndex.join(broadcast(batch.select("doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+      else corpusIndex
+    kept.unionByName(bIdx)
+  }
+
   /** Incremental ingest dedup: match a NEW batch of documents against an
     * existing corpus' precomputed [[minhashBandIndex]] without touching
     * corpus text. Only the batch is tokenized/signed (linear in batch

@@ -223,6 +223,39 @@ class TextDedupSpec extends SparkSuite {
       Seq((10L, false, Some(1L)), (11L, true, None)))
   }
 
+  test("mergeBandIndex ≡ full rebuild, for append and for replacement") {
+    val corpus = docs(Seq(
+      (1L, "en", 40L, "alpha beta gamma delta epsilon"),
+      (2L, "en", 40L, "one two three four five six")))
+    val idx = TextDedup.minhashBandIndex(corpus, 2, 4, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "band_hash")
+        .as[(Long, Int, String)].collect().toSeq.sorted
+    // append: fresh ids — merged index must equal a rebuild over the union
+    val fresh = docs(Seq((3L, "en", 40L, "seven eight nine ten eleven")))
+    assert(rows(TextDedup.mergeBandIndex(idx, fresh, 2, 4, 4,
+        replaceExisting = false)) ===
+      rows(TextDedup.minhashBandIndex(docs(Seq(
+        (1L, "en", 40L, "alpha beta gamma delta epsilon"),
+        (2L, "en", 40L, "one two three four five six"),
+        (3L, "en", 40L, "seven eight nine ten eleven"))), 2, 4, 4)))
+    // replacement: doc 2's text changes — old rows must vanish, and the
+    // merged index must equal a rebuild over the updated corpus
+    val upd = docs(Seq((2L, "en", 40L, "totally different replacement text here")))
+    assert(rows(TextDedup.mergeBandIndex(idx, upd, 2, 4, 4)) ===
+      rows(TextDedup.minhashBandIndex(docs(Seq(
+        (1L, "en", 40L, "alpha beta gamma delta epsilon"),
+        (2L, "en", 40L, "totally different replacement text here"))), 2, 4, 4)))
+    // and the matcher sees the maintained index identically to a rebuilt
+    // one: a batch replica of doc 1 (est 1.0 — every band collides by
+    // construction, no banding luck involved) matches through either
+    val probe = docs(Seq((10L, "en", 40L, "alpha beta gamma delta epsilon")))
+    val viaMerged = TextDedup.incrementalNearDups(
+        TextDedup.mergeBandIndex(idx, upd, 2, 4, 4), probe, 2, 4, 4, 0.25)
+      .as[(Long, Boolean, Option[Long], Option[Double])].collect().toSeq.sorted
+    assert(viaMerged.map(r => (r._1, r._2, r._3)) === Seq((10L, false, Some(1L))))
+  }
+
   test("containmentPairs finds the doc-in-doc pair Jaccard misses") {
     val long = (1 to 30).map(i => s"tok$i").mkString(" ")
     val snippet = (10 to 17).map(i => s"tok$i").mkString(" ") // 8 of 30 tokens
