@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-exact approximate-distinct sketches.
@@ -121,11 +122,16 @@ object Approx {
     * `KmvFixtureSpec` + `tools/kmv_fixture.py` pin parse and both
     * estimator branches to the same expected integers on both engines.
     */
+  /** The 48-bit hex parse spelled long-hand for the oracle — shared by
+    * every KMV oracle so all of them ride the same portability armor.
+    */
+  private def hex48Sql: String = (1 to 12).map { j =>
+    val w = 1L << (4 * (12 - j))
+    s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+  }.mkString("(", "\n        + ", ")")
+
   val skKmvSql: String = {
-    val hex48 = (1 to 12).map { j =>
-      val w = 1L << (4 * (12 - j))
-      s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
-    }.mkString("(", "\n        + ", ")")
+    val hex48 = hex48Sql
     s"""WITH hashed AS (
        |  SELECT event_type AS seg,
        |         md5(CAST(user_id AS VARCHAR) || ':' ||
@@ -175,9 +181,109 @@ object Approx {
   private def idiv(a: String, b: String): String =
     s"CAST((($a) - mod(($a), ($b))) / ($b) AS BIGINT)"
 
+  /** Mergeable sketch partials — the property that makes KMV the
+    * 100 TB distinct-counter. A KMV sketch is a lossless-union monoid:
+    * the k smallest hashes of A ∪ B are each among the k smallest of A
+    * or of B, so `merge(skA, skB) = topk(distinct(skA ∪ skB))` — EXACT,
+    * not approximate-on-approximate (contrast inclusion–exclusion over
+    * HLL registers, which compounds error per merge). Partition a fact
+    * table any way you like (here: order year), sketch each partition
+    * independently, and the merged sketch is bit-identical to the sketch
+    * a single pass over the whole table would build — which means
+    * per-day/per-file sketches can be persisted at ingest and any ad-hoc
+    * range's distinct estimate answered from k-row partials without
+    * re-reading a byte of the fact data.
+    *
+    * The query certifies exactly that: per-year sketch rows over distinct
+    * customers, plus a `merged` row (union of the 7 year sketches) and a
+    * `direct` row (one sketch over all years) that MUST carry the same
+    * estimate. The oracle proves both engines agree on every branch.
+    *
+    * Scale shape: the per-year rank window runs over the per-year
+    * DISTINCT hash set — the same width an exact per-year distinct needs
+    * anyway, reduced map-side by the preceding distinct() — never over
+    * raw fact rows. The merge inputs are ≤ years·k rows; TakeOrdered.
+    */
+  def skKmvMerge(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.orders(s, d)
+      .select(concat(lit("y"), year(col("o_orderdate")).cast("string")).as("part"),
+        md5(col("o_custkey").cast("string")).as("h"))
+      .distinct()
+
+    def theta(df: DataFrame): DataFrame =
+      df.agg(max(hex48(col("h"))).as("hk"), count(lit(1)).as("nk"))
+    def est(exact: Column): Column =
+      when(col("nk") < K, exact).otherwise(expr(s"${Num}L div hk"))
+
+    // per-year sketches: rank over each year's distinct-hash set
+    val partSk = hashed
+      .withColumn("rn", row_number().over(Window.partitionBy("part").orderBy("h")))
+      .filter(col("rn") <= K)
+      .select("part", "h")
+    val perPart = hashed.groupBy("part").agg(count(lit(1)).as("exact_distinct"))
+      .join(partSk.groupBy("part")
+        .agg(max(hex48(col("h"))).as("hk"), count(lit(1)).as("nk")), "part")
+      .select(col("part"), col("exact_distinct"),
+        est(col("exact_distinct")).as("kmv_est"))
+
+    val uH = hashed.select("h").distinct()
+    val exactAll = uH.agg(count(lit(1)).as("exact_distinct"))
+    val direct = exactAll
+      .crossJoin(theta(uH.orderBy("h").limit(K)))
+      .select(lit("direct").as("part"), col("exact_distinct"),
+        est(col("exact_distinct")).as("kmv_est"))
+    // the merge: union of the year sketches, dedup, keep the k smallest
+    val merged = exactAll
+      .crossJoin(theta(partSk.select("h").distinct().orderBy("h").limit(K)))
+      .select(lit("merged").as("part"), col("exact_distinct"),
+        est(col("exact_distinct")).as("kmv_est"))
+
+    perPart.unionByName(direct).unionByName(merged).orderBy("part")
+  }
+
+  val skKmvMergeSql: String = {
+    val hex48 = hex48Sql
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT 'y' || CAST(year(o_orderdate) AS VARCHAR) AS part,
+       |         md5(CAST(o_custkey AS VARCHAR)) AS h
+       |  FROM orders
+       |),
+       |psk AS (
+       |  SELECT part, h FROM (
+       |    SELECT part, h, row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+       |    FROM hashed) WHERE rn <= $K
+       |),
+       |ptheta AS (SELECT part, max($hex48) AS hk, count(*) AS nk
+       |           FROM psk GROUP BY part),
+       |pexact AS (SELECT part, count(*) AS exact_distinct FROM hashed GROUP BY part),
+       |uh AS (SELECT DISTINCT h FROM hashed),
+       |du AS (SELECT count(*) AS exact_distinct FROM uh),
+       |dsk AS (SELECT max($hex48) AS hk, count(*) AS nk
+       |        FROM (SELECT h FROM uh ORDER BY h LIMIT $K)),
+       |msk AS (SELECT max($hex48) AS hk, count(*) AS nk
+       |        FROM (SELECT DISTINCT h FROM psk ORDER BY h LIMIT $K))
+       |SELECT e.part, e.exact_distinct,
+       |       CASE WHEN t.nk < $K THEN e.exact_distinct
+       |            ELSE ${idiv(s"CAST($Num AS BIGINT)", "t.hk")} END AS kmv_est
+       |FROM pexact e JOIN ptheta t USING (part)
+       |UNION ALL
+       |SELECT 'direct', exact_distinct,
+       |       CASE WHEN nk < $K THEN exact_distinct
+       |            ELSE ${idiv(s"CAST($Num AS BIGINT)", "hk")} END
+       |FROM du, dsk
+       |UNION ALL
+       |SELECT 'merged', exact_distinct,
+       |       CASE WHEN nk < $K THEN exact_distinct
+       |            ELSE ${idiv(s"CAST($Num AS BIGINT)", "hk")} END
+       |FROM du, msk
+       |ORDER BY part""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
-    "sk_kmv" -> (skKmv _))
+    "sk_kmv" -> (skKmv _),
+    "sk_kmv_merge" -> (skKmvMerge _))
 
   val oracles: Map[String, String] = Map(
-    "sk_kmv" -> skKmvSql)
+    "sk_kmv" -> skKmvSql,
+    "sk_kmv_merge" -> skKmvMergeSql)
 }

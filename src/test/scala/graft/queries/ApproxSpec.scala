@@ -34,6 +34,24 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
+  test("sk_kmv_merge: merged year partials are bit-identical to the direct sketch") {
+    val rows = Approx.skKmvMerge(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // the monoid law the query exists to certify: sketching each year
+    // independently and merging MUST equal one sketch over everything
+    assert(rows("merged") === rows("direct"),
+      "KMV union-merge must be lossless — estimate AND exact column")
+    // every year row is a real partial (non-empty, estimator within the
+    // k=64 error budget of its own exact count)
+    val years = rows.view.filterKeys(_.startsWith("y")).toMap
+    assert(years.nonEmpty)
+    years.foreach { case (y, (exact, est)) =>
+      assert(exact > 0, s"$y empty")
+      assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"$y: est $est vs exact $exact out of band")
+    }
+  }
+
   test("emb_kmeans partitions the corpus deterministically") {
     val d = "/root/testdata/sf0.01"
     val a = SimilarityQueries.embKmeans(spark, d).collect().toSeq
