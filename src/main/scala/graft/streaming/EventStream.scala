@@ -460,6 +460,141 @@ object EventStream {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** One sessionization emission. `n_events == 0` RETRACTS a previously
+    * emitted (user, session_id) — downstream keeps the latest row per key
+    * and drops retracted ids, same idempotent-sink contract as the rest
+    * of the streaming tier.
+    */
+  case class SessionVerdict(user_id: Long, session_id: Long, n_events: Long,
+                            session_start: java.sql.Timestamp,
+                            session_end: java.sql.Timestamp)
+
+  /** Per-user sessionize state: `finalized` = sessions already immutable
+    * and dropped (keeps later ids STABLE), `live` = open sessions as
+    * (startMs, startNs, endMs, endNs, n) sorted by start, `emitted` =
+    * last-emitted tuple per live id (change-only re-emission),
+    * `max_emitted_id` = tombstone high-water mark.
+    */
+  case class SessionState(finalized: Long,
+                          live: Array[(Long, Int, Long, Int, Long)],
+                          emitted: Map[Long, (Long, Long, Int, Long, Int)],
+                          max_emitted_id: Long)
+
+  /** Streaming twin of the batch `ev_sessionize` 30-min-gap
+    * sessionization — continuous session rows per user, bit-equal to the
+    * batch window query on the same corpus (SessionizeStreamSpec's
+    * assertion, the KmvStreamSpec doctrine at the session tier).
+    *
+    * Sessions are maximal event chains with consecutive gaps ≤ `gapSec`
+    * in FLOOR-SECOND space — exactly batch's `unix_timestamp(ts) -
+    * unix_timestamp(prev) > 1800` test. Per-user state holds only
+    * (start, end, n) summaries of open sessions, which suffices for
+    * exact maintenance under out-of-order arrival: an event strictly
+    * inside a session's span always chains to it, so membership and
+    * merging are decided by interval distance alone. A late event
+    * bridging two sessions merges them (counts add; bounds extend) and
+    * the tail sessions' ids shift down — shifted ids re-emit changed
+    * tuples, and ids past the new maximum emit tombstones.
+    *
+    * Id stability at unbounded runtime: a session whose end is more than
+    * `gapSec` behind the watermark can never change or merge (late rows
+    * beyond the watermark are dropped upstream), so it is FINALIZED —
+    * emitted in final form, dropped from state, and counted in
+    * `finalized`, which later ids are numbered from. Session ids per
+    * user are therefore `finalized + position + 1` = the batch query's
+    * cumulative session index, while live state stays O(events inside
+    * the lateness horizon) per user regardless of history — the property
+    * that keeps this runnable forever. The TTL anchor mirrors
+    * [[orderLifecycle]]'s max(watermark, batch max) lesson.
+    */
+  def userSessionize(events: DataFrame, lateness: String = "7 days",
+                     gapSec: Long = 1800L,
+                     stateTtlMs: Long = 30L * 24 * 3600 * 1000)
+      : Dataset[SessionVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gap = gapSec
+    val ttlMillis = stateTtlMs
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", lateness)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+
+    def sec(ms: Long): Long = Math.floorDiv(ms, 1000L)
+    def tsOf(ms: Long, ns: Int): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(ms); t.setNanos(ns); t
+    }
+    // (ms, nanos) pairs order exactly like full-precision timestamps
+    def before(aMs: Long, aNs: Int, bMs: Long, bNs: Int): Boolean =
+      aMs < bMs || (aMs == bMs && aNs < bNs)
+
+    def update(user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+               state: GroupState[SessionState]): Iterator[SessionVerdict] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val s0 = state.getOption.getOrElse(
+        SessionState(0L, Array.empty, Map.empty, 0L))
+      val live =
+        scala.collection.mutable.ArrayBuffer.from(s0.live)
+      var maxTs = 0L
+      rows.foreach { case (_, ts) =>
+        val tMs = ts.getTime; val tNs = ts.getNanos
+        if (tMs > maxTs) maxTs = tMs
+        val tSec = sec(tMs)
+        val (conn, rest) = live.partition { case (sMs, _, eMs, _, _) =>
+          tSec >= sec(sMs) - gap && tSec <= sec(eMs) + gap }
+        var nsMs = tMs; var nsNs = tNs; var neMs = tMs; var neNs = tNs
+        var nn = 1L
+        conn.foreach { case (sMs, sNs, eMs, eNs, n) =>
+          if (before(sMs, sNs, nsMs, nsNs)) { nsMs = sMs; nsNs = sNs }
+          if (before(neMs, neNs, eMs, eNs)) { neMs = eMs; neNs = eNs }
+          nn += n
+        }
+        live.clear(); live ++= rest; live += ((nsMs, nsNs, neMs, neNs, nn))
+        live.sortInPlaceBy { case (sMs, sNs, _, _, _) => (sMs, sNs) }
+        ()
+      }
+      val out = scala.collection.mutable.ArrayBuffer[SessionVerdict]()
+      var emitted = s0.emitted
+      val base = s0.finalized
+      live.iterator.zipWithIndex.foreach { case ((sMs, sNs, eMs, eNs, n), i) =>
+        val id = base + i + 1
+        val tup = (n, sMs, sNs, eMs, eNs)
+        if (!emitted.get(id).contains(tup)) {
+          out += SessionVerdict(user, id, n, tsOf(sMs, sNs), tsOf(eMs, eNs))
+          emitted += (id -> tup)
+        }
+      }
+      val curMax = base + live.length
+      var maxId = math.max(s0.max_emitted_id, curMax)
+      if (curMax < s0.max_emitted_id) {
+        ((curMax + 1) to s0.max_emitted_id).foreach { id =>
+          out += SessionVerdict(user, id, 0L, tsOf(0L, 0), tsOf(0L, 0))
+          emitted -= id
+        }
+        maxId = curMax
+      }
+      // finalize the immutable prefix (sessions are disjoint and sorted,
+      // so immutability is always a prefix property)
+      val wm = state.getCurrentWatermarkMs()
+      var p = 0
+      while (p < live.length && sec(live(p)._3) < sec(wm) - gap) p += 1
+      if (p > 0) {
+        (1 to p).foreach(i => emitted -= (base + i))
+        live.remove(0, p)
+      }
+      state.update(SessionState(base + p, live.toArray, emitted, maxId))
+      val anchor = math.max(wm, maxTs)
+      if (anchor > 0) state.setTimeoutTimestamp(anchor + ttlMillis)
+      out.iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   case class TypeShift(event_type: String, day: String, n: Long,
                        prev_n: Long, delta: Long)
   case class TypeShiftState(counts: Map[String, Long],
