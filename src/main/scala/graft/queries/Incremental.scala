@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Scratch, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental-maintenance tier: fold a new batch into persisted derived
@@ -84,9 +85,107 @@ object Incremental {
       |GROUP BY 1
       |ORDER BY day""".stripMargin
 
+  // ---- SCD2: fold a new event batch into the persisted dimension ----
+  /** The run-collapse from `scd2_runs`, factored so the fold applies the
+    * IDENTICAL semantics to the batch slice (tie-order (ts, event_id);
+    * runs break only on type change).
+    */
+  private def collapseRuns(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("chg",
+        when(lag("event_type", 1).over(w).isNull
+          || lag("event_type", 1).over(w) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id")
+      .agg(first("event_type").as("event_type"),
+        count(lit(1)).as("n_events"),
+        min("ts").as("valid_from"), max("ts").as("valid_to"))
+  }
+
+  /** SCD-2 incremental maintenance: the persisted dimension's CLOSED runs
+    * are immutable; only each updated user's OPEN (latest) run can change.
+    * The fold computes runs for the batch alone, then stitches: if a
+    * user's first batch run continues the type of their open run, the two
+    * merge (counts add, validity spans concatenate) and later batch runs
+    * shift onto the state's numbering; otherwise batch runs append after
+    * it. Correct because the split is on the time axis — every state
+    * event precedes every batch event, so run boundaries inside the state
+    * cannot be affected by the batch (contrast `a14`, where the split is
+    * deliberately NOT on the aggregation key).
+    *
+    * Scale shape: the expensive window pass runs over the BATCH only.
+    * State-side work is one max-run row per user (rollup-sized) joined
+    * against batch users, and a pass-through of closed runs whose
+    * anti-join probe side is one row per batch user — broadcastable. In
+    * production the pass-through wouldn't be rewritten at all (the fold
+    * would upsert only the changed rows through `Sinks.upsertParquet`);
+    * the query materializes the whole table because the oracle — the
+    * full recompute from raw events — compares whole tables.
+    */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-24 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, d)
+
+    val path = Scratch.dirFor(s, "graft_scd2_" + digest(d)) + "/dim"
+    collapseRuns(ev.filter(col("ts") < cutoff))
+      .write.mode("overwrite").parquet(path)
+    val state = s.read.parquet(path)
+
+    val batchRuns = collapseRuns(ev.filter(col("ts") >= cutoff))
+
+    // one row per state user: their open run
+    val lastState = state
+      .groupBy("user_id").agg(max("run_id").as("m"))
+      .join(state, Seq("user_id"))
+      .filter(col("run_id") === col("m"))
+      .select(col("user_id"), col("m"), col("event_type").as("l_type"),
+        col("n_events").as("l_n"), col("valid_from").as("l_from"))
+
+    val stitched = batchRuns
+      .join(lastState, Seq("user_id"), "left")
+      .withColumn("merged",
+        coalesce(col("run_id") === 1L && col("l_type") === col("event_type"),
+          lit(false)))
+      .withColumn("shift",
+        // all of a user's batch rows shift alike; `merged` is only true on
+        // run 1, so the per-user shift is the MINIMUM over the partition
+        // (-1 iff the first run merged, else 0)
+        min(when(col("merged"), -1L).otherwise(0L))
+          .over(Window.partitionBy("user_id")))
+      .select(col("user_id"),
+        (coalesce(col("m"), lit(0L)) + col("run_id") + col("shift")).as("run_id"),
+        col("event_type"),
+        when(col("merged"), col("l_n") + col("n_events"))
+          .otherwise(col("n_events")).as("n_events"),
+        when(col("merged"), col("l_from"))
+          .otherwise(col("valid_from")).as("valid_from"),
+        col("valid_to"), col("merged"))
+
+    // closed state runs pass through; a merged user's open run is replaced
+    val replaced = stitched.filter(col("merged"))
+      .select(col("user_id"), col("run_id").as("r_replaced"))
+    val kept = state.join(replaced,
+      state("user_id") === replaced("user_id")
+        && state("run_id") === replaced("r_replaced"), "left_anti")
+
+    kept.select("user_id", "run_id", "event_type", "n_events",
+        "valid_from", "valid_to")
+      .unionByName(stitched.drop("merged"))
+      .orderBy("user_id", "run_id")
+  }
+
+  // the oracle is scd2_runs' full recompute over ALL events — the fold
+  // must be indistinguishable from rebuilding the dimension from scratch
+  val scd2MergeSql: String = Analytics.scd2RunsSql
+
   val queries: Map[String, Q] = Map(
-    "a14_incremental_agg" -> (a14IncrementalAgg _))
+    "a14_incremental_agg" -> (a14IncrementalAgg _),
+    "scd2_merge" -> (scd2Merge _))
 
   val oracles: Map[String, String] = Map(
-    "a14_incremental_agg" -> a14IncrementalAggSql)
+    "a14_incremental_agg" -> a14IncrementalAggSql,
+    "scd2_merge" -> scd2MergeSql)
 }

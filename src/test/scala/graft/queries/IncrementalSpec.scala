@@ -35,4 +35,25 @@ class IncrementalSpec extends SparkSuite {
     assert(overlap > 10,
       s"only $overlap days carry both state and batch rows — split degenerated")
   }
+
+  test("scd2 fold over the persisted dimension equals the full-history rebuild") {
+    val folded = Incremental.scd2Merge(spark, sf).collect().toSeq
+    val full = Analytics.scd2Runs(spark, sf).collect().toSeq
+    assert(folded === full,
+      "incremental SCD2 maintenance must rebuild the dimension bit-exactly")
+  }
+
+  test("the scd2 fold genuinely exercises the open-run merge path") {
+    // at least one user's open run must continue across the cutoff —
+    // otherwise the stitch logic (count addition, validity concatenation,
+    // id shift, open-run replacement) would be dead code the equality
+    // test can't distinguish from a plain append
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-24 00:00:00")
+    val crossing = Incremental.scd2Merge(spark, sf)
+      .filter(col("valid_from") < lit(cutoff) && col("valid_to") >= lit(cutoff)
+        && col("n_events") > 1)
+      .count()
+    assert(crossing > 0,
+      "no run spans the cutoff — the merge branch was never taken")
+  }
 }
