@@ -281,29 +281,104 @@ object Media {
     * hash) rows do.
     */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 3)
-                   (implicit spark: SparkSession): DataFrame = {
+                   (implicit spark: SparkSession): DataFrame =
+    bandedHammingPairs(
+      imageHashes(media).withColumnRenamed("ahash", "h64"), maxHamming)
+
+  /** The shared banded near-dup candidate generator over any 64-bit
+    * perceptual hash column `h64`: four 16-bit bands, pigeonhole
+    * completeness at Hamming ≤ 15, in-bucket i<j expansion, one popcount
+    * verify — see [[imageNearDups]]'s scaladoc for the argument. Input
+    * (media_id, h64); output (id_a, id_b, hamming).
+    */
+  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming < 16, "pigeonhole over 4 bands covers hamming <= 15")
-    val hashes = imageHashes(media)
-    val banded = hashes.select(col("media_id"), col("ahash"),
+    val banded = hashes.select(col("media_id"), col("h64"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("ahash"), b * 16)
+        shiftrightunsigned(col("h64"), b * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
     banded
       .groupBy("band", "band_val")
-      .agg(sort_array(collect_list(struct(col("media_id"), col("ahash"))))
+      .agg(sort_array(collect_list(struct(col("media_id"), col("h64"))))
         .as("ms"))
       .filter(size(col("ms")) >= 2)
       .select(explode(graft.operators.TextDedup.expandSortedPairs(col("ms"),
         (x, y) => struct(
           x("media_id").as("id_a"), y("media_id").as("id_b"),
-          bit_count(x("ahash").bitwiseXOR(y("ahash"))).as("hamming")))).as("p"))
+          bit_count(x("h64").bitwiseXOR(y("h64"))).as("hamming")))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.hamming").as("hamming"))
       .distinct() // the same pair can collide in several bands
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Integer energy contour of a 16-bit PCM clip: total sum-of-squares per
+    * window over `windows` equal-length windows (remainder samples
+    * dropped). Exact Long arithmetic — 2^31 max per sample² and ~2^20
+    * samples per window stay far from overflow. None when the bytes
+    * aren't decodable audio or are too short to fill every window.
+    */
+  def audioEnergyContour(bytes: Array[Byte], windows: Int): Option[Array[Long]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      in.close()
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val big = fmt.isBigEndian
+        val nSamples = data.length / 2
+        val w = nSamples / windows
+        if (w == 0) None
+        else {
+          val e = new Array[Long](windows)
+          var s = 0
+          while (s < w * windows) {
+            val i = 2 * s
+            val v: Long =
+              if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort.toLong
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toLong
+            e(s / w) += v * v
+            s += 1
+          }
+          Some(e)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** 64-bit audio fingerprint: the sign pattern of consecutive
+    * energy-contour deltas over 65 windows (bit i set iff window i+1 is
+    * strictly louder than window i) — the energy-delta scheme classic
+    * audio fingerprinters build on. Comparing energies instead of using
+    * them makes the print invariant under uniform volume scaling and
+    * robust to re-encoding; like [[aHash64]] it is a recall device for
+    * the banded near-dup join, not an identifier.
+    */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    audioEnergyContour(bytes, 65).map { e =>
+      var h = 0L; var i = 0
+      while (i < 64) { if (e(i + 1) > e(i)) h |= (1L << i); i += 1 }
+      h
+    }
+
+  /** Per-clip audio fingerprints (mapPartitions, undecodable rows drop). */
+  def audioFingerprints(media: Dataset[MediaRow])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => audioFingerprint64(m.bytes).map(h => (m.media_id, h)))
+    }.toDF("media_id", "h64")
+  }
+
+  /** Near-duplicate audio pairs: the [[imageNearDups]] pigeonhole band
+    * join over [[audioFingerprint64]] prints. Same scale contract —
+    * binary payloads never shuffle, only (id, hash) rows do.
+    */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 3)
+                   (implicit spark: SparkSession): DataFrame =
+    bandedHammingPairs(audioFingerprints(media), maxHamming)
 
   /** Real-audio feature extraction (WAV/PCM), streaming per row. */
   def audioFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[AudioFeatures] = {

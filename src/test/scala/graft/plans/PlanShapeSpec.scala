@@ -279,4 +279,23 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q\n$p")
     }
   }
+
+  test("sk_kmv_merge: merged and direct sketches are TakeOrdered heaps over " +
+    "k-row partials, never global sorts") {
+    val p = plan("sk_kmv_merge")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("incremental folds read their state from staged parquet, not lineage") {
+    // the whole point of a14/scd2_merge is that history is NOT recomputed:
+    // the executed plan must contain a scan of the scratch state file. A
+    // refactor that silently re-derived state from the fact table would
+    // keep the oracle green while destroying the 100 TB story.
+    val a14 = plan("a14_incremental_agg")
+    assert(a14.contains("graft_a14_"), a14)
+    val scd2 = plan("scd2_merge")
+    assert(scd2.contains("graft_scd2_"), scd2)
+    assert(!scd2.contains("CartesianProduct"), scd2)
+  }
 }
