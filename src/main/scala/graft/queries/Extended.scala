@@ -521,6 +521,80 @@ object Extended {
       |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
       |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
 
+  // ---- interval-overlap self-join: concurrent sessions across users ----
+  // "Who is online together": session pairs from DIFFERENT users whose
+  // [start, end] intervals overlap (inclusive), aggregated per user pair
+  // with the total co-online microseconds. Overlap is NOT a bounded
+  // difference (sessions have no length cap), so the
+  // RewriteBoundedIntervalJoin band trick doesn't apply; the scale-safe
+  // decomposition is time-bucketing: each session explodes into its
+  // covered hour bins (fan-out = ceil(duration/hour)+1, bounded by the
+  // activity span, not the corpus), the bin joins as an equi-key, and
+  // the SINGLE-ATTRIBUTION conjunct — the shared bin must be the one
+  // containing max(start_a, start_b), a bin both sides cover whenever
+  // they truly overlap — makes every overlapping pair match in EXACTLY
+  // one bin, so no distinct is needed before the count. Per-bin fan-out
+  // is output-bound: every candidate is a same-hour session pair, which
+  // is the relation being counted — at 100 TB concurrency scale the
+  // right guard is a coarser report grain or a user prefilter, the same
+  // caveat doctrine as the pair-emitting dedups. Microsecond arithmetic
+  // stays in BIGINT on both engines (unix_micros / epoch_us) — no
+  // interval types, no division.
+  def evOverlap(s: SparkSession, d: String): DataFrame = {
+    val HourUs = 3600L * 1000000L
+    val sess = evSessionize(s, d)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    def side(p: String) = sess.select(
+      col("user_id").as(s"${p}_user"), col("s_us").as(s"${p}_s"),
+      col("e_us").as(s"${p}_e"))
+      .withColumn("bin", explode(sequence(
+        expr(s"${p}_s div ${HourUs}L"), expr(s"${p}_e div ${HourUs}L"))))
+    side("a").join(side("b"), Seq("bin"))
+      .filter(col("a_user") < col("b_user")
+        && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
+        && expr(s"greatest(a_s, b_s) div ${HourUs}L") === col("bin"))
+      .groupBy(col("a_user").as("user_a"), col("b_user").as("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_us"))
+      .orderBy("user_a", "user_b")
+  }
+
+  // the oracle states the definition directly as a non-equi self-join
+  // over the sessionize CTE (DuckDB's IEJoin handles it at oracle scale)
+  val evOverlapSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), r AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, session_id,
+      |         min(ts) AS session_start, max(ts) AS session_end
+      |  FROM r GROUP BY 1, 2
+      |)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |       CAST(count(*) AS BIGINT) AS n_overlaps,
+      |       CAST(sum(epoch_us(least(a.session_end, b.session_end))
+      |              - epoch_us(greatest(a.session_start, b.session_start)))
+      |            AS BIGINT) AS overlap_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id
+      | AND a.session_start <= b.session_end
+      | AND b.session_start <= a.session_end
+      |GROUP BY 1, 2
+      |ORDER BY user_a, user_b""".stripMargin
+
   // ---- TPC-H Q5-style regional revenue (5-table join bench anchor) ----
   // the join tree the optimizer should produce at scale: region→nation→
   // supplier collapse to one broadcast dim; lineitem⋈orders⋈customer is
@@ -697,6 +771,7 @@ object Extended {
     "tpch_q5" -> (tpchQ5 _),
     "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
+    "ev_overlap" -> (evOverlap _),
     "ev_path_topk" -> (evPathTopk _),
     "ev_asof" -> (evAsof _),
     "ev_asof_fwd" -> (evAsofFwd _),
@@ -724,6 +799,7 @@ object Extended {
     "tpch_q5" -> tpchQ5Sql,
     "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
+    "ev_overlap" -> evOverlapSql,
     "ev_path_topk" -> evPathTopkSql,
     "ev_asof" -> evAsofSql,
     "ev_asof_fwd" -> evAsofFwdSql,

@@ -361,11 +361,17 @@ object TextQueries {
     val truth = ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
       .withColumn("jband", bandOf)
     val lsh = ddMinhashLsh(s, d).select("doc_a", "doc_b")
-    val nTrue = truth.groupBy("jband").agg(count(lit(1)).as("n_true"))
-    val nFound = truth.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("jband").agg(count(lit(1)).as("n_found"))
-    nTrue.join(nFound, Seq("jband"), "left")
-      .na.fill(0L, Seq("n_found"))
+    // ONE pass over the truth pipeline: a marker left join (LSH pairs
+    // are DISTINCT, so no fan-out) feeds both counts through a single
+    // aggregation, where the semi-join formulation planned the ngram
+    // sub-pipeline twice. Measured gain is modest (5.45 → 5.0 s at
+    // sf0.1 — the staged shingle artifacts already amortized most of the
+    // duplicate subtree); the dominant cost is the two shipped
+    // sub-pipelines themselves, which is the point of the query.
+    truth.join(lsh.withColumn("f", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy("jband")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("f"), lit(0L))).as("n_found"))
       .withColumn("recall_bp", expr("(n_found * 10000) div n_true"))
       .select("jband", "n_true", "n_found", "recall_bp")
       .orderBy("jband")
