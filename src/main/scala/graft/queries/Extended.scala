@@ -540,27 +540,134 @@ object Extended {
   // caveat doctrine as the pair-emitting dedups. Microsecond arithmetic
   // stays in BIGINT on both engines (unix_micros / epoch_us) — no
   // interval types, no division.
+  // Collapse-first (the R97 dd_minhash_lsh doctrine, exact not
+  // approximate): users with IDENTICAL session-interval multisets share
+  // every pairwise statistic, so they collapse to one representative via
+  // a timeline fingerprint before the quadratic work. Cross-timeline
+  // stats compute ONCE per fingerprint pair over representative sessions
+  // (a_fp == b_fp keeps ALL ordered session combos — exactly the pair
+  // set two distinct users with the same timeline generate); user pairs
+  // re-expand through group membership, output-sized. On real data the
+  // groups are singletons and the overhead is one fingerprint groupBy;
+  // on replica-flooded data (ScaleUp shifts user ids, K copies of every
+  // timeline) the candidate join stays at BASE width while the naive
+  // formulation grows K² in candidates — at the ladder's 100× that is
+  // ~60 G candidate rows vs the base ~6 M.
   def evOverlap(s: SparkSession, d: String): DataFrame = {
     val HourUs = 3600L * 1000000L
     val sess = evSessionize(s, d)
-      .select(col("user_id"), col("session_id"),
+      .select(col("user_id"),
         unix_micros(col("session_start")).as("s_us"),
         unix_micros(col("session_end")).as("e_us"))
-    def side(p: String) = sess.select(
-      col("user_id").as(s"${p}_user"), col("s_us").as(s"${p}_s"),
+    val fps = sess.groupBy("user_id")
+      .agg(md5(concat_ws(";", array_sort(collect_list(
+        concat_ws(":", col("s_us"), col("e_us")))))).as("fp"))
+    val groups = fps.groupBy("fp").agg(min("user_id").as("rep"))
+    val repSess = sess
+      .join(groups.select(col("rep").as("user_id"), col("fp")), "user_id")
+      .select("fp", "s_us", "e_us")
+    def side(p: String) = repSess.select(
+      col("fp").as(s"${p}_fp"), col("s_us").as(s"${p}_s"),
       col("e_us").as(s"${p}_e"))
       .withColumn("bin", explode(sequence(
         expr(s"${p}_s div ${HourUs}L"), expr(s"${p}_e div ${HourUs}L"))))
-    side("a").join(side("b"), Seq("bin"))
-      .filter(col("a_user") < col("b_user")
+    val stats = side("a").join(side("b"), Seq("bin"))
+      .filter(col("a_fp") <= col("b_fp")
         && col("a_s") <= col("b_e") && col("b_s") <= col("a_e")
         && expr(s"greatest(a_s, b_s) div ${HourUs}L") === col("bin"))
-      .groupBy(col("a_user").as("user_a"), col("b_user").as("user_b"))
+      .groupBy("a_fp", "b_fp")
       .agg(count(lit(1)).as("n_overlaps"),
         sum(least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
           .as("overlap_us"))
-      .orderBy("user_a", "user_b")
+    val ua = fps.select(col("fp").as("a_fp"), col("user_id").as("u"))
+    val ub = fps.select(col("fp").as("b_fp"), col("user_id").as("v"))
+    val cross = stats.filter(col("a_fp") =!= col("b_fp"))
+      .join(ua, "a_fp").join(ub, "b_fp")
+      .select(least(col("u"), col("v")).as("user_a"),
+        greatest(col("u"), col("v")).as("user_b"),
+        col("n_overlaps"), col("overlap_us"))
+    val self = stats.filter(col("a_fp") === col("b_fp"))
+      .join(ua, "a_fp")
+      .join(ub.withColumnRenamed("b_fp", "a_fp"), "a_fp")
+      .filter(col("u") < col("v"))
+      .select(col("u").as("user_a"), col("v").as("user_b"),
+        col("n_overlaps"), col("overlap_us"))
+    cross.unionByName(self).orderBy("user_a", "user_b")
   }
+
+  // ---- peak concurrency: the LINEAR concurrency metric ----
+  // ev_overlap's pairwise output is inherently quadratic in concurrent
+  // users; when the question is "how loaded is the system", the
+  // sweep-line answer is linear: +1/−1 boundary events, running sum,
+  // max per day. Inclusive interval ends ⇒ at equal instants starts
+  // process before ends (ORDER BY t, delta DESC — ambiguity among equal
+  // (t, delta) rows cannot affect any prefix maximum, so the result is
+  // deterministic). The running sum is decomposed scalably: a per-DAY
+  // partitioned window does the local prefix work, and each day's
+  // carry-in is the running total of prior days' delta sums — a window
+  // over day-count rows, never a single-partition pass over the
+  // boundary stream. peak(day) = carry + max(local run) because the
+  // carry is constant within a day.
+  def evConcurrency(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val sess = evSessionize(s, d)
+      .select(unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"))
+    val bounds = sess.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("e_us").as("t"), lit(-1L).as("delta")))
+      .withColumn("day", expr(s"t div ${DayUs}L"))
+    val carry = bounds.groupBy("day").agg(sum("delta").as("dtot"))
+      .withColumn("carry", coalesce(
+        sum("dtot").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("day", "carry")
+    val wDay = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
+    bounds
+      .withColumn("run", sum("delta").over(
+        wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day").agg(max("run").as("local_max"))
+      .join(carry, "day")
+      // the day index IS days-since-epoch: plain date arithmetic renders
+      // it without timestamp-constructor functions (version-churn armor)
+      .select(date_add(lit("1970-01-01").cast("date"), col("day").cast("int"))
+          .as("day"),
+        (col("carry") + col("local_max")).as("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  // the oracle runs the plain global sweep (fine at oracle scale); the
+  // carry decomposition is algebraically the same prefix sum
+  val evConcurrencySql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), r AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g
+      |), sess AS (
+      |  SELECT user_id, session_id,
+      |         epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+      |  FROM r GROUP BY 1, 2
+      |), b AS (
+      |  SELECT s_us AS t, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT e_us, -1 FROM sess
+      |), sweep AS (
+      |  SELECT t, CAST((t - mod(t, 86400000000)) / 86400000000 AS BIGINT) AS day,
+      |         sum(delta) OVER (ORDER BY t, delta DESC
+      |           ROWS UNBOUNDED PRECEDING) AS run
+      |  FROM b
+      |)
+      |SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS day,
+      |       CAST(max(run) AS BIGINT) AS peak_concurrency
+      |FROM sweep GROUP BY day ORDER BY day""".stripMargin
 
   // the oracle states the definition directly as a non-equi self-join
   // over the sessionize CTE (DuckDB's IEJoin handles it at oracle scale)
@@ -772,6 +879,7 @@ object Extended {
     "a9_salted_agg" -> (a9SaltedAgg _),
     "ev_sessionize" -> (evSessionize _),
     "ev_overlap" -> (evOverlap _),
+    "ev_concurrency" -> (evConcurrency _),
     "ev_path_topk" -> (evPathTopk _),
     "ev_asof" -> (evAsof _),
     "ev_asof_fwd" -> (evAsofFwd _),
@@ -800,6 +908,7 @@ object Extended {
     "a9_salted_agg" -> a9SaltedAggSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_overlap" -> evOverlapSql,
+    "ev_concurrency" -> evConcurrencySql,
     "ev_path_topk" -> evPathTopkSql,
     "ev_asof" -> evAsofSql,
     "ev_asof_fwd" -> evAsofFwdSql,
