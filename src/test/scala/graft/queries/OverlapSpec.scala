@@ -43,7 +43,14 @@ class OverlapSpec extends SparkSuite {
   }
 
   test("collapse-first ev_overlap equals the naive pair join on sf0.001") {
-    assert(rows(Extended.evOverlap(spark, sf)) === rows(naiveOverlap(spark, sf)))
+    assert(rows(Extended.evOverlapPairs(spark, sf)) === rows(naiveOverlap(spark, sf)))
+  }
+
+  test("the shipped top-100 leaderboard is the naive relation's top-100") {
+    val want = rows(naiveOverlap(spark, sf))
+      .sortBy { case (a, b, _, us) => (-us, a, b) }.take(100)
+    assert(rows(Extended.evOverlap(spark, sf)) === want,
+      "threshold pruning must keep ties and preserve the total order")
   }
 
   test("replica-flooded timelines: collapsed output still equals naive, " +
@@ -60,7 +67,7 @@ class OverlapSpec extends SparkSuite {
       .withColumn("event_id", col("event_id") + col("__r") * 1000000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = rows(Extended.evOverlap(spark, dir))
+    val got = rows(Extended.evOverlapPairs(spark, dir))
     val want = rows(naiveOverlap(spark, dir))
     assert(got === want)
     // replica pairs of one base user: identical timelines of n sessions
