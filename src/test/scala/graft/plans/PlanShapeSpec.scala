@@ -287,6 +287,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ev_overlap: the leaderboard cut is a TakeOrdered heap over staged " +
+    "artifacts; no cartesian beyond the broadcast 1-row threshold") {
+    val p = plan("ev_overlap")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("graft_ovl_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("incremental folds read their state from staged parquet, not lineage") {
     // the whole point of a14/scd2_merge is that history is NOT recomputed:
     // the executed plan must contain a scan of the scratch state file. A
