@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed evaluation of pure per-document derivations.
+  *
+  * Training corpora carry heavy duplicate mass (the reason the dedup tier
+  * exists at all), and every per-document computation — winnowing
+  * fingerprints, n-gram repetition scores, chunking — repeats its full
+  * per-character work on every copy of the same text. This combinator
+  * evaluates the derivation ONCE per distinct content and re-expands to
+  * per-document rows through a join on the content hash:
+  *
+  *   keyed = docs.select(doc_id, h = md5(content))       // narrow scan pass
+  *   reps  = docs.groupBy(h).agg(first(content), count)  // one row per content
+  *   out   = derive(reps)                                // the heavy work
+  *   keyed join out on h                                 // re-expand, output-sized
+  *
+  * Scale properties, in the order they matter at 100 TB:
+  *  - the groupBy's PARTIAL aggregation collapses duplicate rows map-side,
+  *    so the shuffle carries ~one row per distinct content per input
+  *    partition — never the raw corpus;
+  *  - re-expansion is a JOIN against the (doc_id, h) key frame, not a
+  *    collect_list of group members: a billion-replica flood document is a
+  *    billion probe-side rows against ONE build row (AQE skew-split
+  *    handles the partition width), never a billion-element array in one
+  *    record — the same flood doctrine as the pair-emitting dedup paths;
+  *  - the derivation runs on the rep frame, whose width is the corpus's
+  *    distinct-content count — the same frame every dedup query already
+  *    reduces to.
+  *
+  * Correctness stakes md5 collision-freedom for distinct texts — the exact
+  * stake `dd_exact`/`txt_fingerprint` already make. `first(attr)` under the
+  * groupBy is deterministic because the group key IS (the hash of) the
+  * attributes: every row in a group carries identical attribute values.
+  *
+  * Measured trade (BENCH_NOTES r6 s3): at 1× (sf0.1, duplicate-poor) the
+  * extra shuffle+join costs ~0.2–0.4 s per query; at the ladder's 100×
+  * (every doc ~100 replicas — the stand-in for real-world duplicate mass)
+  * the heavy tier drops from ~88 s to rep-frame time. The 1× cost is the
+  * right price at the 100 TB design point, same verdict as collapse-first
+  * n-gram Jaccard (R99).
+  */
+object Content {
+
+  /** Content-hash column name carried between the combinator's stages. */
+  val H = "__h"
+
+  /** Replica count per distinct content — available to derivations that
+    * need corpus-weighted statistics (e.g. a corpus bigram frequency is
+    * the rep-frame count weighted by this).
+    */
+  val G = "__g"
+
+  /** md5 over the attribute tuple, null-safe: a NUL field separator plus a
+    * distinct null sentinel keep ("a", null) ≠ ("a", "") ≠ ("a", ...).
+    */
+  def contentKey(attrs: Seq[Column]): Column =
+    md5(concat_ws("\u0000",
+      attrs.map(a => coalesce(a.cast("string"), lit("\u0001null"))): _*))
+
+  /** Evaluate `derive` once per distinct `attrs` tuple and re-expand to one
+    * output row per (document × derived row).
+    *
+    * `derive` receives a frame with columns (`H`, attrs…, `G`) — one row
+    * per distinct content, `G` = replica count — and must return `H` plus
+    * its computed columns (it must NOT reference `doc_id`; the document
+    * identity is re-attached by the combinator). Ordering of the result is
+    * the caller's concern.
+    *
+    * `salt` folds an extra column into the content key; with a per-row
+    * unique salt (doc_id) every group is a singleton and the combinator
+    * degenerates to the naive per-document evaluation — the equivalence
+    * specs compare exactly these two modes bit-for-bit.
+    *
+    * Plan-shape rules, each measured at sf0.1 (5.65 s naive-combinator →
+    * sub-second, see BENCH_NOTES):
+    *  - the collapse groups by the ATTRIBUTE COLUMNS themselves and
+    *    computes the hash after — `groupBy(h).agg(first(text))` plans a
+    *    SortAggregate (First's buffer isn't hash-mutable for strings),
+    *    which local-sorts the whole corpus text twice; keying by the text
+    *    keeps it a HashAggregate with a map-side partial that collapses
+    *    replicas before the shuffle;
+    *  - the rep frame is re-spread ROUND-ROBIN with an explicit partition
+    *    count before `derive`: AQE coalesces a test-scale post-aggregation
+    *    exchange to ~1 partition, serializing the heavy per-rep work (the
+    *    sortSpread lesson; an explicit-count repartition survives AQE) —
+    *    and a hash-partitioned respread on the same key would be collapsed
+    *    into the aggregation exchange by the planner, losing that
+    *    guarantee. Round-robin also balances perfectly when few distinct
+    *    contents dominate. The extra exchange moves rep-frame rows only —
+    *    at scale, the duplicate-collapsed minority;
+    *  - callers order their output with sortWithinPartitions, never a
+    *    global orderBy: a range exchange's sampling pass would re-execute
+    *    the derivation (it sits in the same stage when the re-expansion
+    *    join broadcasts), and the gate's comparison is order-insensitive —
+    *    local sort keeps file content deterministic at zero exchanges.
+    */
+  def perContent(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
+                 salt: Option[Column] = None)
+                (derive: DataFrame => DataFrame): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      contentKey(attrs.map(col) ++ salt.toSeq).as(H))
+    keyed.join(derive(reps(docs, attrs, salt)), H).drop(H)
+  }
+
+  /** The collapsed rep frame alone — (`H`, attrs…, `G`), one row per
+    * distinct content — for CORPUS-AGGREGATE derivations that need no
+    * per-document re-expansion (vocabulary counts, collocation scores,
+    * coverage audits). A count over documents becomes `sum(G)` over reps:
+    * exact, because every document of a content group contributes
+    * identical occurrences — the same weighted-count move as the
+    * collapse-first n-gram Jaccard dfs.
+    */
+  def reps(docs: DataFrame, attrs: Seq[String],
+           salt: Option[Column] = None): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    docs
+      .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
+      .agg(count(lit(1)).as(G))
+      .select(contentKey(attrs.map(col) ++ salt.map(_ => col("__salt")).toSeq).as(H) +:
+        attrs.map(col) :+ col(G): _*)
+      .repartition(n)
+  }
+}

@@ -461,24 +461,37 @@ object Analytics {
   // drifts with scale (a [5,200] band was empty at sf0.1). The one-row
   // corpus count broadcasts into the term dim; the per-doc top-3 window
   // runs over the already-filtered (small) matrix.
-  def txtDtm(s: SparkSession, d: String): DataFrame = {
-    val toks = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
-    val nd = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nd))
-      .filter(col("df") >= greatest(lit(5L), expr("n_docs div 20")))
-      .select("term", "df")
-    val byDoc = Window.partitionBy("doc_id")
-      .orderBy(desc("tf"), col("term"))
-    tf.join(df_, "term")
-      .withColumn("rnk", row_number().over(byDoc))
-      .filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
-        col("term"), col("tf"), col("df"))
-      .orderBy("doc_id", "rnk")
-  }
+  // Content-addressed (Content.perContent): tf is per-content (identical
+  // texts have identical term counts), df and n_docs are rep counts
+  // weighted by the content's replica mass `G` — the same weighted-count
+  // move as collapse-first n-gram Jaccard — and the per-content top-3 is
+  // every member document's top-3.
+  def txtDtm(s: SparkSession, d: String): DataFrame =
+    dtmDerived(s, d, salt = None).sortWithinPartitions("doc_id", "rnk")
+
+  private[graft] def dtmDerived(s: SparkSession, d: String,
+                                salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      val Gc = graft.operators.Content.G
+      val toks = reps
+        .select(col(H), col(Gc), explode(TextFns.tokens(col("text"))).as("term"))
+      val nd = reps.agg(sum(Gc).as("n_docs"))
+      val tf = toks.groupBy(H, "term")
+        .agg(count(lit(1)).as("tf"), max(col(Gc)).as("g"))
+      val df_ = tf.groupBy("term").agg(sum("g").as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= greatest(lit(5L), expr("n_docs div 20")))
+        .select("term", "df")
+      val byContent = Window.partitionBy(H)
+        .orderBy(desc("tf"), col("term"))
+      tf.join(df_, "term")
+        .withColumn("rnk", row_number().over(byContent))
+        .filter(col("rnk") <= 3)
+        .select(col(H), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tf"), col("df"))
+    }
 
   val txtDtmSql: String =
     """WITH toks AS (

@@ -448,15 +448,24 @@ object Curation {
   // first.) The unigram table is vocabulary-sized — broadcast — and the
   // bigram stream compresses to per-pair counts in one shuffle before
   // any join, so the corpus is tokenized exactly once per stream.
-  def vocabMerges(s: SparkSession, d: String): DataFrame = {
-    val tk = Tables.documents(s, d)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-    val uni = tk.select(explode(col("tk")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
+  // Content-addressed (Content.reps): the corpus is tokenized once per
+  // DISTINCT text and every count is the per-content count weighted by
+  // the content's replica mass `G` — exact, since identical texts emit
+  // identical token/bigram streams.
+  def vocabMerges(s: SparkSession, d: String): DataFrame =
+    vocabMergesDerived(s, d, salt = None)
+
+  private[graft] def vocabMergesDerived(s: SparkSession, d: String,
+                                        salt: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val Gc = graft.operators.Content.G
+    val tk = graft.operators.Content.reps(Tables.documents(s, d), Seq("text"), salt)
+      .select(col(Gc), TextFns.tokens(col("text")).as("tk"))
+    val uni = tk.select(col(Gc), explode(col("tk")).as("w"))
+      .groupBy("w").agg(sum(Gc).as("n"))
     val total = uni.agg(sum("n").cast("long").as("n_total"))
     val bg = tk
-      .select(explode(TextFns.bigrams(col("tk"))).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+      .select(col(Gc), explode(TextFns.bigrams(col("tk"))).as("bg"))
+      .groupBy("bg").agg(sum(Gc).as("n_ab"))
       .filter(col("n_ab") >= 5)
     bg
       .withColumn("w1", substring_index(col("bg"), " ", 1))
@@ -601,16 +610,29 @@ object Curation {
   // scan with the K-row vocab broadcast. Two scans are inherent — the
   // statistic is self-referential (corpus-defined vocab over the corpus).
   def tokCoverage(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("lang"), explode(TextFns.tokens(col("text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    tokCoverageDerived(s, d, salt = None)
+  }
+
+  // Content-addressed (Content.reps, weighted by `G` like vocabMerges):
+  // both the vocab count and the coverage count weight each distinct
+  // text's token stream by its replica mass; the rep frame's exchange is
+  // materialized once and reused by the two consumers (the naive shape
+  // scanned + tokenized the corpus twice — the two scans were inherent
+  // only in the SELF-REFERENTIAL sense, not as duplicated token work).
+  private[graft] def tokCoverageDerived(s: SparkSession, d: String,
+                                        salt: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val Gc = graft.operators.Content.G
+    val toks = graft.operators.Content
+      .reps(Tables.documents(s, d), Seq("text", "lang"), salt)
+      .select(col("lang"), col(Gc), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(sum(Gc).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(16)
       .select(col("tok"), lit(1L).as("in_vocab"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy("lang")
-      .agg(count(lit(1)).as("total_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .agg(sum(Gc).as("total_tokens"),
+        sum(when(col("in_vocab").isNull, col(Gc)).otherwise(0L)).as("oov_tokens"))
       .withColumn("oov_bp", expr("(oov_tokens * 10000) div total_tokens"))
       .select("lang", "total_tokens", "oov_tokens", "oov_bp")
       .orderBy("lang")

@@ -23,26 +23,35 @@ object TextQueries {
 
   // ---- per-document stats + quality score ----
   // tokens staged ONCE as `tk` (every sub-score references the column, no
-  // re-tokenization per expression) and the sort runs FIRST over the bare
-  // scan — the range-exchange sampling pass re-executes its child, so a
-  // trailing orderBy would run the whole projection twice (see
-  // txtFingerprint). `text` references stay cheap: it's a scan attribute.
+  // re-tokenization per expression). Content-addressed
+  // (Content.perContent): the tokenize + sub-score stack runs once per
+  // distinct text, not per copy; the trailing orderBy's sampling pass
+  // re-reads the join's materialized shuffle stages under AQE, not the
+  // projection (the sort-first rule applied to the pre-collapse shape).
   def txtStats(s: SparkSession, d: String): DataFrame =
-    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
-      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("tk"))
-      .select(
-        col("doc_id"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars_calc"),
-        TextFns.punctCount(col("text")).cast("long").as("punct_cnt"),
-        round(TextFns.stopwordRatio(col("tk"), Stopwords), 4).as("stop_ratio"),
-        // zero-token guard mirrors the oracle's CASE (and under ANSI mode
-        // an unguarded /0 would throw, not yield null)
-        when(size(col("tk")) > 0,
-          round(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).cast("double")
-            / size(col("tk")), 4)).otherwise(0.0).as("mean_wlen"),
-        TextFns.tokenCountRegex(col("text")).cast("long").as("bpe_tokens"),
-        TextFns.qualityScoreFromTokens(col("tk"), col("text"), Stopwords).as("quality"))
+    statsDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def statsDerived(s: SparkSession, d: String,
+                                    salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps
+        .select(col(H), col("text"), TextFns.tokens(col("text")).as("tk"))
+        .select(
+          col(H),
+          size(col("tk")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          TextFns.punctCount(col("text")).cast("long").as("punct_cnt"),
+          round(TextFns.stopwordRatio(col("tk"), Stopwords), 4).as("stop_ratio"),
+          // zero-token guard mirrors the oracle's CASE (and under ANSI mode
+          // an unguarded /0 would throw, not yield null)
+          when(size(col("tk")) > 0,
+            round(aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t)).cast("double")
+              / size(col("tk")), 4)).otherwise(0.0).as("mean_wlen"),
+          TextFns.tokenCountRegex(col("text")).cast("long").as("bpe_tokens"),
+          TextFns.qualityScoreFromTokens(col("tk"), col("text"), Stopwords).as("quality"))
+    }
 
   val txtStatsSql: String =
     """WITH toks AS (
@@ -135,23 +144,29 @@ object TextQueries {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---- content fingerprint ----
-  // Two plan-shape rules, both measured at sf0.1:
-  //  1. tokens are projected ONCE (`tk`): `shingles` slices inside a
-  //     transform lambda, and lambda bodies re-evaluate free expressions
-  //     per element (no CSE) — inlining the split+filter re-tokenized the
-  //     text per shingle position.
-  //  2. the sort comes FIRST: a global sort's range-exchange runs a
-  //     sampling pass that RE-EXECUTES its child, so sorting the cheap
-  //     scan and projecting after (projection preserves ordering) runs
-  //     the md5/shingle work once per row instead of twice; the sampling
-  //     pass only re-reads the parquet scan. Together 7.7 s → sub-second.
+  // tokens are projected ONCE (`tk`): `shingles` slices inside a
+  // transform lambda, and lambda bodies re-evaluate free expressions per
+  // element (no CSE) — inlining the split+filter re-tokenized the text
+  // per shingle position (measured: 7.7 s → sub-second at sf0.1 together
+  // with the then-current sort-first rule). Content-addressed
+  // (Content.perContent): tokenize + shingle-distinct once per distinct
+  // text; the trailing orderBy samples the join's materialized shuffle
+  // stages, not the projection.
   def txtFingerprint(s: SparkSession, d: String): DataFrame =
-    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
-      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"),
-        TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("fp"),
-        size(col("tk")).cast("long").as("n_tokens"),
-        size(array_distinct(TextFns.shingles(col("tk"), 3))).cast("long").as("n_shingles3"))
+    fingerprintDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def fingerprintDerived(s: SparkSession, d: String,
+                                          salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps
+        .select(col(H), TextFns.fingerprint(col("text")).as("fp"),
+          TextFns.tokens(col("text")).as("tk"))
+        .select(col(H), col("fp"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(TextFns.shingles(col("tk"), 3))).cast("long").as("n_shingles3"))
+    }
 
   val txtFingerprintSql: String =
     """WITH toks AS (
@@ -171,20 +186,29 @@ object TextQueries {
       |FROM toks ORDER BY doc_id""".stripMargin
 
   // ---- winnowing fingerprints (rolling-hash k-gram windows) ----
-  def txtWinnow(s: SparkSession, d: String): DataFrame = {
-    graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
-      // normalized text staged FIRST (the n-gram lambda re-evaluates a
-      // free normalize per character position), then the hash array
-      // projected once, then windowed
-      .select(col("doc_id"), TextFns.normalized(col("text")).as("ns"))
-      .select(col("doc_id"), TextFns.kgramHashes(col("ns"), 8).as("h"))
-      .select(col("doc_id"), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
-      .select(
-        col("doc_id"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        array_min(col("fps")).as("min_fp"),
-        array_max(col("fps")).as("max_fp"))
-  }
+  // The suite's heaviest per-character work (an md5 per character
+  // position) — evaluated content-addressed: once per distinct text, not
+  // per copy (Content.perContent scaladoc has the full trade). Staging
+  // rules inside the derivation are unchanged: normalized text FIRST (the
+  // n-gram lambda re-evaluates a free normalize per character position),
+  // then the hash array projected once, then windowed.
+  def txtWinnow(s: SparkSession, d: String): DataFrame =
+    winnowDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def winnowDerived(s: SparkSession, d: String,
+                                     salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps.select(col(H), TextFns.normalized(col("text")).as("ns"))
+        .select(col(H), TextFns.kgramHashes(col("ns"), 8).as("h"))
+        .select(col(H), TextFns.winnowFromHashes(col("h"), 4).as("fps"))
+        .select(
+          col(H),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+    }
 
   val txtWinnowSql: String =
     """WITH hs AS (
@@ -843,20 +867,30 @@ object TextQueries {
   // overlap). Pure projection + generator explode — a narrow map at any
   // scale; the token array is projected once (HOF no-CSE) and each window
   // is a slice of it.
-  def txtChunks(s: SparkSession, d: String): DataFrame = {
+  // Content-addressed (Content.perContent): tokenize + chunk-slice once
+  // per distinct text; the re-expansion join fans each rep's chunk rows
+  // out to its documents (output-sized — chunk volume is inherent).
+  def txtChunks(s: SparkSession, d: String): DataFrame =
+    chunksDerived(s, d, salt = None).sortWithinPartitions("doc_id", "chunk_no")
+
+  private[graft] def chunksDerived(s: SparkSession, d: String,
+                                     salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     val chunk = 50
     val stride = 40
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
-        st => struct(
-          array_join(slice(col("tk"), st, lit(chunk)), " ").as("chunk_text"),
-          size(slice(col("tk"), st, lit(chunk))).cast("long").as("chunk_tokens")))))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_no"),
-        col("col.chunk_text").as("chunk_text"),
-        col("col.chunk_tokens").as("chunk_tokens"))
-      .orderBy("doc_id", "chunk_no")
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps
+        .select(col(H), TextFns.tokens(col("text")).as("tk"))
+        .select(col(H), posexplode(transform(
+          sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(stride)),
+          st => struct(
+            array_join(slice(col("tk"), st, lit(chunk)), " ").as("chunk_text"),
+            size(slice(col("tk"), st, lit(chunk))).cast("long").as("chunk_tokens")))))
+        .select(col(H), col("pos").cast("long").as("chunk_no"),
+          col("col.chunk_text").as("chunk_text"),
+          col("col.chunk_tokens").as("chunk_tokens"))
+    }
   }
 
   val txtChunksSql: String =
@@ -957,28 +991,37 @@ object TextQueries {
   // repeats. Pure per-row projection (no shuffle, codegen throughout);
   // the ratio is reported in exact integer basis points — a rounded
   // double ratio would hit the cross-engine midpoint-rounding trap.
+  // Content-addressed (Content.perContent): the trigram build + distinct
+  // runs once per distinct text, not per copy.
   def txtRepetition(s: SparkSession, d: String): DataFrame =
-    graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), TextFns.shingles(col("tk"), 3).as("sh"))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_ngrams"),
-        // distinct-count the 64-bit HASHES, not the strings:
-        // array_distinct on a string array is a quadratic pairwise
-        // UTF8String compare per document; on longs it's primitive
-        // equality. The count is identical unless two of a document's
-        // shingles collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻¹⁵ for a 400-token
-        // doc — the same collision-freedom the md5 fingerprint dedup
-        // already stakes correctness on). Each engine hashes with its
-        // own 64-bit function; only the per-doc distinct COUNT must
-        // agree, never the hash values.
-        size(array_distinct(transform(col("sh"), x => xxhash64(x))))
-          .cast("long").as("n_distinct"))
-      // shingles() never yields an empty array, so the division is safe;
-      // `div` is integral division (exact, unlike `/` which goes double)
-      .withColumn("rep_bp",
-        expr("CAST((n_ngrams - n_distinct) * 10000 DIV n_ngrams AS BIGINT)"))
-      .orderBy("doc_id")
+    repetitionDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def repetitionDerived(s: SparkSession, d: String,
+                                         salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps
+        .select(col(H), TextFns.tokens(col("text")).as("tk"))
+        .select(col(H), TextFns.shingles(col("tk"), 3).as("sh"))
+        .select(col(H),
+          size(col("sh")).cast("long").as("n_ngrams"),
+          // distinct-count the 64-bit HASHES, not the strings:
+          // array_distinct on a string array is a quadratic pairwise
+          // UTF8String compare per document; on longs it's primitive
+          // equality. The count is identical unless two of a document's
+          // shingles collide in 64 bits (~n²/2⁶⁵ ≈ 10⁻¹⁵ for a 400-token
+          // doc — the same collision-freedom the md5 fingerprint dedup
+          // already stakes correctness on). Each engine hashes with its
+          // own 64-bit function; only the per-doc distinct COUNT must
+          // agree, never the hash values.
+          size(array_distinct(transform(col("sh"), x => xxhash64(x))))
+            .cast("long").as("n_distinct"))
+        // shingles() never yields an empty array, so the division is safe;
+        // `div` is integral division (exact, unlike `/` which goes double)
+        .withColumn("rep_bp",
+          expr("CAST((n_ngrams - n_distinct) * 10000 DIV n_ngrams AS BIGINT)"))
+    }
 
   val txtRepetitionSql: String =
     """WITH toks AS (
@@ -1041,26 +1084,40 @@ object TextQueries {
   // would recompute it for both sides and add a third shuffle). Hot
   // bigrams ("of the") put at most one row per document in one window
   // partition — linear, same key distribution the join would have had.
-  def txtPplProxy(s: SparkSession, d: String): DataFrame = {
-    // tk staged before the bigram lambda references it (free expressions
-    // in a lambda re-evaluate per element — an inline tokenize would
-    // re-split the text once per bigram)
-    val bgk = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(TextFns.bigrams(col("tk"))).as("bg"))
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("k"))
-    bgk
-      .withColumn("n", sum(col("k")).over(Window.partitionBy("bg")))
-      .groupBy("doc_id")
-      .agg(sum(col("k") * col("n")).as("sum_freq"),
-        sum(col("k")).as("n_bg"))
-      // ratio of two exact BIGINTs — the one double op both engines
-      // perform identically
-      .select(col("doc_id"), col("n_bg"),
-        (lit(1.0) * col("sum_freq") / col("n_bg")).as("mean_bg_freq"))
-      .orderBy("doc_id")
-  }
+  // Content-addressed with WEIGHTED corpus counts: the corpus total for a
+  // bigram is the rep-frame count times the content's replica count
+  // (Content.G) — the df-reweighting move collapse-first n-gram Jaccard
+  // (R99) established. Per-document outputs are identical across a
+  // content group, so the tokenize/explode/count pipeline runs once per
+  // distinct text.
+  def txtPplProxy(s: SparkSession, d: String): DataFrame =
+    pplProxyDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def pplProxyDerived(s: SparkSession, d: String,
+                                       salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      val G = graft.operators.Content.G
+      // tk staged before the bigram lambda references it (free expressions
+      // in a lambda re-evaluate per element — an inline tokenize would
+      // re-split the text once per bigram); G is constant per content, so
+      // max() under the (content, bigram) groupBy just carries it
+      val bgk = reps
+        .select(col(H), col(G), TextFns.tokens(col("text")).as("tk"))
+        .select(col(H), col(G), explode(TextFns.bigrams(col("tk"))).as("bg"))
+        .groupBy(H, "bg")
+        .agg(count(lit(1)).as("k"), max(col(G)).as("g"))
+      bgk
+        .withColumn("n", sum(col("k") * col("g")).over(Window.partitionBy("bg")))
+        .groupBy(H)
+        .agg(sum(col("k") * col("n")).as("sum_freq"),
+          sum(col("k")).as("n_bg"))
+        // ratio of two exact BIGINTs — the one double op both engines
+        // perform identically
+        .select(col(H), col("n_bg"),
+          (lit(1.0) * col("sum_freq") / col("n_bg")).as("mean_bg_freq"))
+    }
 
   val txtPplProxySql: String =
     """WITH toks AS (
@@ -1150,44 +1207,56 @@ object TextQueries {
   // is reported — at production span thresholds the synthetic corpus
   // would emit zero rows and the oracle would differential-test
   // nothing. K and MinSpan scale together; the machinery is identical.
-  def txtSelfSpan(s: SparkSession, d: String): DataFrame = {
+  // Content-addressed (Content.perContent): the anchor-window self-join
+  // machinery is a pure function of the token array, so it runs once per
+  // distinct text — per-content keys (__h) replace doc_id throughout.
+  def txtSelfSpan(s: SparkSession, d: String): DataFrame =
+    selfSpanDerived(s, d, salt = None)
+      .sortWithinPartitions("doc_id", "start_a", "start_b")
+
+  private[graft] def selfSpanDerived(s: SparkSession, d: String,
+                                       salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+      Tables.documents(s, d), Seq("text"), salt = salt)(selfSpanFromReps)
+
+  private def selfSpanFromReps(reps: DataFrame): DataFrame = {
+    val H = graft.operators.Content.H
     val K = 3        // anchor width (tokens)
     val MinSpan = 3  // report maximal repeats of at least this many tokens
     val OccCap = 8
-    val th = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), transform(col("tk"), t => xxhash64(t)).as("th"))
+    val th = reps
+      .select(col(H), TextFns.tokens(col("text")).as("tk"))
+      .select(col(H), transform(col("tk"), t => xxhash64(t)).as("th"))
       .filter(size(col("th")) >= K)
-    val win = th.select(col("doc_id"), posexplode(
+    val win = th.select(col(H), posexplode(
         transform(sequence(lit(1), size(col("th")) - (K - 1)),
           i => xxhash64((0 until K).map(j =>
             element_at(col("th"), (i + lit(j)).cast("int"))): _*))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+      .select(col(H), (col("pos") + 1).as("pos"), col("col").as("h"))
     // occ = 1 anchors can't pair — dropping them up front shrinks the
     // self-join input to just the repeating minority
-    val rep = win.groupBy("doc_id", "h")
+    val rep = win.groupBy(H, "h")
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ").between(2, OccCap))
-      .select("doc_id", "h")
-    val keep = win.join(rep, Seq("doc_id", "h"))
-    val pairs = keep.select(col("doc_id"), col("h"), col("pos").as("pa"))
-      .join(keep.select(col("doc_id"), col("h"), col("pos").as("pb")),
-        Seq("doc_id", "h"))
+      .select(H, "h")
+    val keep = win.join(rep, Seq(H, "h"))
+    val pairs = keep.select(col(H), col("h"), col("pos").as("pa"))
+      .join(keep.select(col(H), col("h"), col("pos").as("pb")),
+        Seq(H, "h"))
       .filter(col("pa") < col("pb"))
-      .select(col("doc_id"), col("pa"), col("pb"))
-    val diag = Window.partitionBy(col("doc_id"), col("dg")).orderBy(col("pa"))
+      .select(col(H), col("pa"), col("pb"))
+    val diag = Window.partitionBy(col(H), col("dg")).orderBy(col("pa"))
     pairs.withColumn("dg", col("pb") - col("pa"))
       .withColumn("isl", col("pa") - row_number().over(diag))
-      .groupBy("doc_id", "dg", "isl")
+      .groupBy(H, "dg", "isl")
       .agg(min("pa").as("start_a"), min("pb").as("start_b"),
         (count(lit(1)) + (K - 1)).cast("long").as("span_len"))
       .filter(col("span_len") >= MinSpan)
       // start_b − start_a recovers dg and a diagonal's runs are disjoint
-      // in pa, so (doc_id, start_a, start_b) is a total order
-      .select(col("doc_id"),
+      // in pa, so (content, start_a, start_b) is a total order
+      .select(col(H),
         col("start_a").cast("long").as("start_a"),
         col("start_b").cast("long").as("start_b"), col("span_len"))
-      .orderBy("doc_id", "start_a", "start_b")
   }
 
   val txtSelfSpanSql: String =
@@ -1238,26 +1307,37 @@ object TextQueries {
   // bit-identical at any partitioning. Docs without repeats pass
   // through unchanged; docs with no tokens have nothing to rebuild and
   // are absent from both engines by construction.
-  def txtSelfClean(s: SparkSession, d: String): DataFrame = {
-    val drop = txtSelfSpan(s, d)
-      .select(col("doc_id"), explode(sequence(col("start_b"),
-        col("start_b") + col("span_len") - 1)).as("pos"))
-      .distinct()
-    val toks = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("tok"))
-    toks.join(drop, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok")))),
-          p => p.getField("tok")), " ").as("clean_text"))
-      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks")), "doc_id")
-      .select(col("doc_id"), col("n_kept"),
-        (col("n_toks") - col("n_kept")).as("n_dropped"), col("clean_text"))
-      .orderBy("doc_id")
-  }
+  // Content-addressed (Content.perContent): span detection AND the token
+  // rebuild are pure functions of the text, so the whole edit runs once
+  // per distinct content. Bonus over the naive shape: the rep frame is a
+  // materialized exchange, so its two consumers (span side, token side)
+  // hit a ReusedExchange instead of re-scanning documents.
+  def txtSelfClean(s: SparkSession, d: String): DataFrame =
+    selfCleanDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  private[graft] def selfCleanDerived(s: SparkSession, d: String,
+                                        salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.documents(s, d), Seq("text"), salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      val drop = selfSpanFromReps(reps)
+        .select(col(H), explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+        .distinct()
+      val toks = reps
+        .select(col(H), posexplode(TextFns.tokens(col("text"))))
+        .select(col(H), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("tok"))
+      toks.join(drop, Seq(H, "pos"), "left_anti")
+        .groupBy(H)
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            p => p.getField("tok")), " ").as("clean_text"))
+        .join(toks.groupBy(H).agg(count(lit(1)).as("n_toks")), H)
+        .select(col(H), col("n_kept"),
+          (col("n_toks") - col("n_kept")).as("n_dropped"), col("clean_text"))
+    }
 
   val txtSelfCleanSql: String =
     """WITH toks AS (

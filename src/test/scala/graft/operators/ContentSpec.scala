@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import graft.queries.TextQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-addressed evaluation (Content.perContent): the collapsed mode
+  * must be bit-identical to the naive per-document mode for every
+  * converted query, on the real corpus AND on a replica-flooded one.
+  * The naive side is the SAME derivation run with a per-row-unique salt
+  * (doc_id) folded into the content key — singleton groups degenerate the
+  * combinator to per-document evaluation, so the comparison isolates
+  * exactly the collapse/re-expand machinery (including the weighted
+  * corpus counts in txt_ppl_proxy, where `G` carries replica mass).
+  */
+class ContentSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private type Derived =
+    (SparkSession, String, Option[org.apache.spark.sql.Column]) => DataFrame
+
+  private val derivations: Seq[(String, Derived)] = Seq(
+    "txt_stats" -> (TextQueries.statsDerived _),
+    "txt_fingerprint" -> (TextQueries.fingerprintDerived _),
+    "txt_winnow" -> (TextQueries.winnowDerived _),
+    "txt_repetition" -> (TextQueries.repetitionDerived _),
+    "txt_chunks" -> (TextQueries.chunksDerived _),
+    "txt_self_span" -> (TextQueries.selfSpanDerived _),
+    "txt_self_clean" -> (TextQueries.selfCleanDerived _),
+    "txt_ppl_proxy" -> (TextQueries.pplProxyDerived _),
+    "txt_dtm" -> (graft.queries.Analytics.dtmDerived _),
+    // corpus-aggregate (Content.reps + G-weighted counts, no re-expansion)
+    "vocab_merges" -> (graft.queries.Curation.vocabMergesDerived _),
+    "tok_coverage" -> (graft.queries.Curation.tokCoverageDerived _))
+
+  private def assertSameRows(name: String, a: DataFrame, b: DataFrame): Unit = {
+    val cols = a.columns.sorted.map(col(_))
+    val da = a.select(cols: _*)
+    val db = b.select(cols: _*)
+    assert(da.exceptAll(db).isEmpty && db.exceptAll(da).isEmpty,
+      s"$name: collapsed != naive")
+    assert(da.count() == db.count(), s"$name: row count differs")
+  }
+
+  test("collapsed == naive (salted) for every converted query on the real corpus") {
+    derivations.foreach { case (name, f) =>
+      assertSameRows(name, f(spark, sf, None), f(spark, sf, Some(col("doc_id"))))
+    }
+  }
+
+  test("collapsed == naive on a replica-flooded corpus (40 copies of each of 30 docs)") {
+    // ScaleUp-shaped flood: identical text under shifted ids — the regime
+    // the collapse exists for. Written as parquet so the derivations read
+    // it through the same Tables loader the shipped queries use.
+    val dir = java.nio.file.Files.createTempDirectory("graft_content_spec").toString
+    val base = Tables.documents(spark, sf).limit(30).collect()
+    val flood = (0 until 40).flatMap { r =>
+      base.map { row =>
+        (row.getLong(0) + r * 100000L, row.getString(1), row.getString(2),
+          row.getString(3), row.getLong(4))
+      }
+    }
+    flood.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    derivations.foreach { case (name, f) =>
+      assertSameRows(name, f(spark, dir, None), f(spark, dir, Some(col("doc_id"))))
+    }
+  }
+
+  test("contentKey separates null, empty, and boundary-shifted attribute tuples") {
+    val rows = Seq(
+      ("a", null.asInstanceOf[String]),
+      ("a", ""),
+      ("a ", ""),
+      ("", "a"),
+      ("a", "b"),
+      ("ab", "")).toDF("x", "y")
+    val keys = rows.select(Content.contentKey(Seq(col("x"), col("y"))).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length == keys.length, keys.mkString(","))
+  }
+}
