@@ -116,11 +116,31 @@ object Content {
   def reps(docs: DataFrame, attrs: Seq[String],
            salt: Option[Column] = None): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    docs
+    pushdownFence(docs
       .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
       .agg(count(lit(1)).as(G))
       .select(contentKey(attrs.map(col) ++ salt.map(_ => col("__salt")).toSeq).as(H) +:
         attrs.map(col) :+ col(G): _*)
-      .repartition(n)
+      .repartition(n))
   }
+
+  private val fenceId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Predicate-pushdown fence over the rep frame — without it the
+    * collapse silently un-collapses: a derivation's filter on a
+    * content-pure expression (a quality gate, `size(tokens) >= k`) is a
+    * predicate over the aggregation's GROUPING columns, so Catalyst
+    * pushes it below the collapse aggregate and the heavy expression
+    * runs once per DOCUMENT again (measured: the pipe_curate gate at the
+    * 100× rung read 4.9 s with the pushdown vs 0.4 s fenced — the whole
+    * collapse win, silently undone by an "optimization"). A zero-cost
+    * row-count observation works as the fence because `CollectMetrics`
+    * is not among the nodes `PushPredicateThroughNonJoin` crosses; the
+    * metric itself (rep-frame width) is genuinely useful telemetry.
+    * Names are uniqued per call — one query may collapse several corpora
+    * (dd_lsh_recall embeds two shipped pipelines) and duplicate
+    * observation names in one plan are an analysis error.
+    */
+  private[graft] def pushdownFence(df: DataFrame): DataFrame =
+    df.observe(s"graft_content_reps_${fenceId.incrementAndGet()}", count(lit(1)))
 }

@@ -518,7 +518,34 @@ object Curation {
   // packing windows the survivors once per language. Every stage is the
   // oracle-checked operator it reuses — the query proves they COMPOSE
   // without materialization between stages.
-  def pipeCurate(s: SparkSession, d: String): DataFrame = {
+  def pipeCurate(s: SparkSession, d: String): DataFrame =
+    pipeCurateDerived(s, d, salt = None)
+
+  // Content-addressed WITHOUT re-expansion or even a content hash: the
+  // pipeline only ever keeps one document per content fingerprint, so
+  // neither the expanded per-doc frame nor a hash key is needed — ONE
+  // aggregation collapses the corpus to (content, replica count,
+  // min doc_id) and everything downstream is content-sized. The fp dedup
+  // runs over the content frame (min-per-fp of the per-content mins ≡
+  // min over all docs), so the sampling/packing stages see exactly the
+  // naive kept rows. One scan, one content-keyed shuffle with map-side
+  // partial — where the first conversion attempt (hash-keyed minDoc
+  // branch + rep branch) paid two corpus text passes with an md5 each
+  // and measured 5.7 s at the 100× rung vs 0.8 s for this shape WITH the
+  // pushdown fence (without it the gate predicate pushed below the
+  // collapse and the rung read 5.7 s regardless of branch count).
+  private[graft] def pipeCurateDerived(s: SparkSession, d: String,
+                                       salt: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val attrs = Seq("text", "lang", "n_chars")
+    val n32 = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the fence stops the gate predicate from being pushed below the
+    // collapse aggregate (it is content-pure, i.e. a predicate over the
+    // grouping columns) — see Content.pushdownFence
+    val reps = graft.operators.Content.pushdownFence(docs
+      .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
+      .agg(min("doc_id").as("doc_id"))
+      .repartition(n32))
     val tk = col("tk")
     val n = size(tk).cast("long")
     val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
@@ -528,16 +555,16 @@ object Curation {
       array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
     val pass = (n >= 50 && n <= 1000) && (sumLen >= n * 3 && sumLen <= n * 10) &&
       (distinctN * 20 >= n) && (stopHits >= 2) && (shortN * 4 <= n)
-    val gated = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+    val gated = reps
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFns.fingerprint(col("text")).as("fp"),
         TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("fp"),
         n.as("n_tokens"), pass.as("pass"))
       .filter(col("pass"))
     // exact dedup: keep the minimum doc_id per content fingerprint
     val kept = graft.operators.Dedup.firstWins(
-      gated.withColumn("fp", TextFns.fingerprint(col("text"))),
-      Seq("fp"), Seq(col("doc_id").asc)).drop("fp", "text")
+      gated, Seq("fp"), Seq(col("doc_id").asc)).drop("fp", "pass")
     // weighted subsample: longer (more informative) docs keep higher
     // probability — bp ∝ tokens, capped at 100%
     val sampled = graft.operators.Sampling.weightedBernoulli(

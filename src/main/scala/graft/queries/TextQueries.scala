@@ -951,22 +951,47 @@ object TextQueries {
   // shuffle of text, no corpus self-join. Eval membership is a
   // deterministic id rule here (doc_id % 20 == 0) standing in for the
   // benchmark id list a real pipeline would broadcast.
-  def ddContaminate(s: SparkSession, d: String): DataFrame = {
-    // tk staged before the shingle lambda references it (a free
-    // expression in a lambda re-evaluates per element — an inline
-    // tokenize would re-split the text once per 5-gram)
-    val sh = graft.Par.spread(Tables.documents(s, d))
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
+  def ddContaminate(s: SparkSession, d: String): DataFrame =
+    contaminateDerived(s, d, salt = None)
+      .sortWithinPartitions("doc_id", "eval_id")
+
+  // Content-addressed: the shingle build and the overlap count run once
+  // per distinct CONTENT PAIR; (corpus doc × eval doc) rows re-expand
+  // through the per-doc membership frame, which is output-sized. Eval
+  // membership is a doc-id rule, so one content can have members on both
+  // sides — the content-level overlap matrix therefore includes the
+  // ca == cb diagonal (identical texts share every shingle), and the
+  // expansion's role filters keep exactly the naive pair set. `tk` is
+  // staged before the shingle lambda references it (a free expression in
+  // a lambda re-evaluates per element — an inline tokenize would
+  // re-split the text once per 5-gram).
+  private[graft] def contaminateDerived(s: SparkSession, d: String,
+                                        salt: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val H = graft.operators.Content.H
+    val members = docs.select(col("doc_id"),
+      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H),
+      (col("doc_id") % 20 === 0).as("is_eval"))
+    val sh = graft.operators.Content.reps(docs, Seq("text"), salt)
+      .select(col(H), TextFns.tokens(col("text")).as("tk"))
+      .select(col(H),
         explode(array_distinct(TextFns.shingles(col("tk"), 5))).as("g"))
-    val evalSide = sh.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("eval_id"), col("g"))
-    sh.filter(col("doc_id") % 20 =!= 0)
-      .join(broadcast(evalSide), "g")
-      .groupBy("doc_id", "eval_id")
+    // contents with at least one eval member — benchmark-sized at any
+    // corpus scale, so its shingle index broadcasts exactly like the
+    // naive shape's eval side
+    val evalContents = members.filter(col("is_eval")).select(col(H)).distinct()
+    val evalSh = sh.join(broadcast(evalContents), H)
+      .select(col(H).as("he"), col("g"))
+    val overlap = sh
+      .join(broadcast(evalSh), "g")
+      .groupBy(H, "he")
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= 2)
-      .orderBy("doc_id", "eval_id")
+    overlap
+      .join(members.filter(!col("is_eval")).select(col(H), col("doc_id")), H)
+      .join(broadcast(members.filter(col("is_eval"))
+        .select(col(H).as("he"), col("doc_id").as("eval_id"))), "he")
+      .select("doc_id", "eval_id", "shared_ngrams")
   }
 
   val ddContaminateSql: String =

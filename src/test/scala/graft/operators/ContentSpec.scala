@@ -33,7 +33,11 @@ class ContentSpec extends SparkSuite {
     "txt_dtm" -> (graft.queries.Analytics.dtmDerived _),
     // corpus-aggregate (Content.reps + G-weighted counts, no re-expansion)
     "vocab_merges" -> (graft.queries.Curation.vocabMergesDerived _),
-    "tok_coverage" -> (graft.queries.Curation.tokCoverageDerived _))
+    "tok_coverage" -> (graft.queries.Curation.tokCoverageDerived _),
+    // content-pair overlap expanded through per-doc membership
+    "dd_contaminate" -> (TextQueries.contaminateDerived _),
+    // gate+fingerprint collapsed, doc-identity stages unchanged
+    "pipe_curate" -> (graft.queries.Curation.pipeCurateDerived _))
 
   private def assertSameRows(name: String, a: DataFrame, b: DataFrame): Unit = {
     val cols = a.columns.sorted.map(col(_))

@@ -306,4 +306,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(scd2.contains("graft_scd2_"), scd2)
     assert(!scd2.contains("CartesianProduct"), scd2)
   }
+
+  test("content-addressed queries keep heavy predicates ABOVE the collapse " +
+    "(pushdown fence present; no lambda work in the corpus-side scan filter)") {
+    // without Content.pushdownFence a content-pure filter (quality gate,
+    // size(tokens) >= k) is a predicate over the collapse aggregate's
+    // grouping columns and Catalyst pushes it below — the heavy expression
+    // silently runs per DOCUMENT again (measured 4.9 s vs 0.4 s on the
+    // pipe_curate gate at 100×). The fence is a CollectMetrics node; the
+    // corpus-side filter, if any, must stay lambda-free.
+    for (q <- Seq("pipe_curate", "txt_self_span", "txt_self_clean")) {
+      val p = plan(q)
+      assert(p.contains("CollectMetrics"), s"$q: fence missing\n$p")
+      // a pushed-down filter is the PARENT of a parquet scan (nearest line
+      // above with shallower tree indentation); the legitimate gate filter
+      // above the fence also mentions lambdas, so position is the signal
+      val lines = p.linesIterator.toVector
+      def indent(l: String): Int = l.takeWhile(c => " :+-".contains(c)).length
+      val scanParents = lines.zipWithIndex
+        .filter(_._1.contains("Scan parquet"))
+        .flatMap { case (l, i) =>
+          (i - 1 to 0 by -1).find(j => indent(lines(j)) < indent(l)).map(lines)
+        }
+      val bad = scanParents.filter(l =>
+        l.contains("lambdafunction") || l.contains("aggregate("))
+      assert(bad.isEmpty, s"$q: heavy filter pushed to corpus side:\n" +
+        bad.mkString("\n"))
+    }
+  }
 }
