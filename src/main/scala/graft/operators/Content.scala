@@ -124,6 +124,22 @@ object Content {
       .repartition(n))
   }
 
+  /** Rep frame keyed by id stats instead of a hash — (attrs…, `G`,
+    * idCol = min member id), for derivations whose only per-document
+    * dependence is "the smallest member id" (keeper policies, star-edge
+    * construction, min-doc dedup): the min of a group's ids stands in for
+    * the group in any min-aggregation downstream, so no re-expansion join
+    * and no content hash are needed at all.
+    */
+  def repsById(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
+               salt: Option[Column] = None): DataFrame = {
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    pushdownFence(docs
+      .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
+      .agg(count(lit(1)).as(G), min(idCol).as(idCol))
+      .repartition(n))
+  }
+
   private val fenceId = new java.util.concurrent.atomic.AtomicLong()
 
   /** Predicate-pushdown fence over the rep frame — without it the

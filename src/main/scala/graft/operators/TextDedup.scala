@@ -42,10 +42,17 @@ object TextDedup {
   /** Exact dedup by normalized-content fingerprint: keep min doc_id per
     * fingerprint, count duplicates.
     */
-  def exactGroups(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+  // Content-addressed (Content.repsById): the fingerprint md5 runs once
+  // per distinct text; dup_count re-weights by replica mass and
+  // keep_doc_id is the min of the per-content mins.
+  def exactGroups(docs: DataFrame,
+                  salt: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    graft.operators.Content.repsById(docs, Seq("text"), salt = salt)
+      .select(col("doc_id"), col(graft.operators.Content.G),
+        TextFns.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
-      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .agg(min("doc_id").as("keep_doc_id"),
+        sum(graft.operators.Content.G).as("dup_count"))
 
   /** Candidate near-dup pairs via MinHash + LSH banding, with signature-
     * estimated Jaccard. k = bands * rowsPerBand minhashes.
@@ -750,15 +757,22 @@ object TextDedup {
     * The token-md5 array is projected in its own step so the 16 bit
     * extractors reference one computed column instead of re-hashing the
     * token list per bit (CollapseProject keeps non-cheap multi-referenced
-    * projections separate); repartition spreads the hashing.
+    * projections separate).
+    * Content-addressed (Content.repsById): the signature is a pure
+    * function of the text, so it is computed once per distinct text;
+    * group size re-weights by replica mass and min_doc_id is the min of
+    * the per-content mins — no re-expansion needed.
     */
-  def simhashGroups(docs: DataFrame): DataFrame = {
-    graft.Par.spread(docs)
-      .select(col("doc_id"),
+  def simhashGroups(docs: DataFrame,
+                    salt: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    graft.operators.Content.repsById(docs, Seq("text"), salt = salt)
+      .select(col("doc_id"), col(graft.operators.Content.G),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
-      .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).as("simhash"))
+      .select(col("doc_id"), col(graft.operators.Content.G),
+        TextFns.simhash16FromHashes(col("h")).as("simhash"))
       .groupBy("simhash")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc_id"))
+      .agg(sum(graft.operators.Content.G).as("n_docs"),
+        min("doc_id").as("min_doc_id"))
       .filter(col("n_docs") > 1)
   }
 

@@ -196,33 +196,64 @@ object Curation {
   // (`floor`, not `round` — same reasoning as emb_quantize), and doc
   // scores are then INTEGER sums of those weights — associative, so no
   // float-summation-order divergence between engines or partitionings.
-  def txtNbQuality(s: SparkSession, d: String): DataFrame = {
-    val lbl = txtQualityGate(s, d).select(col("doc_id"), col("pass"))
+  def txtNbQuality(s: SparkSession, d: String): DataFrame =
+    txtNbQualityDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  // Content-addressed with STRATIFIED membership: the train/test split is
+  // a doc-id rule while the label (gate pass) and the token set are
+  // content-pure — so one content group can put documents on both sides
+  // of the split. The collapse therefore carries a per-content
+  // `n_train` (aggregated over the compact (doc_id, hash) key frame) and
+  // every training count weights by it: dfp for a token is
+  // Σ_contents-containing-it (pass ? n_train : 0), which is exactly the
+  // naive count of passing train documents containing the token. Scoring
+  // is content-pure given the vocab, so the per-content score re-expands
+  // to the test members through the membership frame. With the singleton
+  // salt, n_train ∈ {0,1} and every sum degenerates to the naive
+  // formulation — ContentSpec compares the two bit-for-bit.
+  private[graft] def txtNbQualityDerived(s: SparkSession, d: String,
+                                         salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(TextFns.tokens(col("text"))).as("tks"))
-      .withColumn("h",
-        substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2))
-      .join(lbl, "doc_id")
-    val train = docs.filter(col("h") < "cd")
-    val test = docs.filter(col("h") >= "cd")
-    val priors = train.agg(
-      sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
-      sum(when(col("pass"), 0L).otherwise(1L)).as("n_fail"))
-    val vocab = train.select(explode(col("tks")).as("token"), col("pass"))
+    val H = graft.operators.Content.H
+    val members = docs.select(col("doc_id"),
+      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H),
+      (substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
+        < "cd").as("is_train"))
+    val nTrain = members.groupBy(H)
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"))
+    val tk = col("tk")
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val distinctN = size(array_distinct(tk)).cast("long")
+    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
+    val pass = (n >= 50 && n <= 1000) && (sumLen >= n * 3 && sumLen <= n * 10) &&
+      (distinctN * 20 >= n) && (stopHits >= 2) && (shortN * 4 <= n)
+    val contents = graft.operators.Content.reps(docs, Seq("text"), salt)
+      .select(col(H), TextFns.tokens(col("text")).as("tk"))
+      .select(col(H), array_distinct(col("tk")).as("tks"), pass.as("pass"))
+      .join(nTrain, H)
+    val priors = contents.agg(
+      sum(when(col("pass"), col("n_train")).otherwise(0L)).as("n_pass"),
+      sum(when(col("pass"), 0L).otherwise(col("n_train"))).as("n_fail"))
+    val vocab = contents.filter(col("n_train") > 0)
+      .select(explode(col("tks")).as("token"), col("pass"), col("n_train"))
       .groupBy("token")
-      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("dfp"),
-        sum(when(col("pass"), 0L).otherwise(1L)).as("dff"))
+      .agg(sum(when(col("pass"), col("n_train")).otherwise(0L)).as("dfp"),
+        sum(when(col("pass"), 0L).otherwise(col("n_train"))).as("dff"))
       .crossJoin(broadcast(priors))
       .select(col("token"),
         floor((log(col("dfp") + 1) - log(col("n_pass") + 2)
           - log(col("dff") + 1) + log(col("n_fail") + 2)) * 1e6)
           .cast("long").as("w_micro"))
-    val scored = test.select(col("doc_id"), explode(col("tks")).as("token"))
+    val scored = contents.select(col(H), explode(col("tks")).as("token"))
       .join(vocab, "token")
-      .groupBy("doc_id")
+      .groupBy(H)
       .agg(sum("w_micro").as("s"))
-    test.select(col("doc_id"), col("pass"))
-      .join(scored, Seq("doc_id"), "left")
+    members.filter(!col("is_train"))
+      .join(contents.select(col(H), col("pass")), H)
+      .join(scored, Seq(H), "left")
       .crossJoin(broadcast(priors))
       .select(col("doc_id"),
         (coalesce(col("s"), lit(0L)) +
@@ -231,7 +262,6 @@ object Curation {
         col("pass").as("actual"))
       .withColumn("pred", col("score_micro") > 0)
       .select("doc_id", "score_micro", "pred", "actual")
-      .orderBy("doc_id")
   }
 
   val txtNbQualitySql: String =

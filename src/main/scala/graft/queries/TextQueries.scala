@@ -695,12 +695,21 @@ object TextQueries {
   // the highest-quality document (ties: lowest doc_id) — one window over
   // one shuffle-by-fingerprint; quality is the same heuristic txt_stats
   // publishes, so keep decisions are explainable from the stats table
-  def ddKeepBest(s: SparkSession, d: String): DataFrame = {
+  def ddKeepBest(s: SparkSession, d: String): DataFrame =
+    keepBestDerived(s, d, salt = None).sortWithinPartitions("fp")
+
+  // Content-addressed (Content.repsById): quality and fingerprint are
+  // content-pure, so the keeper rank runs over CONTENTS. Equivalence to
+  // the per-doc rank: within one content, the min doc_id beats its
+  // replicas on the (quality desc, doc_id) order, so the winning content's
+  // min member IS the winning document, and cross-content ties resolve by
+  // min-of-mins exactly as by min-over-docs. tokens staged once
+  // (qualityScore's sub-scores would otherwise each re-tokenize — no CSE
+  // across projection expressions).
+  private[graft] def keepBestDerived(s: SparkSession, d: String,
+                                     salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     val w = Window.partitionBy("fp").orderBy(desc("quality"), col("doc_id"))
-    // tokens staged once (qualityScore's sub-scores would otherwise each
-    // re-tokenize — no CSE across projection expressions), scan spread
-    // before the per-row hash work
-    graft.Par.spread(Tables.documents(s, d))
+    graft.operators.Content.repsById(Tables.documents(s, d), Seq("text"), salt = salt)
       .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         TextFns.fingerprint(col("text")).as("fp"),
@@ -708,7 +717,6 @@ object TextQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("fp"), col("doc_id").as("keep_doc_id"), col("quality"))
-      .orderBy("fp")
   }
 
   val ddKeepBestSql: String =

@@ -37,7 +37,15 @@ class ContentSpec extends SparkSuite {
     // content-pair overlap expanded through per-doc membership
     "dd_contaminate" -> (TextQueries.contaminateDerived _),
     // gate+fingerprint collapsed, doc-identity stages unchanged
-    "pipe_curate" -> (graft.queries.Curation.pipeCurateDerived _))
+    "pipe_curate" -> (graft.queries.Curation.pipeCurateDerived _),
+    // stratified membership: per-content n_train weights the NB counts
+    "txt_nb_quality" -> (graft.queries.Curation.txtNbQualityDerived _),
+    // repsById: min-member-id stands in for the group, no re-expansion
+    "dd_exact" -> ((s: SparkSession, d: String, salt: Option[org.apache.spark.sql.Column]) =>
+      TextDedup.exactGroups(Tables.documents(s, d), salt)),
+    "dd_simhash" -> ((s: SparkSession, d: String, salt: Option[org.apache.spark.sql.Column]) =>
+      TextDedup.simhashGroups(Tables.documents(s, d), salt)),
+    "dd_keep_best" -> (TextQueries.keepBestDerived _))
 
   private def assertSameRows(name: String, a: DataFrame, b: DataFrame): Unit = {
     val cols = a.columns.sorted.map(col(_))
