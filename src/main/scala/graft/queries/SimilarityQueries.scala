@@ -171,17 +171,49 @@ object SimilarityQueries {
   // candidate generation (never all-pairs), star-contraction components
   // (skew-linear, checkpointed rounds), and one left join — so the whole
   // decision is a fixed number of bounded shuffles at any corpus size.
-  def ddSemdedup(s: SparkSession, d: String): DataFrame = {
+  def ddSemdedup(s: SparkSession, d: String): DataFrame =
+    semdedupDerived(s, d, salt = None).sortWithinPartitions("vec_id")
+
+  // Content-addressed CC over DISTINCT vectors: replicas of one embedding
+  // share its bucket and have pairwise cosine exactly 1 (>= any sane
+  // threshold), so they are always one component with their content-min —
+  // the bucketed self-join therefore runs over distinct vectors only
+  // (the naive shape ground through C(g,2) identical-vector pairs per
+  // replica group before CC), and every vector's verdict re-expands
+  // through the membership frame: label = the content's component label,
+  // which for a singleton content is itself. The collapse key is the
+  // embedding array (array grouping keys hash/compare natively).
+  private[graft] def semdedupDerived(s: SparkSession, d: String,
+                                     salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val pairs = Similarity.cosineNearDupPairs(emb, nBits = 8, minCos = 0.35)
+    val H = graft.operators.Content.H
+    val Gc = graft.operators.Content.G
+    val members = emb.select(col("vec_id"),
+      graft.operators.Content.contentKey(Seq(col("embedding")) ++ salt.toSeq).as(H))
+    val contents = graft.operators.Content
+      .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
+      .select(graft.operators.Content.contentKey(
+          Seq(col("embedding")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
+        col(Gc), col("vec_id"), col("embedding"))
+    val pairs = Similarity
+      .cosineNearDupPairs(contents.select("vec_id", "embedding"),
+        nBits = 8, minCos = 0.35)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val cc = graft.operators.TextDedup.connectedComponents(pairs)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    emb.select("vec_id").join(cc, Seq("vec_id"), "left")
+      .select(col("doc_id").as("rep_id"), col("cluster_id"))
+    // zero-norm guard: a zero vector's cosine is NULL against everything —
+    // including its own replicas — so the naive shape never pairs it and
+    // every copy keeps itself; such members must NOT inherit their
+    // content's label
+    members
+      .join(contents.select(col(H), col("vec_id").as("rep_id"),
+        (graft.functions.VectorFns.l2Norm(col("embedding")) === 0).as("zero")), H)
+      .join(cc, Seq("rep_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        when(col("zero"), col("vec_id"))
+          .otherwise(coalesce(col("cluster_id"), col("rep_id"))).as("cluster_id"))
       .withColumn("keep", col("cluster_id") === col("vec_id"))
-      .orderBy("vec_id")
+      .select("vec_id", "cluster_id", "keep")
   }
 
   val ddSemdedupSql: String =

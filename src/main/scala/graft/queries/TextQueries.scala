@@ -627,28 +627,70 @@ object TextQueries {
   // projections, safe to recompute across the CC rounds (the operator's
   // documented contract). Transitivity: A exact-dup B, B simhash-near C
   // ⇒ {A,B,C} one cluster, one canonical keeper (min doc_id).
-  def ddCluster(s: SparkSession, d: String): DataFrame = {
+  def ddCluster(s: SparkSession, d: String): DataFrame =
+    clusterDerived(s, d, salt = None).sortWithinPartitions("doc_id")
+
+  // Content-addressed CC: both edge keys (fingerprint, simhash16) are
+  // content-pure, so the component structure lives at CONTENT level —
+  // star edges link content-min ids, the fixpoint runs over the
+  // content graph, and member documents attach through the membership
+  // frame afterwards. Equivalence: documents of one content share the
+  // fingerprint, so they are one component with their content-min, and a
+  // component's label (min doc id) is the min over its content mins.
+  // Membership in the OUTPUT (naive: every doc appearing in any pair)
+  // re-weights by replica mass: a content participates when one of its
+  // key groups has >= 2 DOCUMENTS — which includes a single content with
+  // G >= 2 (its replicas pair with each other) that contributes no
+  // content-level edge at all, so participation is tracked separately
+  // from the edge list. This also fixes a latent flood fragility: the
+  // naive star build collect_listed member DOCS per key (a
+  // billion-replica boilerplate key = a billion-element array in one
+  // row); content-level lists are bounded by genuine near-dup structure.
+  // STAR pair generation, not all-pairs: connectivity only needs each
+  // group member linked to the group's min id — g-1 edges per group.
+  private[graft] def clusterDerived(s: SparkSession, d: String,
+                                    salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     val docs = Tables.documents(s, d)
-    val fp = docs.select(col("doc_id"), TextFns.fingerprint(col("text")).as("k"))
-    val sh = graft.Par.spread(docs)
-      .select(col("doc_id"),
+    val H = graft.operators.Content.H
+    val Gc = graft.operators.Content.G
+    val members = docs.select(col("doc_id"),
+      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H))
+    val contents = graft.operators.Content.repsById(docs, Seq("text"), salt = salt)
+      .select(graft.operators.Content.contentKey(
+          Seq(col("text")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
+        col(Gc), col("doc_id"), col("text"))
+    val fp = contents.select(col("doc_id"), col(Gc),
+      TextFns.fingerprint(col("text")).as("k"))
+    val sh = contents
+      .select(col("doc_id"), col(Gc),
         transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
-      .select(col("doc_id"), TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
-    // STAR pair generation, not all-pairs: connectivity only needs each
-    // group member linked to the group's min id — g-1 edges per group
-    // instead of g(g-1)/2, so a hot key (a flood of identical boilerplate,
-    // exactly what this query exists to find) stays linear rather than
-    // building quadratic pair structs in one row. Connected components
-    // are identical under either edge set. The keyed projection
-    // (md5-per-token for simhash) is computed once per key family.
-    def pairsOf(keyed: DataFrame): DataFrame =
-      keyed.groupBy("k").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
+      .select(col("doc_id"), col(Gc),
+        TextFns.simhash16FromHashes(col("h")).cast("string").as("k"))
+    def grouped(keyed: DataFrame): DataFrame =
+      keyed.groupBy("k")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+          sum(Gc).as("nd"))
+        .filter(col("nd") >= 2)
+    def pairsOf(g: DataFrame): DataFrame =
+      g.filter(size(col("ids")) >= 2)
         .select(explode(TextDedup.expandStarPairs(col("ids"),
           (a, b) => struct(a.as("doc_a"), b.as("doc_b")))).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-    val pairs = pairsOf(fp).union(pairsOf(sh)).distinct()
-    TextDedup.connectedComponents(pairs).orderBy("doc_id")
+    val gFp = grouped(fp)
+    val gSh = grouped(sh)
+    val pairs = pairsOf(gFp).union(pairsOf(gSh)).distinct()
+    // every content-min in a >= 2-doc key group is in the output, even
+    // when its group contributed no content-level edge
+    val participants = gFp.select(explode(col("ids")).as("doc_id"))
+      .union(gSh.select(explode(col("ids")).as("doc_id"))).distinct()
+    val labels = participants
+      .join(TextDedup.connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id").as("rep_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    members
+      .join(contents.select(col(H), col("doc_id").as("rep_id")), H)
+      .join(labels, "rep_id")
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   val ddClusterSql: String =

@@ -45,7 +45,15 @@ class ContentSpec extends SparkSuite {
       TextDedup.exactGroups(Tables.documents(s, d), salt)),
     "dd_simhash" -> ((s: SparkSession, d: String, salt: Option[org.apache.spark.sql.Column]) =>
       TextDedup.simhashGroups(Tables.documents(s, d), salt)),
-    "dd_keep_best" -> (TextQueries.keepBestDerived _))
+    "dd_keep_best" -> (TextQueries.keepBestDerived _),
+    // content-level connected components, members attach afterwards
+    "dd_cluster" -> (TextQueries.clusterDerived _),
+    "dd_semdedup" -> (graft.queries.SimilarityQueries.semdedupDerived _))
+
+  // the per-row-unique salt column: embeddings-table derivations key by
+  // vec_id
+  private def saltFor(name: String): String =
+    if (name == "dd_semdedup") "vec_id" else "doc_id"
 
   private def assertSameRows(name: String, a: DataFrame, b: DataFrame): Unit = {
     val cols = a.columns.sorted.map(col(_))
@@ -58,7 +66,7 @@ class ContentSpec extends SparkSuite {
 
   test("collapsed == naive (salted) for every converted query on the real corpus") {
     derivations.foreach { case (name, f) =>
-      assertSameRows(name, f(spark, sf, None), f(spark, sf, Some(col("doc_id"))))
+      assertSameRows(name, f(spark, sf, None), f(spark, sf, Some(col(saltFor(name)))))
     }
   }
 
@@ -76,8 +84,17 @@ class ContentSpec extends SparkSuite {
     }
     flood.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // flooded embeddings for the vector-collapse derivations (identical
+    // vectors under shifted ids, same ScaleUp shape)
+    val baseEmb = Tables.embeddings(spark, sf).limit(30).collect()
+    (0 until 40).flatMap { r =>
+      baseEmb.map { row =>
+        (row.getLong(0) + r * 100000L, row.getSeq[Float](1), row.getInt(2))
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     derivations.foreach { case (name, f) =>
-      assertSameRows(name, f(spark, dir, None), f(spark, dir, Some(col("doc_id"))))
+      assertSameRows(name, f(spark, dir, None), f(spark, dir, Some(col(saltFor(name)))))
     }
   }
 
