@@ -261,22 +261,34 @@ object SimilarityQueries {
   // IEEE evaluation order, and floor of it is exact — round() would
   // diverge at representation midpoints. Codes are summarized as exact
   // integer stats (hash-safe); per-row work is a pure projection.
+  // Content-addressed (Content.perContent over the embedding array): the
+  // per-element quantize lambda is CodegenFallback (interpreted), so
+  // running it once per DISTINCT vector is the difference between
+  // corpus-width and vocabulary-width interpreted work.
   def embQuantize(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_min(col("embedding")).cast("double").as("mn"),
-        array_max(col("embedding")).cast("double").as("mx"))
-      .select(col("vec_id"),
-        transform(col("embedding"), x =>
-          when(col("mx") > col("mn"),
-            floor((x.cast("double") - col("mn")) * 255.0 / (col("mx") - col("mn"))))
-            .otherwise(lit(0L))).as("codes"),
-        size(col("embedding")).cast("long").as("n_dims"))
-      .select(col("vec_id"), col("n_dims"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
-        array_min(col("codes")).as("code_min"),
-        array_max(col("codes")).as("code_max"))
-      .orderBy("vec_id")
+    quantizeDerived(s, d, salt = None).sortWithinPartitions("vec_id")
+
+  private[graft] def quantizeDerived(s: SparkSession, d: String,
+                                     salt: Option[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Content.perContent(
+        Tables.embeddings(s, d), Seq("embedding"), idCol = "vec_id",
+        salt = salt) { reps =>
+      val H = graft.operators.Content.H
+      reps
+        .select(col(H), col("embedding"),
+          array_min(col("embedding")).cast("double").as("mn"),
+          array_max(col("embedding")).cast("double").as("mx"))
+        .select(col(H),
+          transform(col("embedding"), x =>
+            when(col("mx") > col("mn"),
+              floor((x.cast("double") - col("mn")) * 255.0 / (col("mx") - col("mn"))))
+              .otherwise(lit(0L))).as("codes"),
+          size(col("embedding")).cast("long").as("n_dims"))
+        .select(col(H), col("n_dims"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
+          array_min(col("codes")).as("code_min"),
+          array_max(col("codes")).as("code_max"))
+    }
 
   val embQuantizeSql: String =
     """WITH q AS (
@@ -405,8 +417,24 @@ object SimilarityQueries {
   private val KmIters = 3
   private val KmScale = 1048576L // 2^20
 
-  def embKmeans(s: SparkSession, d: String): DataFrame = {
+  def embKmeans(s: SparkSession, d: String): DataFrame =
+    kmeansDerived(s, d, salt = None).orderBy("cid")
+
+  // Content-addressed WEIGHTED Lloyd's — exact, not approximate: every
+  // replica of a vector gets the same assignment (identical distances,
+  // same struct-min tiebreak), so the assignment step runs over DISTINCT
+  // vectors and the centroid update weights each content by its replica
+  // mass `G` (sx = Σ G·x, n = Σ G — bit-identical to summing members).
+  // The final cluster summary re-weights the same way; rep_vec is the
+  // min of per-content min ids. Only the INIT step needs member ids (the
+  // k lowest vec_ids, which may include two copies of one vector — the
+  // naive definition), so the k-row TakeOrdered runs on the compact
+  // membership frame and joins its content's quantized vector.
+  private[graft] def kmeansDerived(s: SparkSession, d: String,
+                                   salt: Option[org.apache.spark.sql.Column]): DataFrame = {
     import graft.plans.DotProductL.dotL
+    val H = graft.operators.Content.H
+    val Gc = graft.operators.Content.G
     val scratch = graft.Scratch.dir(s, "graft_km_")
     def stage(c: DataFrame, name: String): DataFrame = {
       val p = s"$scratch/$name"
@@ -414,18 +442,26 @@ object SimilarityQueries {
       s.read.parquet(p)
     }
 
-    // quantize ONCE and stage: transform()'s lambda is CodegenFallback
-    // (interpreted per element), and every iteration + the final pass is
-    // its own action — inlined, the 64-element quantize would re-run
-    // 5× over the corpus; staged, later actions read plain long columns
-    val q = stage(Tables.embeddings(s, d)
-      .select(col("vec_id"),
+    val emb = Tables.embeddings(s, d)
+    val members = emb.select(col("vec_id"),
+      graft.operators.Content.contentKey(Seq(col("embedding")) ++ salt.toSeq).as(H))
+    // quantize ONCE per distinct vector and stage: transform()'s lambda
+    // is CodegenFallback (interpreted per element), and every iteration +
+    // the final pass is its own action — staged, later actions read plain
+    // long columns (and the collapse means vocabulary-width, not
+    // corpus-width, interpreted work)
+    val q = stage(graft.operators.Content
+      .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
+      .select(graft.operators.Content.contentKey(
+          Seq(col("embedding")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
+        col(Gc), col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(KmScale.toDouble)).cast("long")).as("q"))
       .withColumn("qq", dotL(col("q"), col("q"))), "q")
 
-    // init: the k lowest vec_ids, cid = 0..k-1 in id order (tiny TakeOrdered)
-    var cent = stage(q.orderBy("vec_id").limit(KmK)
+    // init: the k lowest MEMBER vec_ids, cid = 0..k-1 in id order
+    var cent = stage(members.orderBy("vec_id").limit(KmK)
+      .join(q.select(col(H), col("q")), H)
       .select((row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
           .cast("long").as("cid"),
@@ -442,16 +478,18 @@ object SimilarityQueries {
         .withColumn("dist",
           col("qq") - lit(2L) * dotL(col("q"), col("cvec")) + col("cc"))
         .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"),
+          max(col(Gc)).as("g"))
+        .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"),
+          col("g"))
 
     for (i <- 1 to KmIters) {
       val a = assign(cent)
       // empty clusters drop out (inner aggregate) — mirrored by the oracle
       cent = a.join(q.select("vec_id", "q"), "vec_id")
-        .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+        .select(col("cid"), col("g"), posexplode(col("q")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .agg(sum(col("x") * col("g")).as("sx"), sum(col("g")).as("n"))
         // truncating division with explicit sign so Spark's `div` and the
         // oracle's abs-floor-div agree on negative sums
         .select(col("cid"), col("pos"),
@@ -465,10 +503,9 @@ object SimilarityQueries {
 
     assign(cent)
       .groupBy("cid")
-      .agg(count(lit(1)).as("n_members"),
+      .agg(sum("g").as("n_members"),
         min("vec_id").as("rep_vec"),
-        sum("dist").as("inertia"))
-      .orderBy("cid")
+        sum(col("dist") * col("g")).as("inertia"))
   }
 
   val embKmeansSql: String = {

@@ -48,12 +48,15 @@ class ContentSpec extends SparkSuite {
     "dd_keep_best" -> (TextQueries.keepBestDerived _),
     // content-level connected components, members attach afterwards
     "dd_cluster" -> (TextQueries.clusterDerived _),
-    "dd_semdedup" -> (graft.queries.SimilarityQueries.semdedupDerived _))
+    "dd_semdedup" -> (graft.queries.SimilarityQueries.semdedupDerived _),
+    // vector collapse: per-distinct-vector quantize; weighted exact Lloyd's
+    "emb_quantize" -> (graft.queries.SimilarityQueries.quantizeDerived _),
+    "emb_kmeans" -> (graft.queries.SimilarityQueries.kmeansDerived _))
 
   // the per-row-unique salt column: embeddings-table derivations key by
   // vec_id
   private def saltFor(name: String): String =
-    if (name == "dd_semdedup") "vec_id" else "doc_id"
+    if (Set("dd_semdedup", "emb_quantize", "emb_kmeans")(name)) "vec_id" else "doc_id"
 
   private def assertSameRows(name: String, a: DataFrame, b: DataFrame): Unit = {
     val cols = a.columns.sorted.map(col(_))
