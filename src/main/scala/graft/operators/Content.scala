@@ -53,12 +53,51 @@ object Content {
     */
   val G = "__g"
 
-  /** md5 over the attribute tuple, null-safe: a NUL field separator plus a
-    * distinct null sentinel keep ("a", null) ≠ ("a", "") ≠ ("a", ...).
+  /** md5 over the attribute tuple. The rendering is UNFORGEABLE by
+    * construction: each field is length-prefixed (`V<len>:<value>`, null
+    * renders as `N`), so no attribute VALUE can imitate a field boundary
+    * or the null marker — ("a", null) ≠ ("a", "N") ≠ ("aN", ...) all hash
+    * apart, where a separator+sentinel scheme collides on values that
+    * contain the separator or equal the sentinel.
     */
   def contentKey(attrs: Seq[Column]): Column =
-    md5(concat_ws("\u0000",
-      attrs.map(a => coalesce(a.cast("string"), lit("\u0001null"))): _*))
+    md5(concat(attrs.map { a =>
+      val s = a.cast("string")
+      when(s.isNull, lit("N"))
+        .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
+    }: _*))
+
+  /** Attribute columns with FLOATING-POINT NORMALIZATION matching what
+    * Spark's aggregation applies to grouping keys (NormalizeFloatingNumbers
+    * rewrites -0.0 to 0.0 before grouping): the rep frame's key values
+    * come out of a groupBy normalized, so a member-side hash over the RAW
+    * value would disagree on any row carrying a -0.0 component (e.g. in an
+    * embedding array) and the re-expansion join would silently drop that
+    * row. Adding +0.0 is the IEEE-exact normalization (-0.0 + 0.0 = +0.0;
+    * NaN and every other value unchanged) and is idempotent, so it is safe
+    * on BOTH the member side and the already-normalized rep side.
+    */
+  private[graft] def normKeyCols(docs: DataFrame, attrs: Seq[String]): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    attrs.map { name =>
+      docs.schema(name).dataType match {
+        case FloatType => col(name) + lit(0.0f)
+        case DoubleType => col(name) + lit(0.0)
+        case ArrayType(FloatType, _) => transform(col(name), x => x + lit(0.0f))
+        case ArrayType(DoubleType, _) => transform(col(name), x => x + lit(0.0))
+        case _ => col(name)
+      }
+    }
+  }
+
+  /** The member-side content key over `docs` — ONE spelling of the
+    * (normalized attrs + salt) hash shared by every call site that builds
+    * a membership frame, so the member key provably matches the `H` the
+    * rep frames emit (same normalization, same salt handling).
+    */
+  def memberKey(docs: DataFrame, attrs: Seq[String],
+                salt: Option[Column] = None): Column =
+    contentKey(normKeyCols(docs, attrs) ++ salt.toSeq)
 
   /** Evaluate `derive` once per distinct `attrs` tuple and re-expand to one
     * output row per (document × derived row).
@@ -100,8 +139,7 @@ object Content {
   def perContent(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
                  salt: Option[Column] = None)
                 (derive: DataFrame => DataFrame): DataFrame = {
-    val keyed = docs.select(col(idCol),
-      contentKey(attrs.map(col) ++ salt.toSeq).as(H))
+    val keyed = docs.select(col(idCol), memberKey(docs, attrs, salt).as(H))
     keyed.join(derive(reps(docs, attrs, salt)), H).drop(H)
   }
 
@@ -116,10 +154,12 @@ object Content {
   def reps(docs: DataFrame, attrs: Seq[String],
            salt: Option[Column] = None): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    pushdownFence(docs
+    val g = docs
       .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
       .agg(count(lit(1)).as(G))
-      .select(contentKey(attrs.map(col) ++ salt.map(_ => col("__salt")).toSeq).as(H) +:
+    pushdownFence(g
+      .select(contentKey(normKeyCols(g, attrs) ++
+          salt.map(_ => col("__salt")).toSeq).as(H) +:
         attrs.map(col) :+ col(G): _*)
       .repartition(n))
   }
@@ -134,9 +174,15 @@ object Content {
   def repsById(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
                salt: Option[Column] = None): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    pushdownFence(docs
+    val g = docs
       .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
       .agg(count(lit(1)).as(G), min(idCol).as(idCol))
+    // H emitted here too, so membership-frame consumers never hand-roll
+    // the (normalized attrs + __salt) hash spelling
+    pushdownFence(g
+      .select(contentKey(normKeyCols(g, attrs) ++
+          salt.map(_ => col("__salt")).toSeq).as(H) +:
+        attrs.map(col) :+ col(G) :+ col(idCol): _*)
       .repartition(n))
   }
 

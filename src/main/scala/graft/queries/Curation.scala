@@ -21,6 +21,31 @@ object Curation {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** THE one spelling of the 5-rule Gopher gate over a staged token-array
+    * column — referenced by the gate query itself, `pipe_curate`'s gate
+    * stage and the NB labeler, so a threshold tweak can never silently
+    * diverge the classifier's labels (or the curation pipeline) from the
+    * gate query and its oracle.
+    */
+  private[graft] def gateRules(tk: org.apache.spark.sql.Column)
+      : Seq[(String, org.apache.spark.sql.Column)] = {
+    val n = size(tk).cast("long")
+    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
+    val distinctN = size(array_distinct(tk)).cast("long")
+    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
+    Seq(
+      "r_wordcount" -> (n >= 50 && n <= 1000),
+      "r_mean_wlen" -> (sumLen >= n * 3 && sumLen <= n * 10),
+      "r_unique" -> (distinctN * 20 >= n),
+      "r_stopwords" -> (stopHits >= 2),
+      "r_short" -> (shortN * 4 <= n))
+  }
+
+  private[graft] def gatePass(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    gateRules(tk).map(_._2).reduce(_ && _)
+
   // ---- Gopher-style document quality gate ----
   // The rule-based pre-filter every LLM data pipeline runs before any
   // model-based scoring (Rae et al., Gopher appendix A): token-count
@@ -35,21 +60,10 @@ object Curation {
   // bit-identical in any engine, no double rounding at the boundary.
   def txtQualityGate(s: SparkSession, d: String): DataFrame = {
     val tk = col("tk")
-    val n = size(tk).cast("long")
-    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
-    val distinctN = size(array_distinct(tk)).cast("long")
-    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
-    val stopHits = size(array_intersect(
-      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
     graft.Par.sortSpread(Tables.documents(s, d), col("doc_id"))
       .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(
-        col("doc_id"), n.as("n_tokens"),
-        (n >= 50 && n <= 1000).as("r_wordcount"),
-        (sumLen >= n * 3 && sumLen <= n * 10).as("r_mean_wlen"),
-        (distinctN * 20 >= n).as("r_unique"),
-        (stopHits >= 2).as("r_stopwords"),
-        (shortN * 4 <= n).as("r_short"))
+      .select(Seq(col("doc_id"), size(tk).cast("long").as("n_tokens")) ++
+        gateRules(tk).map { case (name, rule) => rule.as(name) }: _*)
       .withColumn("pass",
         col("r_wordcount") && col("r_mean_wlen") && col("r_unique") &&
           col("r_stopwords") && col("r_short"))
@@ -216,20 +230,13 @@ object Curation {
     val docs = Tables.documents(s, d)
     val H = graft.operators.Content.H
     val members = docs.select(col("doc_id"),
-      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H),
+      graft.operators.Content.memberKey(docs, Seq("text"), salt).as(H),
       (substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 2)
         < "cd").as("is_train"))
     val nTrain = members.groupBy(H)
-      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"))
-    val tk = col("tk")
-    val n = size(tk).cast("long")
-    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
-    val distinctN = size(array_distinct(tk)).cast("long")
-    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
-    val stopHits = size(array_intersect(
-      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
-    val pass = (n >= 50 && n <= 1000) && (sumLen >= n * 3 && sumLen <= n * 10) &&
-      (distinctN * 20 >= n) && (stopHits >= 2) && (shortN * 4 <= n)
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test"))
+    val pass = gatePass(col("tk"))
     val contents = graft.operators.Content.reps(docs, Seq("text"), salt)
       .select(col(H), TextFns.tokens(col("text")).as("tk"))
       .select(col(H), array_distinct(col("tk")).as("tks"), pass.as("pass"))
@@ -247,7 +254,11 @@ object Curation {
         floor((log(col("dfp") + 1) - log(col("n_pass") + 2)
           - log(col("dff") + 1) + log(col("n_fail") + 2)) * 1e6)
           .cast("long").as("w_micro"))
-    val scored = contents.select(col(H), explode(col("tks")).as("token"))
+    // score only contents that have a test member — the train-only
+    // majority's token explode + vocab join would be discarded by the
+    // final inner membership join anyway
+    val scored = contents.filter(col("n_test") > 0)
+      .select(col(H), explode(col("tks")).as("token"))
       .join(vocab, "token")
       .groupBy(H)
       .agg(sum("w_micro").as("s"))
@@ -578,13 +589,7 @@ object Curation {
       .repartition(n32))
     val tk = col("tk")
     val n = size(tk).cast("long")
-    val sumLen = aggregate(tk, lit(0L), (acc, t) => acc + length(t))
-    val distinctN = size(array_distinct(tk)).cast("long")
-    val shortN = size(filter(tk, t => length(t) <= 2)).cast("long")
-    val stopHits = size(array_intersect(
-      array_distinct(tk), array(Stopwords.map(lit): _*))).cast("long")
-    val pass = (n >= 50 && n <= 1000) && (sumLen >= n * 3 && sumLen <= n * 10) &&
-      (distinctN * 20 >= n) && (stopHits >= 2) && (shortN * 4 <= n)
+    val pass = gatePass(tk)
     val gated = reps
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextFns.fingerprint(col("text")).as("fp"),

@@ -189,12 +189,10 @@ object SimilarityQueries {
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
     val members = emb.select(col("vec_id"),
-      graft.operators.Content.contentKey(Seq(col("embedding")) ++ salt.toSeq).as(H))
+      graft.operators.Content.memberKey(emb, Seq("embedding"), salt).as(H))
     val contents = graft.operators.Content
       .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
-      .select(graft.operators.Content.contentKey(
-          Seq(col("embedding")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
-        col(Gc), col("vec_id"), col("embedding"))
+      .select(col(H), col(Gc), col("vec_id"), col("embedding"))
     val pairs = Similarity
       .cosineNearDupPairs(contents.select("vec_id", "embedding"),
         nBits = 8, minCos = 0.35)
@@ -444,7 +442,7 @@ object SimilarityQueries {
 
     val emb = Tables.embeddings(s, d)
     val members = emb.select(col("vec_id"),
-      graft.operators.Content.contentKey(Seq(col("embedding")) ++ salt.toSeq).as(H))
+      graft.operators.Content.memberKey(emb, Seq("embedding"), salt).as(H))
     // quantize ONCE per distinct vector and stage: transform()'s lambda
     // is CodegenFallback (interpreted per element), and every iteration +
     // the final pass is its own action — staged, later actions read plain
@@ -452,9 +450,7 @@ object SimilarityQueries {
     // corpus-width, interpreted work)
     val q = stage(graft.operators.Content
       .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
-      .select(graft.operators.Content.contentKey(
-          Seq(col("embedding")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
-        col(Gc), col("vec_id"),
+      .select(col(H), col(Gc), col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(KmScale.toDouble)).cast("long")).as("q"))
       .withColumn("qq", dotL(col("q"), col("q"))), "q")

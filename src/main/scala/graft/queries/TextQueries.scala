@@ -654,11 +654,9 @@ object TextQueries {
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
     val members = docs.select(col("doc_id"),
-      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H))
+      graft.operators.Content.memberKey(docs, Seq("text"), salt).as(H))
     val contents = graft.operators.Content.repsById(docs, Seq("text"), salt = salt)
-      .select(graft.operators.Content.contentKey(
-          Seq(col("text")) ++ salt.map(_ => col("__salt")).toSeq).as(H),
-        col(Gc), col("doc_id"), col("text"))
+      .select(col(H), col(Gc), col("doc_id"), col("text"))
     val fp = contents.select(col("doc_id"), col(Gc),
       TextFns.fingerprint(col("text")).as("k"))
     val sh = contents
@@ -1020,7 +1018,7 @@ object TextQueries {
     val docs = Tables.documents(s, d)
     val H = graft.operators.Content.H
     val members = docs.select(col("doc_id"),
-      graft.operators.Content.contentKey(Seq(col("text")) ++ salt.toSeq).as(H),
+      graft.operators.Content.memberKey(docs, Seq("text"), salt).as(H),
       (col("doc_id") % 20 === 0).as("is_eval"))
     val sh = graft.operators.Content.reps(docs, Seq("text"), salt)
       .select(col(H), TextFns.tokens(col("text")).as("tk"))

@@ -101,16 +101,44 @@ class ContentSpec extends SparkSuite {
     }
   }
 
-  test("contentKey separates null, empty, and boundary-shifted attribute tuples") {
+  test("contentKey separates null, empty, boundary-shifted, and FORGED tuples") {
+    // the forgery rows are the reason for the length-prefixed rendering: a
+    // separator+sentinel scheme collides when a VALUE contains the
+    // separator or equals the null sentinel
     val rows = Seq(
       ("a", null.asInstanceOf[String]),
+      ("a", "N"),          // value imitating the null marker
+      ("aN", ""),          // marker absorbed into the neighbor field
       ("a", ""),
       ("a ", ""),
       ("", "a"),
       ("a", "b"),
+      ("aV1:b", ""),       // value imitating a field header
+      ("a", "V1:b"),
       ("ab", "")).toDF("x", "y")
     val keys = rows.select(Content.contentKey(Seq(col("x"), col("y"))).as("k"))
       .collect().map(_.getString(0))
     assert(keys.distinct.length == keys.length, keys.mkString(","))
+  }
+
+  test("a -0.0 embedding component survives the member/rep key agreement") {
+    // Spark normalizes -0.0 to 0.0 in float-array GROUPING keys, so the
+    // rep frame's hash sees the normalized value; an unnormalized
+    // member-side hash would disagree and the re-expansion join would
+    // silently DROP the row (naive + oracle emit every vec_id)
+    val dir = java.nio.file.Files.createTempDirectory("graft_negzero").toString
+    def v(head: Float, rest: Float): Seq[Float] = head +: Seq.fill(7)(rest)
+    Seq(
+      (1L, v(-0.0f, 1.0f), 0),
+      (2L, v(0.0f, 1.0f), 0),
+      (3L, v(3.0f, 4.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val quant = graft.queries.SimilarityQueries.quantizeDerived(spark, dir, None)
+    assert(quant.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L), "emb_quantize dropped a ±0.0 row")
+    val sem = graft.queries.SimilarityQueries.semdedupDerived(spark, dir, None)
+    assert(sem.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L), "dd_semdedup dropped a ±0.0 row")
   }
 }
