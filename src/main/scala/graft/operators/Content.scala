@@ -54,50 +54,32 @@ object Content {
   val G = "__g"
 
   /** md5 over the attribute tuple. The rendering is UNFORGEABLE by
-    * construction: each field is length-prefixed (`V<len>:<value>`, null
-    * renders as `N`), so no attribute VALUE can imitate a field boundary
-    * or the null marker — ("a", null) ≠ ("a", "N") ≠ ("aN", ...) all hash
-    * apart, where a separator+sentinel scheme collides on values that
-    * contain the separator or equal the sentinel.
+    * construction: each field hashes SEPARATELY to a fixed-width 32-hex
+    * token (null renders as the single non-hex token `N`), and a
+    * concatenation of {32-hex, `N`} tokens parses uniquely — so no
+    * attribute VALUE can imitate a field boundary or the null marker,
+    * where a separator+sentinel scheme collides on values that contain
+    * the separator or equal the sentinel. Per-field hashing also
+    * references each field's string rendering exactly ONCE: a
+    * length-prefix scheme (`V<len>:<value>`) needs the rendering twice
+    * (length + value), and complex-type casts are CodegenFallback with no
+    * subexpression elimination — measured 2× the rendering cost per call
+    * on array attributes.
     */
   def contentKey(attrs: Seq[Column]): Column =
-    md5(concat(attrs.map { a =>
-      val s = a.cast("string")
-      when(s.isNull, lit("N"))
-        .otherwise(concat(lit("V"), length(s).cast("string"), lit(":"), s))
-    }: _*))
-
-  /** Attribute columns with FLOATING-POINT NORMALIZATION matching what
-    * Spark's aggregation applies to grouping keys (NormalizeFloatingNumbers
-    * rewrites -0.0 to 0.0 before grouping): the rep frame's key values
-    * come out of a groupBy normalized, so a member-side hash over the RAW
-    * value would disagree on any row carrying a -0.0 component (e.g. in an
-    * embedding array) and the re-expansion join would silently drop that
-    * row. Adding +0.0 is the IEEE-exact normalization (-0.0 + 0.0 = +0.0;
-    * NaN and every other value unchanged) and is idempotent, so it is safe
-    * on BOTH the member side and the already-normalized rep side.
-    */
-  private[graft] def normKeyCols(docs: DataFrame, attrs: Seq[String]): Seq[Column] = {
-    import org.apache.spark.sql.types._
-    attrs.map { name =>
-      docs.schema(name).dataType match {
-        case FloatType => col(name) + lit(0.0f)
-        case DoubleType => col(name) + lit(0.0)
-        case ArrayType(FloatType, _) => transform(col(name), x => x + lit(0.0f))
-        case ArrayType(DoubleType, _) => transform(col(name), x => x + lit(0.0))
-        case _ => col(name)
-      }
-    }
-  }
+    md5(concat(attrs.map(a => coalesce(md5(a.cast("string")), lit("N"))): _*))
 
   /** The member-side content key over `docs` — ONE spelling of the
-    * (normalized attrs + salt) hash shared by every call site that builds
-    * a membership frame, so the member key provably matches the `H` the
-    * rep frames emit (same normalization, same salt handling).
+    * (attrs + salt) hash shared by every call site that builds a
+    * membership frame. It hashes the RAW attribute rendering; the rep
+    * frames group by this same raw hash (see [[reps]]), so member and rep
+    * keys match by construction — including for float ±0.0, where
+    * Spark's grouping-key normalization would otherwise make a
+    * value-derived rep hash disagree with the member side.
     */
   def memberKey(docs: DataFrame, attrs: Seq[String],
                 salt: Option[Column] = None): Column =
-    contentKey(normKeyCols(docs, attrs) ++ salt.toSeq)
+    contentKey(attrs.map(col) ++ salt.toSeq)
 
   /** Evaluate `derive` once per distinct `attrs` tuple and re-expand to one
     * output row per (document × derived row).
@@ -139,8 +121,8 @@ object Content {
   def perContent(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
                  salt: Option[Column] = None)
                 (derive: DataFrame => DataFrame): DataFrame = {
-    val keyed = docs.select(col(idCol), memberKey(docs, attrs, salt).as(H))
-    keyed.join(derive(reps(docs, attrs, salt)), H).drop(H)
+    val r = reps(docs, attrs, salt)
+    membership(docs, r, attrs, idCol, salt).join(derive(r), H).drop(H)
   }
 
   /** The collapsed rep frame alone — (`H`, attrs…, `G`), one row per
@@ -152,39 +134,85 @@ object Content {
     * collapse-first n-gram Jaccard dfs.
     */
   def reps(docs: DataFrame, attrs: Seq[String],
-           salt: Option[Column] = None): DataFrame = {
+           salt: Option[Column] = None): DataFrame =
+    collapse(docs, attrs, salt, Seq(count(lit(1)).as(G)),
+      extraOut = Seq.empty)
+
+  /** Whether any key attribute is floating-point typed — the one family
+    * where a raw member-side hash can disagree with the grouped value
+    * (Spark normalizes -0.0 to 0.0 in grouping keys). Conservative by
+    * construction: only types this repo keys on are dispatched; a new
+    * nested-float key type would need a case here.
+    */
+  private def hasFloatKey(docs: DataFrame, attrs: Seq[String]): Boolean = {
+    import org.apache.spark.sql.types._
+    attrs.exists(a => docs.schema(a).dataType match {
+      case FloatType | DoubleType => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+  }
+
+  /** The shared collapse: group by the attrs (+salt), aggregate, attach a
+    * post-aggregation `H`, fence, respread. The post-agg hash runs over
+    * REP rows only — zero per-input-row hashing. `__salt` is retained in
+    * the output when salted: the float membership path joins on it.
+    */
+  private def collapse(docs: DataFrame, attrs: Seq[String],
+                       salt: Option[Column], aggs: Seq[Column],
+                       extraOut: Seq[Column]): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val g = docs
+    pushdownFence(docs
       .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
-      .agg(count(lit(1)).as(G))
-    pushdownFence(g
-      .select(contentKey(normKeyCols(g, attrs) ++
-          salt.map(_ => col("__salt")).toSeq).as(H) +:
-        attrs.map(col) :+ col(G): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(H,
+        contentKey(attrs.map(col) ++ salt.map(_ => col("__salt")).toSeq))
+      .select((Seq(col(H)) ++ attrs.map(col) ++
+        salt.map(_ => col("__salt")).toSeq ++ extraOut :+ col(G)): _*)
       .repartition(n))
   }
 
-  /** Rep frame keyed by id stats instead of a hash — (attrs…, `G`,
-    * idCol = min member id), for derivations whose only per-document
-    * dependence is "the smallest member id" (keeper policies, star-edge
-    * construction, min-doc dedup): the min of a group's ids stands in for
-    * the group in any min-aggregation downstream, so no re-expansion join
-    * and no content hash are needed at all.
+  /** The membership frame (idCol, `H`) mapping every document to its rep,
+    * TYPE-DISPATCHED on the key attributes:
+    *  - non-float keys (text corpora): recompute the hash per document —
+    *    the grouped value is bit-identical to the raw value, so the
+    *    recomputed key provably equals the rep's post-agg `H`, and the
+    *    downstream expansion join moves a 32-byte key, never the text;
+    *  - float keys (embeddings): recomputation is UNSOUND — grouping
+    *    normalizes -0.0 → 0.0, so a raw member hash diverges from the
+    *    rep hash and the expansion join silently drops ±0.0 rows. The
+    *    membership therefore JOINS the rep frame on the attrs themselves,
+    *    where the engine applies the same normalization to both sides.
+    *    Per-row normalization before hashing was measured and rejected
+    *    (BENCH_NOTES): an IEEE +0.0f array transform is an interpreted
+    *    lambda (emb_quantize 1.9 → 11.8 s at 100×), a regex over the
+    *    rendering reads 17.5 s, and a raw-hash GROUPING column costs an
+    *    extra corpus-wide rendering (dd_semdedup 4.6 → 7.6 s); the join
+    *    form has no per-row compute at all.
+    */
+  def membership(docs: DataFrame, reps: DataFrame, attrs: Seq[String],
+                 idCol: String = "doc_id",
+                 salt: Option[Column] = None): DataFrame =
+    if (!hasFloatKey(docs, attrs))
+      docs.select(col(idCol), memberKey(docs, attrs, salt).as(H))
+    else {
+      val d = salt.map(c => docs.withColumn("__salt", c)).getOrElse(docs)
+      val keys = attrs ++ salt.map(_ => "__salt").toSeq
+      d.join(reps.select((Seq(col(H)) ++ keys.map(col)): _*), keys)
+        .select(col(idCol), col(H))
+    }
+
+  /** Rep frame with id stats — (`H`, attrs…, `G`, idCol = min member id),
+    * for derivations whose only per-document dependence is "the smallest
+    * member id" (keeper policies, star-edge construction, min-doc dedup):
+    * the min of a group's ids stands in for the group in any
+    * min-aggregation downstream, so no re-expansion join is needed.
     */
   def repsById(docs: DataFrame, attrs: Seq[String], idCol: String = "doc_id",
-               salt: Option[Column] = None): DataFrame = {
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val g = docs
-      .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
-      .agg(count(lit(1)).as(G), min(idCol).as(idCol))
-    // H emitted here too, so membership-frame consumers never hand-roll
-    // the (normalized attrs + __salt) hash spelling
-    pushdownFence(g
-      .select(contentKey(normKeyCols(g, attrs) ++
-          salt.map(_ => col("__salt")).toSeq).as(H) +:
-        attrs.map(col) :+ col(G) :+ col(idCol): _*)
-      .repartition(n))
-  }
+               salt: Option[Column] = None): DataFrame =
+    collapse(docs, attrs, salt,
+      Seq(count(lit(1)).as(G), min(idCol).as(idCol)),
+      extraOut = Seq(col(idCol)))
 
   private val fenceId = new java.util.concurrent.atomic.AtomicLong()
 

@@ -188,11 +188,13 @@ object SimilarityQueries {
     val emb = Tables.embeddings(s, d)
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
-    val members = emb.select(col("vec_id"),
-      graft.operators.Content.memberKey(emb, Seq("embedding"), salt).as(H))
-    val contents = graft.operators.Content
+    val reps0 = graft.operators.Content
       .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
-      .select(col(H), col(Gc), col("vec_id"), col("embedding"))
+    val contents = reps0.select(col(H), col(Gc), col("vec_id"), col("embedding"))
+    // float keys: membership is an engine-normalized JOIN on the vector,
+    // not a recomputed hash — see Content.membership
+    val members = graft.operators.Content
+      .membership(emb, reps0, Seq("embedding"), "vec_id", salt)
     val pairs = Similarity
       .cosineNearDupPairs(contents.select("vec_id", "embedding"),
         nBits = 8, minCos = 0.35)
@@ -441,15 +443,18 @@ object SimilarityQueries {
     }
 
     val emb = Tables.embeddings(s, d)
-    val members = emb.select(col("vec_id"),
-      graft.operators.Content.memberKey(emb, Seq("embedding"), salt).as(H))
+    val reps0 = graft.operators.Content
+      .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
+    // float keys: membership joins the rep frame on the vector itself —
+    // see Content.membership (it is only consumed k-row-limited below)
+    val members = graft.operators.Content
+      .membership(emb, reps0, Seq("embedding"), "vec_id", salt)
     // quantize ONCE per distinct vector and stage: transform()'s lambda
     // is CodegenFallback (interpreted per element), and every iteration +
     // the final pass is its own action — staged, later actions read plain
     // long columns (and the collapse means vocabulary-width, not
     // corpus-width, interpreted work)
-    val q = stage(graft.operators.Content
-      .repsById(emb, Seq("embedding"), idCol = "vec_id", salt = salt)
+    val q = stage(reps0
       .select(col(H), col(Gc), col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(KmScale.toDouble)).cast("long")).as("q"))
