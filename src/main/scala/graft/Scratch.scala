@@ -91,10 +91,13 @@ object Scratch {
     Memo.getOrPut(perSession, key)(dir(spark, key))
   }
 
-  // weak session keys, same contract as `keyed` above
-  private val frames = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.DataFrame]]()
+  // weak session keys, same contract as `keyed` above. Values are parquet
+  // PATHS, never DataFrames: a DataFrame strongly references its
+  // SparkSession, so storing one as a value would reach back to this
+  // map's own (weak) key and pin the entry — and the session — for the
+  // process lifetime, silently defeating the weak keys.
+  private val staged = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** Build-once staged intermediate (the `Copurchase.pairCounts` idiom,
     * shared): `build` is materialized to scratch parquet the FIRST time
@@ -109,19 +112,19 @@ object Scratch {
   def stagedFrame(spark: SparkSession, key: String)
                  (build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val perSession = frames.synchronized {
-      var m = frames.get(spark)
+    val perSession = staged.synchronized {
+      var m = staged.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[
-          String, org.apache.spark.sql.DataFrame]()
-        frames.put(spark, m)
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        staged.put(spark, m)
       }
       m
     }
-    Memo.getOrPut(perSession, key) {
-      val path = dirFor(spark, key) + "/frame"
-      build.write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+    val path = Memo.getOrPut(perSession, key) {
+      val p = dirFor(spark, key) + "/frame"
+      build.write.mode("overwrite").parquet(p)
+      p
     }
+    spark.read.parquet(path)
   }
 }

@@ -65,9 +65,50 @@ object Content {
     * (length + value), and complex-type casts are CodegenFallback with no
     * subexpression elimination — measured 2× the rendering cost per call
     * on array attributes.
+    *
+    * SCALAR spelling only: `cast(array<string> as string)` joins elements
+    * with `", "`, so distinct arrays like `['a, b']` and `['a','b']`
+    * render identically — an array attribute needs the per-ELEMENT
+    * tokenization of [[contentKeyTyped]], which every internal call site
+    * goes through. This untyped form exists for scalar-keyed callers that
+    * have a `Column` but no schema.
     */
   def contentKey(attrs: Seq[Column]): Column =
-    md5(concat(attrs.map(a => coalesce(md5(a.cast("string")), lit("N"))): _*))
+    md5(concat(attrs.map(scalarToken): _*))
+
+  private def scalarToken(c: Column): Column =
+    coalesce(md5(c.cast("string")), lit("N"))
+
+  /** The per-attribute token, TYPE-AWARE: array attributes tokenize each
+    * ELEMENT to a {32-hex, `N`} token (recursing through nested arrays)
+    * and hash the concatenation — restoring injectivity where the flat
+    * `cast(array as string)` rendering is forgeable (`['a, b']` vs
+    * `['a','b']` both render `[a, b]`). The token stream parses uniquely:
+    * `N` is not a hex character and hex tokens are exactly 32 wide, so
+    * element boundaries can't be imitated. A null ARRAY renders as the
+    * outer `N`; an empty array as `md5("")` — distinct by construction.
+    */
+  private def token(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        coalesce(when(c.isNotNull,
+          md5(concat_ws("", transform(c, x => token(x, e))))), lit("N"))
+      case org.apache.spark.sql.types.StructType(fields) =>
+        // same argument per FIELD: `cast(struct as string)` renders
+        // `{a, b}`, forgeable exactly like the array join
+        coalesce(when(c.isNotNull, md5(concat(
+          fields.toSeq.map(f => token(c.getField(f.name), f.dataType)): _*))),
+          lit("N"))
+      case _ => scalarToken(c)
+    }
+
+  /** [[contentKey]] with per-attribute types — the spelling all internal
+    * call sites share (member keys and rep-frame keys must be computed by
+    * the SAME expression or the expansion join silently drops rows).
+    */
+  def contentKeyTyped(
+      attrs: Seq[(Column, org.apache.spark.sql.types.DataType)]): Column =
+    md5(concat(attrs.map { case (c, t) => token(c, t) }: _*))
 
   /** The member-side content key over `docs` — ONE spelling of the
     * (attrs + salt) hash shared by every call site that builds a
@@ -79,7 +120,9 @@ object Content {
     */
   def memberKey(docs: DataFrame, attrs: Seq[String],
                 salt: Option[Column] = None): Column =
-    contentKey(attrs.map(col) ++ salt.toSeq)
+    contentKeyTyped(
+      attrs.map(a => (col(a), docs.schema(a).dataType)) ++
+        salt.map(c => (c, docs.select(c).schema.head.dataType)).toSeq)
 
   /** Evaluate `derive` once per distinct `attrs` tuple and re-expand to one
     * output row per (document × derived row).
@@ -138,19 +181,28 @@ object Content {
     collapse(docs, attrs, salt, Seq(count(lit(1)).as(G)),
       extraOut = Seq.empty)
 
-  /** Whether any key attribute is floating-point typed — the one family
-    * where a raw member-side hash can disagree with the grouped value
-    * (Spark normalizes -0.0 to 0.0 in grouping keys). Conservative by
-    * construction: only types this repo keys on are dispatched; a new
-    * nested-float key type would need a case here.
+  /** WHITELIST of key types whose grouped value is provably bit-identical
+    * to the raw value, so a member-side recomputed hash equals the rep
+    * frame's post-aggregation hash. Floats fail it (Spark normalizes -0.0
+    * to 0.0 in grouping keys, so a raw member hash diverges from the rep
+    * hash); anything NOT whitelisted — including key types this repo has
+    * never seen (nested floats, structs, maps) — takes the join-based
+    * membership, which is sound for EVERY type because the engine applies
+    * the same equality semantics to both sides. Inverted on review from a
+    * float blacklist: a blacklist's failure mode for a new key type was
+    * silent row loss; a whitelist's is a join it didn't strictly need.
     */
-  private def hasFloatKey(docs: DataFrame, attrs: Seq[String]): Boolean = {
+  private def hashStable(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    attrs.exists(a => docs.schema(a).dataType match {
-      case FloatType | DoubleType => true
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType |
+           LongType | DateType | TimestampType | TimestampNTZType |
+           BinaryType => true
+      case _: DecimalType => true
+      case ArrayType(e, _) => hashStable(e)
+      case StructType(fields) => fields.forall(f => hashStable(f.dataType))
       case _ => false
-    })
+    }
   }
 
   /** The shared collapse: group by the attrs (+salt), aggregate, attach a
@@ -162,11 +214,13 @@ object Content {
                        salt: Option[Column], aggs: Seq[Column],
                        extraOut: Seq[Column]): DataFrame = {
     val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    pushdownFence(docs
+    val g = docs
       .groupBy(attrs.map(col) ++ salt.map(_.as("__salt")).toSeq: _*)
       .agg(aggs.head, aggs.tail: _*)
+    val keyCols = attrs ++ salt.map(_ => "__salt").toSeq
+    pushdownFence(g
       .withColumn(H,
-        contentKey(attrs.map(col) ++ salt.map(_ => col("__salt")).toSeq))
+        contentKeyTyped(keyCols.map(k => (col(k), g.schema(k).dataType))))
       .select((Seq(col(H)) ++ attrs.map(col) ++
         salt.map(_ => col("__salt")).toSeq ++ extraOut :+ col(G)): _*)
       .repartition(n))
@@ -174,32 +228,39 @@ object Content {
 
   /** The membership frame (idCol, `H`) mapping every document to its rep,
     * TYPE-DISPATCHED on the key attributes:
-    *  - non-float keys (text corpora): recompute the hash per document —
+    *  - hash-stable keys (text corpora): recompute the hash per document —
     *    the grouped value is bit-identical to the raw value, so the
     *    recomputed key provably equals the rep's post-agg `H`, and the
     *    downstream expansion join moves a 32-byte key, never the text;
-    *  - float keys (embeddings): recomputation is UNSOUND — grouping
+    *  - everything else (floats — the embeddings tables — and any future
+    *    key type): recomputation is UNSOUND for floats — grouping
     *    normalizes -0.0 → 0.0, so a raw member hash diverges from the
     *    rep hash and the expansion join silently drops ±0.0 rows. The
-    *    membership therefore JOINS the rep frame on the attrs themselves,
-    *    where the engine applies the same normalization to both sides.
-    *    Per-row normalization before hashing was measured and rejected
-    *    (BENCH_NOTES): an IEEE +0.0f array transform is an interpreted
-    *    lambda (emb_quantize 1.9 → 11.8 s at 100×), a regex over the
-    *    rendering reads 17.5 s, and a raw-hash GROUPING column costs an
-    *    extra corpus-wide rendering (dd_semdedup 4.6 → 7.6 s); the join
-    *    form has no per-row compute at all.
+    *    membership therefore JOINS the rep frame on the attrs themselves
+    *    (NULL-SAFELY: `<=>` per key, because grouping puts null keys in
+    *    one group exactly like the hash path's `N` token — a plain
+    *    equi-join would silently drop null-keyed rows, diverging from
+    *    both), where the engine applies the same normalization to both
+    *    sides. Per-row normalization before hashing was measured and
+    *    rejected (BENCH_NOTES): an IEEE +0.0f array transform is an
+    *    interpreted lambda (emb_quantize 1.9 → 11.8 s at 100×), a regex
+    *    over the rendering reads 17.5 s, and a raw-hash GROUPING column
+    *    costs an extra corpus-wide rendering (dd_semdedup 4.6 → 7.6 s);
+    *    the join form has no per-row compute at all.
     */
   def membership(docs: DataFrame, reps: DataFrame, attrs: Seq[String],
                  idCol: String = "doc_id",
                  salt: Option[Column] = None): DataFrame =
-    if (!hasFloatKey(docs, attrs))
+    if (attrs.forall(a => hashStable(docs.schema(a).dataType)))
       docs.select(col(idCol), memberKey(docs, attrs, salt).as(H))
     else {
       val d = salt.map(c => docs.withColumn("__salt", c)).getOrElse(docs)
+        .alias("__mem")
       val keys = attrs ++ salt.map(_ => "__salt").toSeq
-      d.join(reps.select((Seq(col(H)) ++ keys.map(col)): _*), keys)
-        .select(col(idCol), col(H))
+      val r = reps.select((Seq(col(H)) ++ keys.map(col)): _*).alias("__rep")
+      val cond = keys.map(k => col(s"__mem.$k") <=> col(s"__rep.$k"))
+        .reduce(_ && _)
+      d.join(r, cond).select(col(s"__mem.$idCol"), col(s"__rep.$H"))
     }
 
   /** Rep frame with id stats — (`H`, attrs…, `G`, idCol = min member id),

@@ -47,6 +47,24 @@ class ScratchSpec extends SparkSuite {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("stagedFrame builds once per (session, key) and re-reads from scratch") {
+    import spark.implicits._
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    def frame = {
+      built.incrementAndGet()
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    }
+    val key = "staged_spec_" + System.nanoTime()
+    val a = Scratch.stagedFrame(spark, key)(frame)
+    val b = Scratch.stagedFrame(spark, key)(frame)
+    assert(built.get() == 1, "builder must run exactly once per (session, key)")
+    assert(a.collect().toSet == b.collect().toSet && a.count() == 2)
+    // the memo stores the scratch PATH and re-reads on hit — never the
+    // DataFrame itself, which would strongly reference the SparkSession
+    // and pin the weak-keyed entry forever
+    assert(!(a eq b), "hits must be fresh reads, not a cached DataFrame")
+  }
+
   test("concurrent sessions and repeated calls never collide") {
     val s2 = spark.newSession()
     val s3 = spark.newSession()

@@ -121,6 +121,60 @@ class ContentSpec extends SparkSuite {
     assert(keys.distinct.length == keys.length, keys.mkString(","))
   }
 
+  test("contentKeyTyped separates forged ARRAY and STRUCT renderings") {
+    // cast(array<string> as string) joins elements with ", " — so
+    // ['a, b'] and ['a','b'] render identically; the typed key hashes per
+    // ELEMENT (per FIELD for structs), restoring injectivity
+    val rows = Seq(
+      (Seq("a, b"), ""),
+      (Seq("a", "b"), ""),
+      (Seq("a"), "b"),
+      (null.asInstanceOf[Seq[String]], ""),   // null array ≠ empty array
+      (Seq.empty[String], ""),
+      (Seq(null.asInstanceOf[String]), ""),   // [null] ≠ [] ≠ [""]
+      (Seq(""), "")).toDF("xs", "y")
+    val typed = Seq("xs", "y").map(c => (col(c), rows.schema(c).dataType))
+    val keys = rows.select(Content.contentKeyTyped(typed).as("k"))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length == keys.length, keys.mkString(","))
+    val srows = Seq(Tuple1(("a, b", "")), Tuple1(("a", "b"))).toDF("s")
+    val skeys = srows.select(Content.contentKeyTyped(
+      Seq((col("s"), srows.schema("s").dataType))).as("k"))
+      .collect().map(_.getString(0))
+    assert(skeys.distinct.length == 2, "struct fields conflated")
+  }
+
+  test("join-based membership keeps NULL-keyed rows (null-safe join)") {
+    // grouping puts null keys in ONE group — exactly like the hash path's
+    // `N` token — so the membership join must be null-safe; a plain
+    // equi-join would silently drop rows 2 and 3
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Seq[Float]]),
+      (3L, null.asInstanceOf[Seq[Float]]),
+      (4L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Content.reps(emb, Seq("embedding"))
+    val m = Content.membership(emb, r, Seq("embedding"), "vec_id")
+    assert(m.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L), "membership dropped a null-keyed row")
+    assert(m.select(Content.H).distinct().count() == 2,
+      "null rows must share one rep, duplicates another")
+  }
+
+  test("unrecognized key types default to the sound join membership") {
+    // a struct-of-double key is NOT on the hash-stable whitelist (floats
+    // group-normalize), so it must take the join path and keep every row —
+    // the blacklist's failure mode here was silent row loss
+    val df = Seq((1L, (-0.0, "x")), (2L, (0.0, "x")), (3L, (2.0, "y")))
+      .toDF("id", "s")
+    val r = Content.reps(df, Seq("s"))
+    val m = Content.membership(df, r, Seq("s"), "id")
+    assert(m.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L), "struct-keyed membership dropped a row")
+    assert(m.select(Content.H).distinct().count() == 2,
+      "-0.0 and 0.0 struct keys must normalize to one rep")
+  }
+
   test("a -0.0 embedding component survives the member/rep key agreement") {
     // Spark normalizes -0.0 to 0.0 in float-array GROUPING keys, so the
     // rep frame's hash sees the normalized value; an unnormalized
