@@ -45,6 +45,15 @@ object Scratch {
       }
     }, 30)
 
+  /** Collision-safe 16-hex digest for scratch keys derived from paths or
+    * parameters — the one spelling shared by every staged-artifact call
+    * site (md5, not `String.hashCode`: a 32-bit collision between two
+    * sfDirs would silently cross-wire their staged artifacts).
+    */
+  def digest(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** The scratch root for this session (no directory is created). */
   def root(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.scratchDir")

@@ -278,12 +278,23 @@ object TextDedup {
     */
   def minhashLshScaledPairs(docs: DataFrame, shingleN: Int, bands: Int,
                             rowsPerBand: Int, minEst: Double): DataFrame = {
-    val reps = docs
+    val spark = docs.sparkSession
+    // reps feeds THREE consumers (the band engine and both multiplicity
+    // joins): stage it to scratch parquet like minhashLshPairs' group
+    // table — left inline, the fingerprint collapse re-reads and
+    // re-hashes the corpus once per consumer (measured 3.0 s → 1.1 s at
+    // sf0.1; Spark reuses exchanges, not arbitrary subtrees, and the
+    // post-collapse projections differ per consumer).
+    val path = graft.Scratch.dir(spark, "graft_lshsc_") + "/reps"
+    docs
       .select(col("doc_id"), col("text"), TextFns.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"),
         min_by(col("text"), col("doc_id")).as("text"),
         count(lit(1)).as("dup_count"))
+      .select("doc_id", "text", "dup_count")
+      .write.mode("overwrite").parquet(path)
+    val reps = spark.read.parquet(path)
     val dups = reps.select(col("doc_id"), col("dup_count"))
     // reps are unique texts by construction — feed the raw engine directly
     // (minhashLshPairs would pay a second, no-op collapse shuffle)

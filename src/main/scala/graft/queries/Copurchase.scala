@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{Memo, Scratch, Tables}
+import graft.{Scratch, Tables}
 import graft.operators.TextDedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,38 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object Copurchase {
 
-  // memoized per (session, sfDir) like Tables.load — weak session keys so
-  // stopped sessions (and their staged frames) are collectable; the
-  // scratch files themselves are cleaned by Scratch's shutdown hook
-  private val memo = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
-
   /** All co-purchase pairs as `(pa, pb, w)` with `pa < pb` and `w` = the
     * number of distinct orders containing both parts. Staged once per
-    * (session, sfDir); callers get a parquet-backed frame.
+    * (session, sfDir) via `Scratch.stagedFrame`, which memoizes the
+    * scratch PATH under weak session keys — a DataFrame-valued memo here
+    * would strongly reference the session from the value and pin stopped
+    * sessions for the process lifetime. The key carries the sfDir digest
+    * (md5, not `String.hashCode` — see `Scratch.digest`) because one
+    * session reading two SFs (AnalyzesSpec) must stage two distinct
+    * artifacts.
     */
-  def pairCounts(s: SparkSession, d: String): DataFrame = {
-    val perSession = memo.synchronized {
-      var m = memo.get(s)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        memo.put(s, m)
-      }
-      m
-    }
-    Memo.getOrPut(perSession, d) {
-      // dirFor (not dir): benchmark min-of-N reruns in a fresh session
-      // overwrite one directory instead of accreting copies. The key
-      // carries the sfDir: one session reading two SFs (AnalyzesSpec)
-      // must stage two distinct artifacts. md5 of the full path, not
-      // String.hashCode: a 32-bit collision between two sfDirs would
-      // silently cross-wire their staged pair counts (the Memo key is
-      // the full path, so the first dir's memoized frame would read the
-      // second dir's overwrite).
-      val path = Scratch.dirFor(s, "graft_copairs_" +
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).take(8)
-          .map("%02x".format(_)).mkString) + "/pairs"
+  def pairCounts(s: SparkSession, d: String): DataFrame =
+    Scratch.stagedFrame(s, "graft_copairs_" + Scratch.digest(d)) {
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy("l_orderkey")
@@ -76,10 +56,7 @@ object Copurchase {
         .select(shiftrightunsigned(col("pk"), 32).as("pa"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("pb"),
           col("w"))
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
     }
-  }
 
   /** Canonical (pa < pb) co-purchase edges: pairs sharing ≥ 2 orders —
     * the graph both PageRank and triangle counting run on.

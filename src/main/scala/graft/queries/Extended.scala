@@ -602,8 +602,7 @@ object Extended {
   private def ovlStats(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
     val HourUs = 3600L * 1000000L
-    val dg = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val dg = graft.Scratch.digest(d)
     // Three staged artifacts (Scratch.stagedFrame, the Copurchase
     // idiom), because Spark reuses exchanges, not arbitrary subtrees —
     // left inline, the fingerprint distinct and rep-session derivation

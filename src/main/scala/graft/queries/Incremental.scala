@@ -35,9 +35,7 @@ object Incremental {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def digest(d: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  private def digest(d: String): String = Scratch.digest(d)
 
   // staged once per (session, key) via Scratch.stagedFrame: repeat
   // invocations (bench min-of-3, a suite run) measure the FOLD against

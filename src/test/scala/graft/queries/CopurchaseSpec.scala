@@ -26,9 +26,14 @@ class CopurchaseSpec extends SparkSuite {
   }
 
   test("repeat calls reuse the staged artifact (memoized per session+dir)") {
-    // Memo returns the SAME parquet-backed frame — the basket-expansion
-    // shuffle runs once per (session, sfDir), which is the whole point
-    assert(Copurchase.pairCounts(spark, sf) eq Copurchase.pairCounts(spark, sf))
+    // both calls read the SAME staged parquet — the basket-expansion
+    // shuffle runs once per (session, sfDir), which is the whole point.
+    // Frames are fresh reads, not one cached object: the memo stores the
+    // scratch PATH (a cached DataFrame would pin its session in the
+    // weak-keyed map — see Scratch.stagedFrame)
+    val a = Copurchase.pairCounts(spark, sf)
+    val b = Copurchase.pairCounts(spark, sf)
+    assert(a.inputFiles.nonEmpty && a.inputFiles.sorted.sameElements(b.inputFiles.sorted))
   }
 
   test("edges keeps only pairs sharing >= 2 orders, canonically ordered") {
