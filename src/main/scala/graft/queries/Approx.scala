@@ -123,15 +123,17 @@ object Approx {
     * estimator branches to the same expected integers on both engines.
     */
   /** The 48-bit hex parse spelled long-hand for the oracle — shared by
-    * every KMV oracle so all of them ride the same portability armor.
+    * every KMV oracle (and any other md5-keyed oracle: ds_shuffle) so all
+    * of them ride the same portability armor. `c` is the hex column's SQL
+    * spelling at the call site.
     */
-  private def hex48Sql: String = (1 to 12).map { j =>
+  private[queries] def hex48Sql(c: String = "h"): String = (1 to 12).map { j =>
     val w = 1L << (4 * (12 - j))
-    s"(strpos('0123456789abcdef', substr(h, $j, 1)) - 1) * CAST($w AS BIGINT)"
+    s"(strpos('0123456789abcdef', substr($c, $j, 1)) - 1) * CAST($w AS BIGINT)"
   }.mkString("(", "\n        + ", ")")
 
   val skKmvSql: String = {
-    val hex48 = hex48Sql
+    val hex48 = hex48Sql()
     s"""WITH hashed AS (
        |  SELECT event_type AS seg,
        |         md5(CAST(user_id AS VARCHAR) || ':' ||
@@ -242,7 +244,7 @@ object Approx {
   }
 
   val skKmvMergeSql: String = {
-    val hex48 = hex48Sql
+    val hex48 = hex48Sql()
     s"""WITH hashed AS (
        |  SELECT DISTINCT 'y' || CAST(year(o_orderdate) AS VARCHAR) AS part,
        |         md5(CAST(o_custkey AS VARCHAR)) AS h

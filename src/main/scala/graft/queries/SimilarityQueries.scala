@@ -555,7 +555,194 @@ object SimilarityQueries {
        |FROM final_asg GROUP BY cid ORDER BY cid""".stripMargin
   }
 
+  // ---- product quantization: compressed codes + asymmetric-distance ANN ----
+  // The memory-bound ANN family IVF/LSH don't cover: each 64-dim vector
+  // compresses to PqM codebook codes (here 4 bytes of state per vector —
+  // the reason a 100 TB embedding corpus can be searched from RAM), and
+  // query-to-vector distance is approximated as the sum of per-subspace
+  // distances from the QUERY to each sub-CODEBOOK entry (asymmetric
+  // distance computation — Jégou, Douze, Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011). Everything is integer:
+  // vectors quantize to 2^20-scaled longs (the emb_kmeans move), codebooks
+  // train with truncating-division Lloyd's, and ADC distances are exact
+  // integer sums — so both engines rank bit-identically with no float
+  // formatting anywhere.
+  //
+  // Scale shape, stage by stage at 1000 executors:
+  //  - cells is a linear projection (corpus × PqM subvector rows);
+  //  - codebook training touches the corpus PqIters times, each pass a
+  //    broadcast join against the (PqM × PqK)-row codebook — no shuffle
+  //    wider than the (vec, subspace) partial-agg;
+  //  - encoding is one more broadcast-join pass; at production scale the
+  //    codes table (vec_id, PqM bytes) IS the persisted index — 64×
+  //    smaller than the raw float corpus;
+  //  - ADC joins the broadcast query distance-table (Q × PqM × PqK rows)
+  //    and map-side-collapses the PqM terms per (query, vec) before the
+  //    per-query top-k. No stage moves the raw vectors after encoding.
+  private val PqM = 8        // subspaces over the 64-dim embeddings
+  private val PqSub = 8      // dims per subspace
+  private val PqK = 16       // codebook entries per subspace
+  private val PqIters = 2
+  private val PqScale = 1048576L // 2^20, same quantization as emb_kmeans
+  private val PqNQ = 10      // query vectors: vec_id < 10
+  private val PqTopK = 5
+
+  /** Integer squared L2 between two array<long> columns — a strict
+    * zip/fold, bit-deterministic on any engine.
+    */
+  private def distL2(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  def simPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scratch = graft.Scratch.dir(s, "graft_pq_")
+    def stage(c: DataFrame, name: String): DataFrame = {
+      val p = s"$scratch/$name"
+      c.write.mode("overwrite").parquet(p)
+      s.read.parquet(p)
+    }
+
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(PqScale.toDouble)).cast("long")).as("q"))
+    // (vec_id, m, sub): the corpus split into per-subspace rows — staged
+    // because every training round, the encode pass, and the query
+    // distance table all read it
+    val cells = stage(
+      qv.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+          col("q"))
+        .select(col("vec_id"), col("m"),
+          slice(col("q"), col("m") * PqSub + 1, lit(PqSub)).as("sub")),
+      "cells")
+
+    // init: per subspace, codes 0..PqK-1 are the subvectors of the PqK
+    // lowest vec_ids in id order — deterministic, no RNG
+    var cent = stage(
+      cells.join(qv.orderBy("vec_id").limit(PqK).select("vec_id"), "vec_id")
+        .withColumn("code", (row_number().over(
+          Window.partitionBy("m").orderBy("vec_id")) - 1).cast("long"))
+        .select(col("m"), col("code"), col("sub").as("cvec")),
+      "cent_0")
+
+    // nearest code per (vec, subspace): broadcast the tiny codebook, ties
+    // to the lowest code via the struct-min (same idiom as emb_kmeans)
+    def assign(c: DataFrame): DataFrame =
+      cells.join(broadcast(c), "m")
+        .withColumn("dist", distL2(col("sub"), col("cvec")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("code"))).as("mm"))
+        .select(col("vec_id"), col("m"),
+          col("mm.code").as("code"), col("mm.dist").as("dist"))
+
+    for (i <- 1 to PqIters) {
+      cent = stage(
+        assign(cent).join(cells, Seq("vec_id", "m"))
+          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          // truncating division with explicit sign — `div` vs the
+          // oracle's abs-floor-div agree on negative sums (emb_kmeans)
+          .select(col("m"), col("code"), col("pos"),
+            (when(col("sx") < 0, -1L).otherwise(1L) *
+              expr("abs(sx) div n")).as("cx"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cvec")),
+        s"cent_$i")
+    }
+
+    // encode the corpus; build the per-query ADC distance table
+    val codes = assign(cent).select("vec_id", "m", "code")
+    val dt = cells.filter(col("vec_id") < PqNQ)
+      .join(broadcast(cent), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        distL2(col("sub"), col("cvec")).as("dcode"))
+    val adc = codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcode").as("adc_dist"))
+    adc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  val simPqSql: String = {
+    val dist =
+      """list_sum(list_transform(range(1, len(sub)+1),
+        |            i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i])))""".stripMargin
+    def assignCte(centCte: String, name: String) =
+      s"""$name AS (
+         |  SELECT vec_id, m, code, sub FROM (
+         |    SELECT c.vec_id, c.m, ct.code, c.sub,
+         |           row_number() OVER (PARTITION BY c.vec_id, c.m
+         |                              ORDER BY $dist, ct.code) AS rk
+         |    FROM cells c JOIN $centCte ct ON c.m = ct.m)
+         |  WHERE rk = 1
+         |)""".stripMargin
+    val rounds = (1 to PqIters).map { i =>
+      s"""${assignCte(s"cent${i - 1}", s"asg$i")},
+         |cpos$i AS (
+         |  SELECT m, code, unnest(range(1, len(sub)+1)) AS pos, unnest(sub) AS x
+         |  FROM asg$i
+         |),
+         |cent$i AS (
+         |  SELECT m, code, list(cx ORDER BY pos) AS cvec FROM (
+         |    SELECT m, code, pos,
+         |           CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END AS BIGINT)
+         |             * (abs(sum(x)) // count(*)) AS cx
+         |    FROM cpos$i GROUP BY m, code, pos)
+         |  GROUP BY m, code
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $PqScale.0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |cells AS (
+       |  SELECT vec_id, m, q[m*$PqSub+1 : (m+1)*$PqSub] AS sub
+       |  FROM qv, (SELECT unnest(range(0, $PqM)) AS m)
+       |),
+       |cent0 AS (
+       |  SELECT m,
+       |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |              AS BIGINT) AS code,
+       |         sub AS cvec
+       |  FROM cells
+       |  WHERE vec_id IN (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)
+       |),
+       |$rounds,
+       |${assignCte(s"cent$PqIters", "codes")},
+       |dt AS (
+       |  SELECT qy.vec_id AS query_id, ct.m, ct.code, $dist AS dcode
+       |  FROM (SELECT vec_id, m, sub FROM cells WHERE vec_id < $PqNQ) qy
+       |  JOIN cent$PqIters ct ON qy.m = ct.m
+       |),
+       |adc AS (
+       |  SELECT d.query_id, c.vec_id AS neighbor_id,
+       |         CAST(sum(d.dcode) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.code
+       |  WHERE c.vec_id <> d.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM adc
+       |) WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_pq" -> (simPq _),
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -567,6 +754,7 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_pq" -> simPqSql,
     "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,

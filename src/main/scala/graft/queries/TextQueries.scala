@@ -875,6 +875,44 @@ object TextQueries {
       |      FROM documents)
       |GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ---- deterministic training-order shuffle + shard assignment ----
+  // the global-shuffle step every training pipeline runs before writing
+  // shards, WITHOUT an RNG: the order key is a seed-keyed md5 over the
+  // doc id, the shard is the key's 48-bit prefix mod ShufShards (the
+  // sk_kmv hex parse, so both engines read the same integer), and the
+  // within-shard position is a row_number over the order key. Reproducible
+  // on any engine, and stable under corpus growth in the only sense a
+  // hash shuffle can be: a doc's shard and its order RELATIVE to any
+  // surviving doc never change. Scale shape: pure projection + ONE hash
+  // shuffle by shard + a per-shard sort (shards scale to thousands at
+  // 100 TB; the within-shard sort is the price of a materialized
+  // training order) — never a global single-partition row_number.
+  private val ShufShards = 8
+  def dsShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard", Approx.hex48(col("h")) % ShufShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .sortWithinPartitions("shard", "pos")
+  }
+
+  val dsShuffleSql: String = {
+    val hex48 = Approx.hex48Sql("h")
+    s"""WITH k AS (
+       |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, h, mod($hex48, $ShufShards) AS shard FROM k
+       |)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+       |            AS BIGINT) AS pos
+       |FROM sh ORDER BY shard, pos""".stripMargin
+  }
+
   // ---- token-budget packing (context-window bin assignment) ----
   // greedy sequence packing for LLM training: docs are packed in doc_id
   // order into 4096-char bins per language via a running total — bin =
@@ -1489,6 +1527,7 @@ object TextQueries {
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
     "ds_split" -> (dsSplit _),
+    "ds_shuffle" -> (dsShuffle _),
     "ds_pack" -> (dsPack _),
     "vocab_topk" -> (vocabTopk _),
     "txt_stats" -> (txtStats _),
@@ -1520,6 +1559,7 @@ object TextQueries {
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,
     "ds_split" -> dsSplitSql,
+    "ds_shuffle" -> dsShuffleSql,
     "ds_pack" -> dsPackSql,
     "vocab_topk" -> vocabTopkSql,
     "txt_stats" -> txtStatsSql,
