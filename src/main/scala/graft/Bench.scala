@@ -60,14 +60,33 @@ object Bench {
       // must read as broken, not as the suite's fastest entry
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     // failures are EXCLUDED from the total (the sentinel would subtract
     // from it, making a broken suite read faster) and listed explicitly
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
+    // full per-query detail first — the collector keeps only the LAST
+    // ~2000 chars of stdout, so this line is for local analysis and the
+    // committed BENCH_NOTES, not the driver
+    val qsAll = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","n":${results.size},"queries":$qsAll,"failed":$failedJson,"sf":"$sfDir"}""")
+    // THE metric line, last and compact (<2000 chars): the driver's tail
+    // window truncated the 151-query line in r5/r6 and recorded
+    // parsed=None — headline set = flagship + the most expensive family
+    // representatives, so the graded line always parses
+    val headline = Vector(
+      "a1_fact_order_daily", "ev_daily_agg", "j3_inner_agg", "j4_star_broadcast",
+      "tpch_q1", "tpch_q7", "tpch_q22", "w3_rolling", "sk_kmv", "qr_report",
+      "d1_latest_wins", "o2_topk", "ev_overlap", "ev_asof", "pr_copurchase",
+      "gr_triangles", "dd_minhash_lsh", "dd_minhash_scaled", "dd_ngram_jaccard",
+      "dd_substring", "dd_incremental", "dd_contaminate", "txt_winnow",
+      "txt_chunks", "txt_nb_quality", "emb_kmeans", "sim_ivf_topk", "sim_pq",
+      "ds_shuffle", "ds_pack", "pipe_curate")
+    val qsHead = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"nfailed":${failed.size},"queries":$qsHead,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
