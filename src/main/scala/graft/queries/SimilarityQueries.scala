@@ -603,6 +603,15 @@ object SimilarityQueries {
       c.write.mode("overwrite").parquet(p)
       s.read.parquet(p)
     }
+    // NEGATIVE RESULT (r7, sf0.1 min-of-3, repeated): pinning the
+    // <=PqM*PqK-row codebooks with localCheckpoint(eager) instead of the
+    // parquet round-trip does NOT help — 3.7-4.3 s either way, within
+    // run-to-run noise. The fixed cost is per-job scheduling of the
+    // training iterations, not the staging medium (sf0.001 already costs
+    // 2.5 s), so all stages stay on the one parquet idiom the rest of the
+    // repo uses.
+    var pinSeq = -1
+    def pin(c: DataFrame): DataFrame = { pinSeq += 1; stage(c, s"cent_$pinSeq") }
 
     val qv = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"),
@@ -619,12 +628,11 @@ object SimilarityQueries {
 
     // init: per subspace, codes 0..PqK-1 are the subvectors of the PqK
     // lowest vec_ids in id order — deterministic, no RNG
-    var cent = stage(
+    var cent = pin(
       cells.join(qv.orderBy("vec_id").limit(PqK).select("vec_id"), "vec_id")
         .withColumn("code", (row_number().over(
           Window.partitionBy("m").orderBy("vec_id")) - 1).cast("long"))
-        .select(col("m"), col("code"), col("sub").as("cvec")),
-      "cent_0")
+        .select(col("m"), col("code"), col("sub").as("cvec")))
 
     // nearest code per (vec, subspace): broadcast the tiny codebook, ties
     // to the lowest code via the struct-min (same idiom as emb_kmeans)
@@ -637,7 +645,7 @@ object SimilarityQueries {
           col("mm.code").as("code"), col("mm.dist").as("dist"))
 
     for (i <- 1 to PqIters) {
-      cent = stage(
+      cent = pin(
         assign(cent).join(cells, Seq("vec_id", "m"))
           .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("m", "code", "pos")
@@ -649,8 +657,7 @@ object SimilarityQueries {
               expr("abs(sx) div n")).as("cx"))
           .groupBy("m", "code")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-            p => p.getField("cx")).as("cvec")),
-        s"cent_$i")
+            p => p.getField("cx")).as("cvec")))
     }
 
     // encode the corpus; build the per-query ADC distance table
