@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Analytics, Approx, Commerce, Curation, Enrichment, Extended, Graph, Incremental, Linkage, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchFinal, TpchMore}
+import graft.queries.{Analytics, Approx, Bpe, Commerce, Curation, Enrichment, Extended, Graph, Incremental, Linkage, Relational, ScaleOps, SimilarityQueries, TextQueries, TpchFinal, TpchMore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
       Extended.queries ++ Enrichment.queries ++ Analytics.queries ++
       ScaleOps.queries ++ TpchMore.queries ++ TpchFinal.queries ++
       Commerce.queries ++ Curation.queries ++ Graph.queries ++ Approx.queries ++
-      Linkage.queries ++ Incremental.queries
+      Linkage.queries ++ Incremental.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +34,5 @@ object SparkEntry {
       Extended.oracles ++ Enrichment.oracles ++ Analytics.oracles ++
       ScaleOps.oracles ++ TpchMore.oracles ++ TpchFinal.oracles ++
       Commerce.oracles ++ Curation.oracles ++ Graph.oracles ++ Approx.oracles ++
-      Linkage.oracles ++ Incremental.oracles
+      Linkage.oracles ++ Incremental.oracles ++ Bpe.oracles
 }
