@@ -194,6 +194,110 @@ object Curation {
       |FROM ranked WHERE rk <= quota
       |ORDER BY source, rk""".stripMargin
 
+  // ---- capped water-filling domain mixture (token-budget allocation) ----
+  // The mixture-planning step ds_temperature explicitly refuses: when a
+  // domain's fair share exceeds what it HAS, ds_temperature raises. Here
+  // the cap binds and the surplus redistributes — allocate a global token
+  // budget B (4/5 of the corpus) across languages aiming at a UNIFORM
+  // mix, capping each language at its available tokens and re-leveling
+  // the remainder over the others (water-filling). No iteration: in
+  // ascending-avail order a language saturates iff
+  // `avail_i · k_rem <= B − cum_prev` (its supply is below the water
+  // level over the remaining k_rem languages), and the saturated set is
+  // a PREFIX of that order — computed with one running-min window, so a
+  // non-monotone test (impossible, but cheap to guard) can never
+  // resurrect saturation later. Unsaturated languages split the leftover
+  // exactly: `div` base + largest-remainder (+1 to the first `resid` by
+  // language order), so Σalloc = B to the token, same doctrine as
+  // ds_temperature's quotas. All integers; positive operands, so DuckDB
+  // `//` and Spark `div` agree.
+  //
+  // Scale shape: ONE corpus pass (content-addressed tokenize + groupBy
+  // lang) produces the K-row domain frame; every window after that moves
+  // K rows. At 100 TB with thousands of domains it is still one partial
+  // agg plus a dozen-KB window stage.
+  def dsMixture(s: SparkSession, d: String): DataFrame = {
+    val Gc = graft.operators.Content.G
+    val avail = graft.operators.Content
+      .reps(Tables.documents(s, d), Seq("text", "lang"))
+      .select(col("lang"),
+        (size(TextFns.tokens(col("text"))).cast("long") * col(Gc)).as("toks"))
+      .groupBy("lang").agg(sum("toks").cast("long").as("avail"))
+    val tot = Window.partitionBy()
+    val wAsc = Window.orderBy("avail", "lang")
+    val wLang = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    avail
+      .withColumn("total", sum("avail").over(tot))
+      .withColumn("budget", expr("(total * 4) div 5"))
+      .withColumn("cum_prev", coalesce(sum("avail").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("k_rem",
+        count(lit(1)).over(tot) - row_number().over(wAsc) + 1L)
+      .withColumn("sat_test",
+        (col("avail") * col("k_rem") <= col("budget") - col("cum_prev"))
+          .cast("int"))
+      .withColumn("saturated", min("sat_test").over(
+        wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) === 1)
+      .withColumn("b_unsat", col("budget") -
+        coalesce(sum(when(col("saturated"), col("avail"))).over(tot), lit(0L)))
+      .withColumn("n_u",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(tot))
+      .withColumn("rk_u",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(wLang))
+      .withColumn("alloc",
+        when(col("saturated"), col("avail"))
+          .otherwise(expr("b_unsat div n_u") +
+            when(col("rk_u") <= col("b_unsat") % col("n_u"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("lang"), col("avail"), col("alloc"),
+        col("saturated").cast("long").as("saturated"))
+      .orderBy("lang")
+  }
+
+  val dsMixtureSql: String =
+    """WITH avail AS (
+      |  SELECT lang,
+      |         CAST(sum(len(list_filter(
+      |                string_split_regex(lower(trim(text)), '\s+'),
+      |                t -> len(t) > 0))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1
+      |), lv AS (
+      |  SELECT lang, avail,
+      |         CAST(sum(avail) OVER () AS BIGINT) AS total,
+      |         (CAST(sum(avail) OVER () AS BIGINT) * 4) // 5 AS budget,
+      |         COALESCE(CAST(sum(avail) OVER (ORDER BY avail, lang
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS BIGINT), 0) AS cum_prev,
+      |         count(*) OVER ()
+      |           - row_number() OVER (ORDER BY avail, lang) + 1 AS k_rem
+      |  FROM avail
+      |), sat AS (
+      |  SELECT *, min(CASE WHEN avail * k_rem <= budget - cum_prev
+      |                     THEN 1 ELSE 0 END)
+      |              OVER (ORDER BY avail, lang
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+      |           AS saturated
+      |  FROM lv
+      |), lvl AS (
+      |  SELECT *,
+      |         budget - COALESCE(CAST(sum(CASE WHEN saturated THEN avail END)
+      |                                 OVER () AS BIGINT), 0) AS b_unsat,
+      |         CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+      |              OVER () AS BIGINT) AS n_u,
+      |         CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+      |              OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+      |                    AND CURRENT ROW) AS BIGINT) AS rk_u
+      |  FROM sat
+      |)
+      |SELECT lang, avail,
+      |       CAST(CASE WHEN saturated THEN avail
+      |                 ELSE b_unsat // n_u
+      |                      + CASE WHEN rk_u <= b_unsat % n_u THEN 1 ELSE 0 END
+      |            END AS BIGINT) AS alloc,
+      |       CAST(CASE WHEN saturated THEN 1 ELSE 0 END AS BIGINT) AS saturated
+      |FROM lvl ORDER BY lang""".stripMargin
+
   // ---- trained quality classifier: Naive Bayes over the gate labels ----
   // The model-based scoring step that follows the rule gate in real
   // pipelines (CCNet / fastText quality filters): train a Bernoulli
@@ -728,6 +832,7 @@ object Curation {
     "txt_quality_gate" -> (txtQualityGate _),
     "txt_nb_quality" -> (txtNbQuality _),
     "ds_temperature" -> (dsTemperature _),
+    "ds_mixture" -> (dsMixture _),
     "ds_interleave" -> (dsInterleave _),
     "a12_mad_outliers" -> (madOutliers _),
     "vocab_merges" -> (vocabMerges _))
@@ -738,6 +843,7 @@ object Curation {
     "txt_quality_gate" -> txtQualityGateSql,
     "txt_nb_quality" -> txtNbQualitySql,
     "ds_temperature" -> dsTemperatureSql,
+    "ds_mixture" -> dsMixtureSql,
     "ds_interleave" -> dsInterleaveSql,
     "a12_mad_outliers" -> madOutliersSql,
     "vocab_merges" -> vocabMergesSql)

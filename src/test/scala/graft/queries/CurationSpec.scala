@@ -65,4 +65,26 @@ class CurationSpec extends SparkSuite {
     assert(math.abs(poisoned - clean) <= 100.0,
       s"MAD moved $clean -> $poisoned under a single outlier")
   }
+
+  test("ds_mixture: water-filling caps bind, surplus re-levels, sum is exact") {
+    val m = Curation.dsMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3) == 1L))
+    val totalAvail = m.map(_._2).sum
+    val budget = totalAvail * 4 / 5
+    // the allocation spends the budget to the token
+    assert(m.map(_._3).sum == budget, s"sum(alloc) != budget in ${m.toSeq}")
+    // a saturated domain contributes exactly what it has; an unsaturated
+    // one never exceeds it
+    assert(m.forall { case (_, av, al, sat) => if (sat) al == av else al < av })
+    // the cap path and the re-level path are BOTH exercised at this SF —
+    // the query's reason to exist over ds_temperature
+    assert(m.exists(_._4) && m.exists(!_._4), s"degenerate profile: ${m.toSeq}")
+    // water level: every unsaturated allocation is >= every saturated
+    // avail (else the saturated domain wasn't actually below the level),
+    // and unsaturated allocations differ by at most 1 (largest remainder)
+    val unsat = m.filter(!_._4).map(_._3)
+    val sat = m.filter(_._4).map(_._2)
+    assert(sat.forall(a => unsat.forall(_ >= a)))
+    assert(unsat.max - unsat.min <= 1)
+  }
 }
