@@ -748,8 +748,73 @@ object SimilarityQueries {
        |) WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- RAG context assembly: retrieve -> join -> budget-truncate ----
+  // The composition a retrieval-augmented pipeline runs per query batch:
+  // top-k neighbors for each query embedding, joined to the document
+  // store, packed into a fixed context-window budget in similarity order
+  // (truncate-at-budget: keep while the running char total fits — the
+  // standard context-assembly rule). One DAG, no collect.
+  //
+  // Scale shape: queries broadcast, the corpus streams through the scored
+  // projection (bruteForceTopK's crossJoin(broadcast(q)) — no corpus
+  // shuffle); the doc join moves only Q*k retrieved rows to the
+  // documents side, and the packing window partitions by query. At
+  // 100 TB swap the retrieve stage for `sim_ivf_topk` (probe one
+  // partition) or `sim_pq` ADC codes — the assembly stages are unchanged.
+  private val RagK = 8
+  private val RagBudget = 2000L
+
+  def pipeRag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val hits = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+      k = RagK)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    hits.join(docs, hits("neighbor_id") === docs("doc_id"))
+      .withColumn("cum_chars", sum("n_chars").over(w))
+      .filter(col("cum_chars") <= RagBudget)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("n_chars"), col("cum_chars"))
+      .orderBy("query_id", "rank")
+  }
+
+  val pipeRagSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 10),
+       |     c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(range(1, len(qe)+1),
+       |                            i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+       |    nullif(sqrt(list_sum(list_transform(range(1, len(qe)+1),
+       |                            i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+       |     sqrt(list_sum(list_transform(range(1, len(ce)+1),
+       |                            i -> ce[i]::DOUBLE * ce[i]::DOUBLE))), 0) AS score
+       |  FROM q, c WHERE query_id <> neighbor_id
+       |), hits AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       |         round(score, 4) AS score
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, neighbor_id) AS rank
+       |    FROM scored
+       |  ) WHERE rank <= $RagK
+       |), packed AS (
+       |  SELECT h.query_id, h.rank, d.doc_id, h.score,
+       |         CAST(len(d.text) AS BIGINT) AS n_chars,
+       |         CAST(sum(len(d.text)) OVER (PARTITION BY h.query_id
+       |               ORDER BY h.rank ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) AS BIGINT) AS cum_chars
+       |  FROM hits h JOIN documents d ON h.neighbor_id = d.doc_id
+       |)
+       |SELECT * FROM packed WHERE cum_chars <= $RagBudget
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_pq" -> (simPq _),
+    "pipe_rag" -> (pipeRag _),
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -762,6 +827,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_pq" -> simPqSql,
+    "pipe_rag" -> pipeRagSql,
     "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
