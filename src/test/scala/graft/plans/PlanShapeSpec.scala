@@ -334,4 +334,38 @@ class PlanShapeSpec extends SparkSuite {
         bad.mkString("\n"))
     }
   }
+
+  test("pipe_rag: queries broadcast (corpus never shuffles for retrieval), " +
+    "top-8 physicalizes as WindowGroupLimit, docs join by broadcast") {
+    val p = plan("pipe_rag")
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ds_shuffle: one hash exchange on shard, doc_id-only scan, no " +
+    "global single-partition window") {
+    val p = plan("ds_shuffle")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SinglePartition"), p)
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(p).toList
+    assert(readSchemas.forall(r => !r.contains("text")),
+      s"shuffle key must not drag the text column:\n$readSchemas")
+  }
+
+  test("sim_pq: codebook and distance-table joins are broadcast over the " +
+    "staged cells — never a corpus-side sort-merge or cartesian") {
+    val p = plan("sim_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("txt_bpe_encode: the vocabulary encoding joins by broadcast; the " +
+    "corpus pass is content-collapsed (one aggregate over the scan)") {
+    val p = plan("txt_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
