@@ -586,6 +586,7 @@ object SimilarityQueries {
   private val PqScale = 1048576L // 2^20, same quantization as emb_kmeans
   private val PqNQ = 10      // query vectors: vec_id < 10
   private val PqTopK = 5
+  private val PqTrainN = 1500 // codebook training sample: vec_id < 1500
 
   /** Integer squared L2 between two array<long> columns — a strict
     * zip/fold, bit-deterministic on any engine.
@@ -625,19 +626,29 @@ object SimilarityQueries {
         .select(col("vec_id"), col("m"),
           slice(col("q"), col("m") * PqSub + 1, lit(PqSub)).as("sub")),
       "cells")
+    // codebooks train on a bounded deterministic prefix sample, the
+    // standard PQ shape (Jégou 2011 trains on ~100k vectors regardless of
+    // corpus size): the full corpus is ENCODED but never iterated by
+    // Lloyd's. Measured before the bound: training passes made sim_pq
+    // grow 3.3 → 8.2 s from 1× to 10× on the ladder; with the sample the
+    // per-rung growth is the encode+ADC passes only. At the driver's
+    // correctness SFs (500 vectors) the sample IS the corpus, so the
+    // oracle gate exercises the full-corpus codebook; the oracle mirrors
+    // the same vec_id bound, so the gate stays exact at any SF.
+    val tcells = cells.filter(col("vec_id") < PqTrainN)
 
     // init: per subspace, codes 0..PqK-1 are the subvectors of the PqK
     // lowest vec_ids in id order — deterministic, no RNG
     var cent = pin(
-      cells.join(qv.orderBy("vec_id").limit(PqK).select("vec_id"), "vec_id")
+      tcells.join(qv.orderBy("vec_id").limit(PqK).select("vec_id"), "vec_id")
         .withColumn("code", (row_number().over(
           Window.partitionBy("m").orderBy("vec_id")) - 1).cast("long"))
         .select(col("m"), col("code"), col("sub").as("cvec")))
 
     // nearest code per (vec, subspace): broadcast the tiny codebook, ties
     // to the lowest code via the struct-min (same idiom as emb_kmeans)
-    def assign(c: DataFrame): DataFrame =
-      cells.join(broadcast(c), "m")
+    def assign(on: DataFrame, c: DataFrame): DataFrame =
+      on.join(broadcast(c), "m")
         .withColumn("dist", distL2(col("sub"), col("cvec")))
         .groupBy("vec_id", "m")
         .agg(min(struct(col("dist"), col("code"))).as("mm"))
@@ -646,7 +657,7 @@ object SimilarityQueries {
 
     for (i <- 1 to PqIters) {
       cent = pin(
-        assign(cent).join(cells, Seq("vec_id", "m"))
+        assign(tcells, cent).join(tcells, Seq("vec_id", "m"))
           .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("m", "code", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -660,8 +671,8 @@ object SimilarityQueries {
             p => p.getField("cx")).as("cvec")))
     }
 
-    // encode the corpus; build the per-query ADC distance table
-    val codes = assign(cent).select("vec_id", "m", "code")
+    // encode the FULL corpus; build the per-query ADC distance table
+    val codes = assign(cells, cent).select("vec_id", "m", "code")
     val dt = cells.filter(col("vec_id") < PqNQ)
       .join(broadcast(cent), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("code"),
@@ -684,17 +695,17 @@ object SimilarityQueries {
     val dist =
       """list_sum(list_transform(range(1, len(sub)+1),
         |            i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i])))""".stripMargin
-    def assignCte(centCte: String, name: String) =
+    def assignCte(centCte: String, name: String, src: String) =
       s"""$name AS (
          |  SELECT vec_id, m, code, sub FROM (
          |    SELECT c.vec_id, c.m, ct.code, c.sub,
          |           row_number() OVER (PARTITION BY c.vec_id, c.m
          |                              ORDER BY $dist, ct.code) AS rk
-         |    FROM cells c JOIN $centCte ct ON c.m = ct.m)
+         |    FROM $src c JOIN $centCte ct ON c.m = ct.m)
          |  WHERE rk = 1
          |)""".stripMargin
     val rounds = (1 to PqIters).map { i =>
-      s"""${assignCte(s"cent${i - 1}", s"asg$i")},
+      s"""${assignCte(s"cent${i - 1}", s"asg$i", "tcells")},
          |cpos$i AS (
          |  SELECT m, code, unnest(range(1, len(sub)+1)) AS pos, unnest(sub) AS x
          |  FROM asg$i
@@ -718,16 +729,17 @@ object SimilarityQueries {
        |  SELECT vec_id, m, q[m*$PqSub+1 : (m+1)*$PqSub] AS sub
        |  FROM qv, (SELECT unnest(range(0, $PqM)) AS m)
        |),
+       |tcells AS (SELECT * FROM cells WHERE vec_id < $PqTrainN),
        |cent0 AS (
        |  SELECT m,
        |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
        |              AS BIGINT) AS code,
        |         sub AS cvec
-       |  FROM cells
+       |  FROM tcells
        |  WHERE vec_id IN (SELECT vec_id FROM qv ORDER BY vec_id LIMIT $PqK)
        |),
        |$rounds,
-       |${assignCte(s"cent$PqIters", "codes")},
+       |${assignCte(s"cent$PqIters", "codes", "cells")},
        |dt AS (
        |  SELECT qy.vec_id AS query_id, ct.m, ct.code, $dist AS dcode
        |  FROM (SELECT vec_id, m, sub FROM cells WHERE vec_id < $PqNQ) qy
