@@ -596,7 +596,49 @@ object SimilarityQueries {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  def simPq(s: SparkSession, d: String): DataFrame = {
+  /** Quantize raw (vec_id, embedding) rows to the integer grid the whole
+    * PQ pipeline runs on.
+    */
+  private[graft] def pqQuantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(PqScale.toDouble)).cast("long")).as("q"))
+
+  /** Split quantized vectors into per-subspace (vec_id, m, sub) cells. */
+  private[graft] def pqCells(qv: DataFrame): DataFrame =
+    qv.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
+        col("q"))
+      .select(col("vec_id"), col("m"),
+        slice(col("q"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+
+  /** ADC top-k: probe query cells against the (cent, codes) index — the
+    * per-batch serving path shared by batch `sim_pq` and the streaming
+    * twin ([[graft.streaming.AnnStream]]). Queries never see raw corpus
+    * vectors: the distance table is Q×PqM×PqK rows, broadcast.
+    */
+  private[graft] def pqProbe(qcells: DataFrame, cent: DataFrame,
+                             codes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dt = qcells
+      .join(broadcast(cent), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("code"),
+        distL2(col("sub"), col("cvec")).as("dcode"))
+    codes.join(broadcast(dt), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcode").as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+  }
+
+  /** The persisted PQ index for a dataset: (codebook, code table), built
+    * once per (session, dir) and staged to scratch parquet.
+    */
+  private[graft] def pqIndex(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // The codebook + code table are a BUILT-ONCE persisted index (the
     // dd_incremental / a14 doctrine): production encodes the corpus once
@@ -618,18 +660,11 @@ object SimilarityQueries {
     var pinSeq = -1
     def pin(c: => DataFrame): DataFrame = { pinSeq += 1; stage(c, s"cent_$pinSeq") }
 
-    val qv = Tables.embeddings(s, d).select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(PqScale.toDouble)).cast("long")).as("q"))
+    val qv = pqQuantize(Tables.embeddings(s, d))
     // (vec_id, m, sub): the corpus split into per-subspace rows — staged
     // because every training round, the encode pass, and the query
     // distance table all read it
-    val cells = stage(
-      qv.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"),
-          col("q"))
-        .select(col("vec_id"), col("m"),
-          slice(col("q"), col("m") * PqSub + 1, lit(PqSub)).as("sub")),
-      "cells")
+    val cells = stage(pqCells(qv), "cells")
     // codebooks train on a bounded deterministic prefix sample, the
     // standard PQ shape (Jégou 2011 trains on ~100k vectors regardless of
     // corpus size): the full corpus is ENCODED but never iterated by
@@ -675,26 +710,19 @@ object SimilarityQueries {
             p => p.getField("cx")).as("cvec")))
     }
 
-    // encode the FULL corpus (the persisted index); build the per-query
-    // ADC distance table fresh each invocation — that IS the query
+    // encode the FULL corpus — the persisted index
     val codes = stage(assign(cells, cent).select("vec_id", "m", "code"),
       "codes")
-    val dt = cells.filter(col("vec_id") < PqNQ)
-      .join(broadcast(cent), "m")
-      .select(col("vec_id").as("query_id"), col("m"), col("code"),
-        distL2(col("sub"), col("cvec")).as("dcode"))
-    val adc = codes.join(broadcast(dt), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("dcode").as("adc_dist"))
-    adc
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
-        .cast("long"))
-      .filter(col("rank") <= PqTopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("adc_dist"))
-      .orderBy("query_id", "rank")
+    (cent, codes)
+  }
+
+  def simPq(s: SparkSession, d: String): DataFrame = {
+    val (cent, codes) = pqIndex(s, d)
+    // the per-query ADC distance table is built fresh each invocation —
+    // that IS the query
+    val qcells = pqCells(pqQuantize(
+      Tables.embeddings(s, d).filter(col("vec_id") < PqNQ)))
+    pqProbe(qcells, cent, codes).orderBy("query_id", "rank")
   }
 
   val simPqSql: String = {

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.SparkSuite
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming ANN probe vs batch `sim_pq` — bit equality, not an error
+  * band (the KmvStreamSpec doctrine). The ten batch query vectors arrive
+  * split across two parquet files consumed one per micro-batch, so the
+  * equality only holds if the probe is genuinely per-batch pure: no
+  * cross-batch state, no dependence on which queries share a trigger.
+  */
+class AnnStreamSpec extends SparkSuite {
+
+  test("streamed PQ verdicts are bit-equal to batch sim_pq on the same queries") {
+    val qDir = Files.createTempDirectory("ann_q").toString
+    val outDir = Files.createTempDirectory("ann_out").toString + "/probe"
+    val emb = graft.Tables.embeddings(spark, sf)
+    // two micro-batches: queries 0-4, then 5-9
+    emb.filter(col("vec_id") < 5)
+      .write.mode("overwrite").parquet(s"$qDir/b0.parquet")
+    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+      .write.mode("overwrite").parquet(s"$qDir/b1.parquet")
+
+    val q = AnnStream.pqProbeStream(spark, qDir, sf, outDir,
+      maxFilesPerTrigger = Some(1))
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.read.parquet(outDir)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.SimilarityQueries.simPq(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty)
+  }
+}
