@@ -653,6 +653,82 @@ object Curation {
       |CROSS JOIN total
       |ORDER BY pmi_ratio DESC, bg LIMIT 30""".stripMargin
 
+  // ---- training-shard materialization: gate → dedup → shuffle → pack ----
+  // The OTHER end-to-end composition (pipe_curate is the curation side):
+  // what a run writes to disk before training starts. Exact dedup keeps
+  // the min doc per distinct text (Content.repsById — one collapse, and
+  // the gate then runs once per CONTENT behind the pushdown fence);
+  // survivors get the ds_shuffle treatment (seed-keyed md5 order, 48-bit
+  // prefix shard — RNG-free and growth-stable) and pack into 4096-char
+  // bins within each shard by running-total truncation (bin = floor of
+  // the preceding char total / budget, so a doc belongs to the bin its
+  // START offset lands in). Output is the (shard, bin) manifest. One DAG:
+  // collapse shuffle → K-shard exchange → per-shard window; nothing
+  // corpus-sized moves twice.
+  private val ShardN = 8
+  private val ShardBin = 4096L
+
+  def pipeShards(s: SparkSession, d: String): DataFrame = {
+    val reps = graft.operators.Content.pushdownFence(
+        graft.operators.Content.repsById(Tables.documents(s, d), Seq("text")))
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("tk"))
+    val kept = reps.filter(gatePass(col("tk")))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val keyed = kept
+      .withColumn("h", md5(concat(lit("shard|"), col("doc_id").cast("string"))))
+      .withColumn("shard", Approx.hex48(col("h")) % ShardN)
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed
+      .withColumn("cum_prev", coalesce(sum("n_chars").over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_prev div $ShardBin"))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("n_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  val pipeShardsSql: String = {
+    val hex48 = Approx.hex48Sql("h")
+    s"""WITH ded AS (
+       |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+       |), m AS (
+       |  SELECT doc_id, len(text) AS n_chars,
+       |         len(tk) AS n,
+       |         list_sum(list_transform(tk, t -> len(t))) AS sum_len,
+       |         len(list_distinct(tk)) AS dn,
+       |         len(list_filter(tk, t -> len(t) <= 2)) AS sh,
+       |         len(list_intersect(list_distinct(tk),
+       |             ['the','a','of','and','to','in','is'])) AS st
+       |  FROM (
+       |    SELECT doc_id, text,
+       |           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                       t -> len(t) > 0) AS tk
+       |    FROM ded)
+       |), kept AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |         md5('shard|' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM m
+       |  WHERE n >= 50 AND n <= 1000
+       |    AND sum_len >= n * 3 AND sum_len <= n * 10
+       |    AND dn * 20 >= n AND st >= 2 AND sh * 4 <= n
+       |), keyed AS (
+       |  SELECT doc_id, n_chars, h, mod($hex48, $ShardN) AS shard FROM kept
+       |), binned AS (
+       |  SELECT shard, doc_id, n_chars,
+       |         COALESCE(CAST(sum(n_chars) OVER (PARTITION BY shard
+       |             ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |             AND 1 PRECEDING) AS BIGINT), 0) // $ShardBin AS bin
+       |  FROM keyed
+       |)
+       |SELECT shard, bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+  }
+
   // ---- end-to-end curation pipeline in one DAG ----
   // The capstone composition every training-data pipeline runs: quality
   // gate → exact-dedup (keep the min doc per fingerprint) → weighted
@@ -829,6 +905,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "tok_coverage" -> (tokCoverage _),
     "pipe_curate" -> (pipeCurate _),
+    "pipe_shards" -> (pipeShards _),
     "txt_quality_gate" -> (txtQualityGate _),
     "txt_nb_quality" -> (txtNbQuality _),
     "ds_temperature" -> (dsTemperature _),
@@ -840,6 +917,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "tok_coverage" -> tokCoverageSql,
     "pipe_curate" -> pipeCurateSql,
+    "pipe_shards" -> pipeShardsSql,
     "txt_quality_gate" -> txtQualityGateSql,
     "txt_nb_quality" -> txtNbQualitySql,
     "ds_temperature" -> dsTemperatureSql,
