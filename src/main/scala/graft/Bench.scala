@@ -83,7 +83,7 @@ object Bench {
       "gr_triangles", "dd_minhash_lsh", "dd_minhash_scaled", "dd_ngram_jaccard",
       "dd_substring", "dd_incremental", "dd_contaminate", "txt_winnow",
       "txt_chunks", "txt_nb_quality", "emb_kmeans", "sim_ivf_topk", "sim_pq",
-      "ds_shuffle", "ds_pack", "pipe_curate")
+      "ds_shuffle", "ds_pack", "pipe_curate", "pipe_shards")
     val qsHead = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"nfailed":${failed.size},"queries":$qsHead,"sf":"$sfDir"}""")

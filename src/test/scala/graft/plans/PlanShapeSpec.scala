@@ -368,4 +368,12 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("pipe_shards: gate runs behind the collapse fence, one shard " +
+    "exchange, no sort-merge join") {
+    val p = plan("pipe_shards")
+    assert(p.contains("CollectMetrics"), p)
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

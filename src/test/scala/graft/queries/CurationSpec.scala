@@ -87,4 +87,25 @@ class CurationSpec extends SparkSuite {
     assert(sat.forall(a => unsat.forall(_ >= a)))
     assert(unsat.max - unsat.min <= 1)
   }
+
+  test("pipe_shards manifest conserves the gated dedup corpus exactly") {
+    val m = Curation.pipeShards(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independently recompute the gate-surviving distinct-text corpus
+    val docs = graft.Tables.documents(spark, sf)
+    val survivors = graft.operators.Content.repsById(docs, Seq("text"))
+      .filter(Curation.gatePass(graft.functions.TextFns.tokens(col("text"))))
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("chars")).head()
+    assert(m.map(_._3).sum == survivors.getLong(0), "doc conservation")
+    assert(m.map(_._4).sum == survivors.getLong(1), "char conservation")
+    // bins are contiguous 0..max within each shard (running-total
+    // truncation can't skip a bin: a doc landing past bin b's start
+    // means some doc STARTED inside bin b)
+    m.groupBy(_._1).foreach { case (shard, rows) =>
+      val bins = rows.map(_._2).sorted
+      assert(bins.head == 0 && bins.last == bins.length - 1,
+        s"shard $shard bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
 }
