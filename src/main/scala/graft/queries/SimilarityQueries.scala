@@ -597,12 +597,21 @@ object SimilarityQueries {
       lit(0L), (acc, v) => acc + v)
 
   /** Quantize raw (vec_id, embedding) rows to the integer grid the whole
-    * PQ pipeline runs on.
+    * PQ pipeline runs on. The PqM×PqSub subspace split hard-codes the
+    * 64-dim layout — a drifted embedding width would make `slice` emit
+    * SHORT subvectors and corrupt every distance silently, so wrong
+    * width fails loudly per row instead (the Tables.events fail-fast
+    * doctrine; testdata regenerates every round).
     */
   private[graft] def pqQuantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * lit(PqScale.toDouble)).cast("long")).as("q"))
+      when(size(col("embedding")) === PqM * PqSub,
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(PqScale.toDouble)).cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"sim_pq: embedding dim != ${PqM * PqSub}: "),
+          size(col("embedding")).cast("string")))
+          .cast("array<long>")).as("q"))
 
   /** Split quantized vectors into per-subspace (vec_id, m, sub) cells. */
   private[graft] def pqCells(qv: DataFrame): DataFrame =

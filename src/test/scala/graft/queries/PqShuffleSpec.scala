@@ -66,6 +66,18 @@ class PqShuffleSpec extends SparkSuite {
     assert(rows.length >= 6, s"only ${rows.length}/10 queries had any hit in exact top-10")
   }
 
+  test("sim_pq fails loudly on drifted embedding width (never short subvectors)") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(32)(0.5f)), (2L, Array.fill(32)(0.1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityQueries.pqCells(SimilarityQueries.pqQuantize(bad)).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("embedding dim")), e.toString)
+  }
+
   test("ds_shuffle is a permutation: every doc exactly once, per-shard positions contiguous") {
     val docs = graft.Tables.documents(spark, sf)
     val r = TextQueries.dsShuffle(spark, sf).cache()
