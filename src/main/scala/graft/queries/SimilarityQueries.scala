@@ -734,7 +734,12 @@ object SimilarityQueries {
     pqProbe(qcells, cent, codes).orderBy("query_id", "rank")
   }
 
-  val simPqSql: String = {
+  /** The full PQ oracle chain as a WITH body ending in `pq_top`
+    * (query_id, rank, neighbor_id, adc_dist) — shared verbatim by
+    * `sim_pq` and `sim_pq_recall`, the dd_lsh_recall embedding doctrine:
+    * the evaluation can never drift from the query it evaluates.
+    */
+  private def pqSqlChain: String = {
     val dist =
       """list_sum(list_transform(range(1, len(sub)+1),
         |            i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i])))""".stripMargin
@@ -762,7 +767,7 @@ object SimilarityQueries {
          |  GROUP BY m, code
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $PqScale.0) AS BIGINT)) AS q
@@ -794,14 +799,84 @@ object SimilarityQueries {
        |  FROM codes c JOIN dt d ON c.m = d.m AND c.code = d.code
        |  WHERE c.vec_id <> d.query_id
        |  GROUP BY 1, 2
-       |)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
-       |FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |                               ORDER BY adc_dist, neighbor_id) AS rank
-       |  FROM adc
-       |) WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+       |),
+       |pq_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rank
+       |    FROM adc
+       |  ) WHERE rank <= $PqTopK
+       |)""".stripMargin
   }
+
+  val simPqSql: String =
+    s"""WITH $pqSqlChain
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM pq_top ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the PQ probe against the EXACT integer-L2 ranking over
+    * the same quantized grid — the compressed index's quality eval, as
+    * `sim_recall` is the LSH index's. Truth is L2 (the metric ADC
+    * approximates), not cosine; both sides are deterministic integer
+    * rankings, so the recall numbers themselves are oracle-certified.
+    * Scale: the exact side is query-broadcast × corpus (the same cost an
+    * exact re-ranking pass costs anyway); the PQ side reads the persisted
+    * codes.
+    */
+  def simPqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cent, codes) = pqIndex(s, d)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val pq = pqProbe(pqCells(qq), cent, codes)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("q").as("qq"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rk") <= PqTopK)
+      .select("query_id", "neighbor_id")
+    val hits = pq.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    qq.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        // 10000/PqTopK bp per hit — a multiple, so no division anywhere
+        (col("n_hits") * lit(10000L / PqTopK)).cast("long").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  val simPqRecallSql: String =
+    s"""WITH $pqSqlChain,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qy.q)+1),
+       |               i -> (qy.q[i] - c.q[i]) * (qy.q[i] - c.q[i]))),
+       |             c.vec_id) AS rk
+       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) qy, qv c
+       |    WHERE c.vec_id <> qy.vec_id)
+       |  WHERE rk <= $PqTopK
+       |), hits AS (
+       |  SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM pq_top p JOIN exact e
+       |    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) * ${10000 / PqTopK} AS BIGINT)
+       |         AS recall_bp
+       |FROM (SELECT vec_id AS query_id FROM qv WHERE vec_id < $PqNQ) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   // ---- RAG context assembly: retrieve -> join -> budget-truncate ----
   // The composition a retrieval-augmented pipeline runs per query batch:
@@ -869,6 +944,7 @@ object SimilarityQueries {
 
   val queries: Map[String, Q] = Map(
     "sim_pq" -> (simPq _),
+    "sim_pq_recall" -> (simPqRecall _),
     "pipe_rag" -> (pipeRag _),
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
@@ -882,6 +958,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "sim_pq" -> simPqSql,
+    "sim_pq_recall" -> simPqRecallSql,
     "pipe_rag" -> pipeRagSql,
     "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
