@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify collectors parse the LAST lines of stdout as bare
+// JSON. sbt's default forked-run logger decorates child stdout as
+// "[info] {...}" and appends a "[success] Total time" epilogue — both
+// break json.loads on the graded metric line (BENCH_r0{1..7} all
+// recorded parsed:null). StdoutOutput passes the child's stdout through
+// undecorated; showSuccess drops the epilogue.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from lintUnused so the build stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -86,7 +86,9 @@ object Bench {
       "ds_shuffle", "ds_pack", "pipe_curate", "pipe_shards")
     val qsHead = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"nfailed":${failed.size},"queries":$qsHead,"sf":"$sfDir"}""")
+    // failed NAMES ride the headline too (tiny when nonempty): the detail
+    // line that also carries them is exactly what the tail window drops
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"nfailed":${failed.size},"failed":$failedJson,"queries":$qsHead,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,9 +11,8 @@ import org.apache.spark.sql.functions._
   * here `vocab_bpe` LEARNS the char-pair merge table and `txt_bpe_encode`
   * tokenizes the corpus with it.
   *
-  * Reference scope: the reference's text tier stops at token counting
-  * (`src/transformer.py:140-162`) — this is a north-star extension per
-  * BASELINE.json's text-analysis axis.
+  * Reference scope: the reference has no tokenization code at all — this
+  * is a north-star extension per BASELINE.json's text-analysis axis.
   *
   * Design, and why it is 100 TB-shaped:
   *  - classic BPE trains on the WORD FREQUENCY table, not the corpus: the
@@ -99,8 +98,11 @@ object Bpe {
     * final word-encoding table. Memoized per (session, data dir).
     */
   private def learned(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    // the key lands in a scratch directory name — strip path separators
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // digest, not sanitized path: replaceAll("[^A-Za-z0-9]","_") is lossy
+    // (/tmp/sf0.1 and /tmp/sf0_1 collide and would silently serve one
+    // dataset's vocab for another) — same contract as every other staged
+    // call site
+    val tag = graft.Scratch.digest(d)
     var w = graft.Scratch.stagedFrame(s, s"bpe_w0_$tag") {
       wordTable(s, d).withColumn("enc",
         regexp_replace(col("w"), "(.)", Sep + "$1"))
@@ -109,6 +111,13 @@ object Bpe {
       val best = graft.Scratch.stagedFrame(s, s"bpe_m${r}_$tag") {
         pairsOf(w).orderBy(desc("cnt"), col("a"), col("b")).limit(1)
       }
+      // Fail loudly on an exhausted vocabulary: an empty argmax would make
+      // applyMerge's crossJoin silently EMPTY the word table (and the
+      // oracle mirrors the same collapse, so the cross-engine gate could
+      // not catch it). best is a staged <=1-row parquet, so the check is a
+      // tiny read, once per memoized learn.
+      require(!best.isEmpty, s"BPE round $r: no pair left to merge " +
+        s"(every word is a single symbol) — lower R below $r for this corpus")
       w = graft.Scratch.stagedFrame(s, s"bpe_w${r}_$tag") { applyMerge(w, best) }
       best
     }

@@ -665,7 +665,20 @@ object Curation {
   // START offset lands in). Output is the (shard, bin) manifest. One DAG:
   // collapse shuffle → K-shard exchange → per-shard window; nothing
   // corpus-sized moves twice.
-  private val ShardN = 8
+  /** Training-shard count. `spark.graft.shards` (runtime conf) — 8 by
+    * default (what the static oracle SQL encodes); a production run at
+    * 100 TB sets it to thousands so no shard is a single-task sort.
+    * Assignment (`hex48(md5) % N`) is growth-stable in the CORPUS (a new
+    * doc never moves an old one) but NOT in N: re-sharding with a
+    * different count changes every assignment — pick N once per corpus
+    * generation.
+    */
+  private[graft] def shardN(s: SparkSession): Int = {
+    val n = s.conf.get("spark.graft.shards", "8").toInt
+    require(n > 0, s"spark.graft.shards must be positive, got $n")
+    n
+  }
+  private val ShardNDefault = 8
   private val ShardBin = 4096L
 
   def pipeShards(s: SparkSession, d: String): DataFrame = {
@@ -676,7 +689,7 @@ object Curation {
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     val keyed = kept
       .withColumn("h", md5(concat(lit("shard|"), col("doc_id").cast("string"))))
-      .withColumn("shard", Approx.hex48(col("h")) % ShardN)
+      .withColumn("shard", Approx.hex48(col("h")) % shardN(s))
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     keyed
@@ -714,7 +727,7 @@ object Curation {
        |    AND sum_len >= n * 3 AND sum_len <= n * 10
        |    AND dn * 20 >= n AND st >= 2 AND sh * 4 <= n
        |), keyed AS (
-       |  SELECT doc_id, n_chars, h, mod($hex48, $ShardN) AS shard FROM kept
+       |  SELECT doc_id, n_chars, h, mod($hex48, $ShardNDefault) AS shard FROM kept
        |), binned AS (
        |  SELECT shard, doc_id, n_chars,
        |         COALESCE(CAST(sum(n_chars) OVER (PARTITION BY shard

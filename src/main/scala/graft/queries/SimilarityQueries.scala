@@ -656,7 +656,10 @@ object SimilarityQueries {
     // the ADC probe against existing codes, not an index rebuild. (Before
     // this move sim_pq was the ladder's worst query: 28.7 s at 100×, all
     // of it re-training + re-encoding per bench repetition.)
-    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    // digest, not sanitized path: the sanitization is lossy (distinct
+    // dirs can collide and cross-wire persisted PQ indexes) — same
+    // contract as every other staged call site
+    val tag = graft.Scratch.digest(d)
     def stage(c: => DataFrame, name: String): DataFrame =
       graft.Scratch.stagedFrame(s, s"pq_${name}_$tag")(c)
     // NEGATIVE RESULT (r7, sf0.1 min-of-3, repeated): pinning the

@@ -883,17 +883,20 @@ object TextQueries {
   // within-shard position is a row_number over the order key. Reproducible
   // on any engine, and stable under corpus growth in the only sense a
   // hash shuffle can be: a doc's shard and its order RELATIVE to any
-  // surviving doc never change. Scale shape: pure projection + ONE hash
-  // shuffle by shard + a per-shard sort (shards scale to thousands at
-  // 100 TB; the within-shard sort is the price of a materialized
-  // training order) — never a global single-partition row_number.
-  private val ShufShards = 8
+  // surviving doc never change — but NOT stable in the shard COUNT
+  // (re-sharding with a different `spark.graft.shards` changes every
+  // assignment; pick the count once per corpus generation). Scale shape:
+  // pure projection + ONE hash shuffle by shard + a per-shard sort (set
+  // `spark.graft.shards` to thousands at 100 TB so no shard is a
+  // single-task sort; default 8 = the static oracle SQL) — never a
+  // global single-partition row_number.
+  private val ShufShardsDefault = 8
   def dsShuffle(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
     Tables.documents(s, d)
       .select(col("doc_id"),
         md5(concat(lit("shuf|"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("shard", Approx.hex48(col("h")) % ShufShards)
+      .withColumn("shard", Approx.hex48(col("h")) % Curation.shardN(s))
       .withColumn("pos", row_number().over(w).cast("long"))
       .select("doc_id", "shard", "pos")
       .sortWithinPartitions("shard", "pos")
@@ -905,7 +908,7 @@ object TextQueries {
        |  SELECT doc_id, md5('shuf|' || CAST(doc_id AS VARCHAR)) AS h
        |  FROM documents
        |), sh AS (
-       |  SELECT doc_id, h, mod($hex48, $ShufShards) AS shard FROM k
+       |  SELECT doc_id, h, mod($hex48, $ShufShardsDefault) AS shard FROM k
        |)
        |SELECT doc_id, shard,
        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)

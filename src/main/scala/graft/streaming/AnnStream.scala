@@ -25,12 +25,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object AnnStream {
 
   /** Probe a parquet stream of (vec_id, embedding) query vectors against
-    * the PQ index of `indexDir`'s corpus; append per-batch top-k verdicts
-    * to `outDir`.
+    * the PQ index of `indexDir`'s corpus; write per-batch top-k verdicts
+    * under `outDir` (one `batch_<id>` subdirectory per micro-batch — read
+    * the tree back with `recursiveFileLookup`).
+    *
+    * Exactly-once: pass `checkpointDir` so restarts resume from the last
+    * committed offset instead of reprocessing the whole `queryDir`, and
+    * note the sink writes each micro-batch to its OWN subdirectory with
+    * overwrite — a micro-batch replayed after a failure lands on the same
+    * `batch_<id>` path and replaces itself rather than duplicating
+    * verdicts (a bare `mode("append").parquet(outDir)` would be
+    * at-least-once). Without `checkpointDir` Spark uses a discarded temp
+    * checkpoint: fine for tests, reprocess-from-scratch on restart.
     */
   def pqProbeStream(s: SparkSession, queryDir: String, indexDir: String,
                     outDir: String,
-                    maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    checkpointDir: Option[String] = None): StreamingQuery = {
     val (cent, codes) = SimilarityQueries.pqIndex(s, indexDir)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       // query files usually arrive as per-batch DIRECTORIES (a Spark
@@ -40,14 +51,15 @@ object AnnStream {
     val queries = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(queryDir)
-    queries.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+    val writer = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         SimilarityQueries
           .pqProbe(SimilarityQueries.pqCells(SimilarityQueries.pqQuantize(batch)),
             cent, codes)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
         ()
       }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
 }

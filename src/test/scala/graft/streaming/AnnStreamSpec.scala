@@ -22,13 +22,16 @@ class AnnStreamSpec extends SparkSuite {
     emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
       .write.mode("overwrite").parquet(s"$qDir/b1.parquet")
 
+    val ckpt = Files.createTempDirectory("ann_ckpt").toString
     val q = AnnStream.pqProbeStream(spark, qDir, sf, outDir,
-      maxFilesPerTrigger = Some(1))
+      maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
     try { q.processAllAvailable() } finally { q.stop() }
 
-    val streamed = spark.read.parquet(outDir)
+    def readOut() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
       .collect().map(_.toSeq).toSet
+    val streamed = readOut()
     val batch = graft.queries.SimilarityQueries.simPq(spark, sf)
       .select("query_id", "rank", "neighbor_id", "adc_dist")
       .collect().map(_.toSeq).toSet
