@@ -116,6 +116,9 @@ object Curation {
     val docs = Tables.documents(s, d)
     val strata = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
       .withColumn("w", floor(sqrt(col("cnt").cast("double")) * 1e9).cast("long"))
+    // deliberate unpartitioned windows over the K-row strata frame (K =
+    // sources) — the WindowExec "No Partition Defined" warning is this,
+    // bounded by design; see dsMixture
     val withTotal = strata.withColumn("wtot",
       sum("w").over(Window.partitionBy()))
     val base = withTotal
@@ -223,6 +226,12 @@ object Curation {
       .select(col("lang"),
         (size(TextFns.tokens(col("text"))).cast("long") * col(Gc)).as("toks"))
       .groupBy("lang").agg(sum("toks").cast("long").as("avail"))
+    // DELIBERATE unpartitioned windows over a BOUNDED K-row frame (K =
+    // distinct languages — dozens at 100 TB, never corpus-sized): Spark's
+    // "WindowExec: No Partition Defined" warning in test/bench logs is
+    // this, and it is intentional — the global frame IS the algorithm
+    // (water-filling needs the whole domain), and the corpus-sized work
+    // all happened in the groupBy above.
     val tot = Window.partitionBy()
     val wAsc = Window.orderBy("avail", "lang")
     val wLang = Window.orderBy("lang")

@@ -21,6 +21,15 @@ object SparkSuite {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // The repo's only unpartitioned windows are the DELIBERATE K-row
+    // frames (ds_mixture / ds_temperature / ds_interleave quota math —
+    // bounded by the language/source domain, commented at each site), so
+    // WindowExec's "No Partition Defined" warning is pure noise in test
+    // logs; quiet that one logger rather than train readers to ignore
+    // warnings.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

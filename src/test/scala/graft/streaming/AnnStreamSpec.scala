@@ -16,10 +16,12 @@ class AnnStreamSpec extends SparkSuite {
     val qDir = Files.createTempDirectory("ann_q").toString
     val outDir = Files.createTempDirectory("ann_out").toString + "/probe"
     val emb = graft.Tables.embeddings(spark, sf)
-    // two micro-batches: queries 0-4, then 5-9
-    emb.filter(col("vec_id") < 5)
+    // two micro-batches that split the full batch query set in half, so
+    // the equality only holds if the probe is per-batch pure
+    val nq = graft.queries.SimilarityQueries.PqNQ
+    emb.filter(col("vec_id") < nq / 2)
       .write.mode("overwrite").parquet(s"$qDir/b0.parquet")
-    emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    emb.filter(col("vec_id") >= nq / 2 && col("vec_id") < nq)
       .write.mode("overwrite").parquet(s"$qDir/b1.parquet")
 
     val ckpt = Files.createTempDirectory("ann_ckpt").toString
