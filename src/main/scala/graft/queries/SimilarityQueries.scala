@@ -626,7 +626,8 @@ object SimilarityQueries {
     * vectors: the distance table is Q×PqM×PqK rows, broadcast.
     */
   private[graft] def pqProbe(qcells: DataFrame, cent: DataFrame,
-                             codes: DataFrame): DataFrame = {
+                             codes: DataFrame,
+                             topK: Int = PqTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dt = qcells
       .join(broadcast(cent), "m")
@@ -639,7 +640,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
         .cast("long"))
-      .filter(col("rank") <= PqTopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
   }
@@ -904,6 +905,130 @@ object SimilarityQueries {
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  // ---- ADC shortlist + exact re-rank: the production PQ serving shape ----
+  // A compressed index is never served raw: ADC ranks a SHORTLIST
+  // (top-PqR, here 50), then the shortlist alone is re-ranked by exact
+  // distance on the stored vectors (Jégou et al. 2011 §IV-E). Recall
+  // then depends on the shortlist containing the true neighbors — far
+  // easier than ADC ordering them — while the exact pass touches only
+  // Q×PqR rows. Scale shape: the shortlist (with its query vectors)
+  // broadcasts; the corpus-side quantized vectors join on vec_id and
+  // never shuffle; ranks come from a per-query window over ≤PqR rows.
+  private val PqR = 50
+
+  def simPqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cent, codes) = pqIndex(s, d)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val short = pqProbe(pqCells(qq), cent, codes, PqR)
+      .select(col("query_id"), col("neighbor_id"))
+    qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .join(broadcast(short.join(
+        qq.select(col("vec_id").as("query_id"), col("q").as("qq")),
+        "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "rank", "neighbor_id", "d2")
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shortlist + exact-rerank CTEs appended to [[pqSqlChain]] —
+    * shared verbatim by `sim_pq_rerank` and `sim_rerank_recall` (the
+    * recall can never drift from the query it evaluates).
+    */
+  private def rerankSqlChain: String =
+    s"""pq_short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rk
+       |    FROM adc) WHERE rk <= $PqR
+       |),
+       |rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         CAST(list_sum(list_transform(range(1, len(q.q)+1),
+       |              i -> (q.q[i] - c.q[i]) * (q.q[i] - c.q[i]))) AS BIGINT)
+       |           AS d2
+       |  FROM pq_short s
+       |  JOIN qv q ON q.vec_id = s.query_id
+       |  JOIN qv c ON c.vec_id = s.neighbor_id
+       |),
+       |rr_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY d2, neighbor_id) AS rank
+       |    FROM rr
+       |  ) WHERE rank <= $PqTopK
+       |)""".stripMargin
+
+  val simPqRerankSql: String =
+    s"""WITH $pqSqlChain,
+       |$rerankSqlChain
+       |SELECT query_id, rank, neighbor_id, d2
+       |FROM rr_top ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the reranked PQ probe vs the exact integer-L2 top-5 —
+    * the eval that shows WHY production serves shortlist+rerank: ADC
+    * alone orders noisily ([[simPqRecall]]); a 50-deep shortlist only
+    * has to CONTAIN the true top-5.
+    */
+  def simRerankRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rr = simPqRerank(s, d).select("query_id", "neighbor_id")
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val exact = qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("q").as("qq"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rk") <= PqTopK)
+      .select("query_id", "neighbor_id")
+    val hits = rr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    qq.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * lit(10000L / PqTopK)).cast("long").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  val simRerankRecallSql: String =
+    s"""WITH $pqSqlChain,
+       |$rerankSqlChain,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qy.q)+1),
+       |               i -> (qy.q[i] - c.q[i]) * (qy.q[i] - c.q[i]))),
+       |             c.vec_id) AS rk
+       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) qy, qv c
+       |    WHERE c.vec_id <> qy.vec_id)
+       |  WHERE rk <= $PqTopK
+       |), hits AS (
+       |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM rr_top r JOIN exact e
+       |    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) * ${10000 / PqTopK} AS BIGINT)
+       |         AS recall_bp
+       |FROM (SELECT vec_id AS query_id FROM qv WHERE vec_id < $PqNQ) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   // ---- RAG context assembly: retrieve -> join -> budget-truncate ----
   // The composition a retrieval-augmented pipeline runs per query batch:
   // top-k neighbors for each query embedding, joined to the document
@@ -1008,11 +1133,140 @@ object SimilarityQueries {
        |SELECT * FROM packed WHERE cum_chars <= $RagBudget
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- hybrid retrieval: lexical TF-IDF + dense PQ, RRF-fused ----
+  // The retrieval shape RAG systems actually deploy: a lexical ranking
+  // (integer TF-IDF over a df-capped inverted index) and a dense ranking
+  // (the persisted-PQ ADC probe) fused by reciprocal-rank fusion
+  // (Cormack et al. 2009) — RRF needs only RANKS, so the fusion is pure
+  // integer arithmetic and oracle-exact. idf is the integer
+  // floor(log2(N div df)) (length(bin(x))-1 — identical in both
+  // engines); tokens in more than 1/8 of the corpus are dropped from the
+  // postings (they carry ~no idf and only widen the join — the
+  // dd_ngram_jaccard df-cap doctrine).
+  //
+  // Scale shape: one corpus tokenize+groupBy builds (doc, term, tf); the
+  // lexical join is query-side-broadcast against the capped postings;
+  // the dense side reads the persisted codes; fusion windows ≤2·HybK
+  // rows per query. The corpus never moves twice and never cross-joins.
+  private val HybK = 20    // per-system shortlist depth
+  private val HybRrfK = 60 // RRF damping constant
+  private val HybNQ = 10   // query docs: doc_id < 10 (the pipe_rag set)
+
+  def pipeRagHybrid(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).cast("long").as("tf"))
+    val nDocs = docs.select(count(lit(1)).cast("long").as("n_docs"))
+    val idf = toks.groupBy("t").agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 8 <= col("n_docs"))
+      .select(col("t"),
+        (length(bin(expr("n_docs div df"))) - 1).cast("long").as("idf"))
+    val qt = toks.filter(col("doc_id") < HybNQ)
+      .select(col("doc_id").as("query_id"), col("t"), col("tf").as("tfq"))
+    val lex = toks.join(broadcast(qt.join(idf, "t")), Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tf") * col("tfq") * col("idf")).as("lex_score"))
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("lex_score"), col("doc_id"))).cast("long"))
+      .filter(col("lex_rank") <= HybK)
+      .select("query_id", "doc_id", "lex_rank")
+    val (cent, codes) = pqIndex(s, d)
+    val dense = pqProbe(pqCells(pqQuantize(
+        Tables.embeddings(s, d).filter(col("vec_id") < HybNQ))),
+        cent, codes, HybK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("den_rank"))
+    val cand = lex.select("query_id", "doc_id")
+      .union(dense.select("query_id", "doc_id")).distinct()
+    cand.join(lex, Seq("query_id", "doc_id"), "left")
+      .join(dense, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"1000000 div ($HybRrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($HybRrfK + den_rank)"), lit(0L)))
+          .as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= RagK)
+      .select("query_id", "rank", "doc_id", "rrf")
+      .orderBy("query_id", "rank")
+  }
+
+  val pipeRagHybridSql: String =
+    s"""WITH $pqSqlChain,
+       |toks AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id,
+       |           unnest(list_filter(
+       |             string_split_regex(lower(trim(text)), '\\s+'),
+       |             x -> len(x) > 0)) AS t
+       |    FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |idf AS (
+       |  SELECT t, CAST(len(bin(n_docs // df)) - 1 AS BIGINT) AS idf
+       |  FROM (SELECT t, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+       |       nd
+       |  WHERE df * 8 <= n_docs
+       |),
+       |qt AS (SELECT doc_id AS query_id, t, tf AS tfq FROM toks
+       |       WHERE doc_id < $HybNQ),
+       |lexs AS (
+       |  SELECT q.query_id, c.doc_id,
+       |         CAST(sum(c.tf * q.tfq * i.idf) AS BIGINT) AS lex_score
+       |  FROM qt q JOIN idf i USING (t) JOIN toks c USING (t)
+       |  WHERE c.doc_id <> q.query_id
+       |  GROUP BY 1, 2
+       |),
+       |lex AS (
+       |  SELECT query_id, doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY lex_score DESC, doc_id) AS rn
+       |    FROM lexs)
+       |  WHERE rn <= $HybK
+       |),
+       |dense AS (
+       |  SELECT query_id, neighbor_id AS doc_id, CAST(rn AS BIGINT) AS den_rank
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rn
+       |    FROM adc WHERE query_id < $HybNQ)
+       |  WHERE rn <= $HybK
+       |),
+       |cand AS (
+       |  SELECT query_id, doc_id FROM lex
+       |  UNION
+       |  SELECT query_id, doc_id FROM dense
+       |),
+       |fused AS (
+       |  SELECT c.query_id, c.doc_id,
+       |         CAST(COALESCE(1000000 // ($HybRrfK + l.lex_rank), 0)
+       |            + COALESCE(1000000 // ($HybRrfK + d.den_rank), 0)
+       |              AS BIGINT) AS rrf
+       |  FROM cand c
+       |  LEFT JOIN lex l USING (query_id, doc_id)
+       |  LEFT JOIN dense d USING (query_id, doc_id)
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $RagK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "sim_pq" -> (simPq _),
     "sim_pq_recall" -> (simPqRecall _),
+    "sim_pq_rerank" -> (simPqRerank _),
+    "sim_rerank_recall" -> (simRerankRecall _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
+    "pipe_rag_hybrid" -> (pipeRagHybrid _),
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -1026,8 +1280,11 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "sim_pq" -> simPqSql,
     "sim_pq_recall" -> simPqRecallSql,
+    "sim_pq_rerank" -> simPqRerankSql,
+    "sim_rerank_recall" -> simRerankRecallSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
+    "pipe_rag_hybrid" -> pipeRagHybridSql,
     "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Structural contracts of the round-8 retrieval additions; the
+  * value-level cross-engine check is the DuckDB oracle.
+  */
+class RerankHybridSpec extends SparkSuite {
+
+  test("sim_pq_rerank: ranks 1..5, d2 nondecreasing, no self") {
+    val r = SimilarityQueries.simPqRerank(spark, sf).cache()
+    try {
+      val perQuery = r.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      assert(perQuery.filter(
+        col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).count() == 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      assert(r.withColumn("prev", lag("d2", 1).over(w))
+        .filter(col("prev").isNotNull && col("d2") < col("prev"))
+        .count() == 0, "exact d2 must be nondecreasing in rank")
+      assert(r.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    } finally { r.unpersist(); () }
+  }
+
+  test("rerank recall dominates plain-ADC recall per query (provable invariant)") {
+    // If a true top-5 neighbor t is in the ADC top-5 it is in the top-50
+    // shortlist, and at most 4 shortlist members can have smaller exact
+    // distance than t (they would be global top-5 themselves) — so exact
+    // rerank keeps t. Hence per query: rerank hits >= ADC hits, always.
+    val adc = SimilarityQueries.simPqRecall(spark, sf)
+      .select(col("query_id"), col("n_hits").as("adc_hits"))
+    val rr = SimilarityQueries.simRerankRecall(spark, sf)
+      .select(col("query_id"), col("n_hits").as("rr_hits"))
+    val joined = adc.join(rr, "query_id").cache()
+    try {
+      assert(joined.filter(col("rr_hits") < col("adc_hits")).count() == 0,
+        "rerank recall must dominate ADC recall per query")
+      val Seq(a, b) = joined.agg(sum("adc_hits"), sum("rr_hits"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      info(s"total hits/250: ADC=$a rerank=$b")
+      assert(b > a, "on this corpus the 50-deep shortlist should strictly help")
+    } finally { joined.unpersist(); () }
+  }
+
+  test("pipe_rag_hybrid: bounded ranked lists, positive fused scores, no self") {
+    val r = SimilarityQueries.pipeRagHybrid(spark, sf).cache()
+    try {
+      assert(r.filter(col("rrf") <= 0).count() == 0,
+        "every fused candidate came from at least one system")
+      val perQuery = r.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("lo"),
+          count_distinct(col("rank")).as("nr"))
+      assert(perQuery.filter(
+        col("n") > 8 || col("lo") =!= 1 || col("nr") =!= col("n")).count() == 0,
+        "per query: dense ranks from 1, at most RagK rows")
+      assert(r.filter(col("query_id") === col("doc_id")).count() == 0)
+      // both systems contribute somewhere: at least one fused row must
+      // exceed the single-system RRF maximum 1000000 div 61
+      assert(r.filter(col("rrf") > 1000000L / 61).count() > 0,
+        "no candidate was ranked by both systems — fusion is degenerate")
+    } finally { r.unpersist(); () }
+  }
+}
