@@ -1133,6 +1133,360 @@ object SimilarityQueries {
        |SELECT * FROM packed WHERE cum_chars <= $RagBudget
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF-PQ: coarse inverted lists + residual product quantization ----
+  // The composition production ANN systems actually deploy at 100 TB
+  // (Jégou 2011 §V, the Faiss IVFPQ shape): a coarse k-means partitions
+  // the corpus into inverted lists; each vector stores only its cell id
+  // and the PQ codes of its RESIDUAL (vector minus cell centroid —
+  // residuals concentrate near zero, so the same codebook budget
+  // quantizes them better); a query probes its IvfProbe nearest cells
+  // and runs integer ADC against those cells' codes ONLY. Search cost
+  // scales with nprobe/KmK of the corpus, not the corpus — the
+  // partition-pruning this engine applies to scans, applied to ANN.
+  //
+  // Everything is integer (2^20-grid vectors, truncating-div Lloyd's,
+  // integer residuals, integer ADC), so both engines rank
+  // bit-identically. The index (coarse centroids + residual codebooks +
+  // codes) is a BUILT-ONCE staged artifact keyed by Scratch.digest; the
+  // probe is the measured query. Scale shape per stage: coarse training
+  // touches only the bounded PqTrainN sample; full-corpus assignment and
+  // encoding are broadcast-join passes; the probe joins a broadcast
+  // Q×nprobe×PqM×PqK distance table against codes on (cid, m, code) —
+  // the join key IS the inverted-list prune.
+  private val IvfProbe = 2
+
+  /** The persisted IVF-PQ index: (coarse centroids (cid, cvec),
+    * residual codebooks (m, code, cvec), codes (vec_id, cid, m, code)).
+    */
+  private[graft] def ivfpqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = graft.Scratch.digest(d)
+    def stage(c: => DataFrame, name: String): DataFrame =
+      graft.Scratch.stagedFrame(s, s"ivfpq_${name}_$tag")(c)
+
+    val qv = stage(pqQuantize(Tables.embeddings(s, d)), "qv")
+    val tv = qv.filter(col("vec_id") < PqTrainN)
+
+    // coarse k-means over the bounded training sample: KmK cells,
+    // KmIters truncating-div Lloyd's rounds, lowest-id init (the
+    // emb_kmeans recipe — the coarse trainer needs spread less than the
+    // codebooks do, and the oracle mirrors it verbatim)
+    def argminCid(on: DataFrame, c: DataFrame): DataFrame =
+      on.crossJoin(broadcast(c))
+        .withColumn("dist", distL2(col("q"), col("cvec")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("mm"))
+        .select(col("vec_id"), col("mm.cid").as("cid"))
+    var coarse = stage(
+      tv.orderBy("vec_id").limit(KmK)
+        .select((row_number().over(Window.orderBy("vec_id")) - 1)
+          .cast("long").as("cid"), col("q").as("cvec")), "coarse_0")
+    for (i <- 1 to KmIters) {
+      coarse = stage(
+        argminCid(tv, coarse).join(tv, "vec_id")
+          .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .select(col("cid"), col("pos"),
+            (when(col("sx") < 0, -1L).otherwise(1L) *
+              expr("abs(sx) div n")).as("cx"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cvec")), s"coarse_$i")
+    }
+
+    // full-corpus cell assignment + integer residuals
+    val resid = stage(
+      argminCid(qv, coarse).join(qv, "vec_id").join(broadcast(coarse), "cid")
+        .select(col("vec_id"), col("cid"),
+          zip_with(col("q"), col("cvec"), (x, y) => x - y).as("r")), "resid")
+
+    def rcellsOf(on: DataFrame): DataFrame =
+      on.select(col("vec_id"), col("cid"),
+          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+        .select(col("vec_id"), col("cid"), col("m"),
+          slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+    val cells = stage(rcellsOf(resid), "rcells")
+    val tcells = cells.filter(col("vec_id") < PqTrainN)
+
+    // residual codebooks: hash-ranked seed spread over the training
+    // residuals (residual space is centered, no strata to cover), then
+    // PqIters Lloyd's rounds — the pqIndex recipe on residuals
+    val seeds = resid.filter(col("vec_id") < PqTrainN)
+      .select(col("vec_id"),
+        md5(concat(lit("ivfpqseed|"), col("vec_id").cast("string"))).as("hs"))
+      .orderBy("hs", "vec_id").limit(PqK).select("vec_id")
+    def argminCode(on: DataFrame, c: DataFrame): DataFrame =
+      on.join(broadcast(c), "m")
+        .withColumn("dist", distL2(col("sub"), col("cvec")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("code"))).as("mm"))
+        .select(col("vec_id"), col("m"), col("mm.code").as("code"))
+    var rcent = stage(
+      tcells.join(seeds, "vec_id")
+        .withColumn("code", (row_number().over(
+          Window.partitionBy("m").orderBy("vec_id")) - 1).cast("long"))
+        .select(col("m"), col("code"), col("sub").as("cvec")), "rcent_0")
+    for (i <- 1 to PqIters) {
+      rcent = stage(
+        argminCode(tcells, rcent).join(tcells, Seq("vec_id", "m"))
+          .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy("m", "code", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .select(col("m"), col("code"), col("pos"),
+            (when(col("sx") < 0, -1L).otherwise(1L) *
+              expr("abs(sx) div n")).as("cx"))
+          .groupBy("m", "code")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cvec")), s"rcent_$i")
+    }
+
+    // encode the full corpus — (vec_id, cid, PqM codes) IS the index
+    val codes = stage(
+      argminCode(cells, rcent)
+        .join(resid.select("vec_id", "cid"), "vec_id")
+        .select("vec_id", "cid", "m", "code"), "codes")
+    (coarse, rcent, codes)
+  }
+
+  /** IVF-PQ top-k: probe the IvfProbe nearest coarse cells, integer ADC
+    * on residuals against those cells' codes only.
+    */
+  def simIvfpq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val qq = pqQuantize(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ))
+    val probes = qq.crossJoin(broadcast(coarse))
+      .withColumn("cd", distL2(col("q"), col("cvec")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cd"), col("cid"))))
+      .filter(col("pr") <= IvfProbe)
+      .select(col("vec_id").as("query_id"), col("cid"),
+        zip_with(col("q"), col("cvec"), (x, y) => x - y).as("rq"))
+    val qcells = probes
+      .select(col("query_id"), col("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("rq"))
+      .select(col("query_id"), col("cid"), col("m"),
+        slice(col("rq"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+    val dt = qcells.join(broadcast(rcent), "m")
+      .select(col("query_id"), col("cid"), col("m"), col("code"),
+        distL2(col("sub"), col("cvec")).as("dcode"))
+    codes.join(broadcast(dt), Seq("cid", "m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("dcode").as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
+        .cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The full IVF-PQ oracle chain as a WITH body ending in `ivf_top`
+    * (query_id, rank, neighbor_id, adc_dist) — shared verbatim by
+    * `sim_ivfpq` and `sim_ivfpq_recall` (the sim_pq_recall doctrine).
+    */
+  private def ivfpqSqlChain: String = {
+    val dist =
+      """list_sum(list_transform(range(1, len(q)+1),
+        |            i -> (q[i] - cvec[i]) * (q[i] - cvec[i])))""".stripMargin
+    val sdist =
+      """list_sum(list_transform(range(1, len(sub)+1),
+        |            i -> (sub[i] - cvec[i]) * (sub[i] - cvec[i])))""".stripMargin
+    val coarseRounds = (1 to KmIters).map { i =>
+      s"""casg$i AS (
+         |  SELECT vec_id, cid, q FROM (
+         |    SELECT t.vec_id, c.cid, t.q,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |                              ORDER BY $dist, c.cid) AS rk
+         |    FROM tv t JOIN ccent${i - 1} c ON true)
+         |  WHERE rk = 1
+         |),
+         |ccell$i AS (
+         |  SELECT cid, unnest(range(1, len(q)+1)) AS pos, unnest(q) AS x
+         |  FROM casg$i
+         |),
+         |ccent$i AS (
+         |  SELECT cid, list(cx ORDER BY pos) AS cvec FROM (
+         |    SELECT cid, pos,
+         |           CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END AS BIGINT)
+         |             * (abs(sum(x)) // count(*)) AS cx
+         |    FROM ccell$i GROUP BY cid, pos)
+         |  GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    val residRounds = (1 to PqIters).map { i =>
+      s"""rasg$i AS (
+         |  SELECT vec_id, m, code, sub FROM (
+         |    SELECT t.vec_id, t.m, ct.code, t.sub,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.m
+         |                              ORDER BY $sdist, ct.code) AS rk
+         |    FROM rtcells t JOIN rcent${i - 1} ct ON t.m = ct.m)
+         |  WHERE rk = 1
+         |),
+         |rpos$i AS (
+         |  SELECT m, code, unnest(range(1, len(sub)+1)) AS pos, unnest(sub) AS x
+         |  FROM rasg$i
+         |),
+         |rcent$i AS (
+         |  SELECT m, code, list(cx ORDER BY pos) AS cvec FROM (
+         |    SELECT m, code, pos,
+         |           CAST(CASE WHEN sum(x) < 0 THEN -1 ELSE 1 END AS BIGINT)
+         |             * (abs(sum(x)) // count(*)) AS cx
+         |    FROM rpos$i GROUP BY m, code, pos)
+         |  GROUP BY m, code
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""qv AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $PqScale.0) AS BIGINT)) AS q
+       |  FROM embeddings
+       |),
+       |tv AS (SELECT * FROM qv WHERE vec_id < $PqTrainN),
+       |ccent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+       |         q AS cvec
+       |  FROM (SELECT vec_id, q FROM tv ORDER BY vec_id LIMIT $KmK)
+       |),
+       |$coarseRounds,
+       |asg AS (
+       |  SELECT vec_id, cid, q FROM (
+       |    SELECT e.vec_id, c.cid, e.q,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $dist, c.cid) AS rk
+       |    FROM qv e JOIN ccent$KmIters c ON true)
+       |  WHERE rk = 1
+       |),
+       |resid AS (
+       |  SELECT a.vec_id, a.cid,
+       |         list_transform(range(1, len(a.q)+1),
+       |           i -> a.q[i] - c.cvec[i]) AS r
+       |  FROM asg a JOIN ccent$KmIters c ON a.cid = c.cid
+       |),
+       |rcells AS (
+       |  SELECT vec_id, cid, m, r[m*$PqSub+1 : (m+1)*$PqSub] AS sub
+       |  FROM resid, (SELECT unnest(range(0, $PqM)) AS m)
+       |),
+       |rtcells AS (SELECT * FROM rcells WHERE vec_id < $PqTrainN),
+       |rcent0 AS (
+       |  SELECT m,
+       |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+       |              AS BIGINT) AS code,
+       |         sub AS cvec
+       |  FROM rtcells
+       |  WHERE vec_id IN (SELECT vec_id FROM resid WHERE vec_id < $PqTrainN
+       |                   ORDER BY md5('ivfpqseed|' || CAST(vec_id AS VARCHAR)),
+       |                            vec_id LIMIT $PqK)
+       |),
+       |$residRounds,
+       |rcodes AS (
+       |  SELECT vec_id, cid, m, code FROM (
+       |    SELECT t.vec_id, t.cid, t.m, ct.code,
+       |           row_number() OVER (PARTITION BY t.vec_id, t.m
+       |                              ORDER BY $sdist, ct.code) AS rk
+       |    FROM rcells t JOIN rcent$PqIters ct ON t.m = ct.m)
+       |  WHERE rk = 1
+       |),
+       |qprobe AS (
+       |  SELECT query_id, cid,
+       |         list_transform(range(1, len(q)+1), i -> q[i] - cvec[i]) AS rq
+       |  FROM (
+       |    SELECT e.vec_id AS query_id, c.cid, e.q, c.cvec,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY $dist, c.cid) AS pr
+       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) e
+       |    JOIN ccent$KmIters c ON true)
+       |  WHERE pr <= $IvfProbe
+       |),
+       |qpcells AS (
+       |  SELECT query_id, cid, m, rq[m*$PqSub+1 : (m+1)*$PqSub] AS sub
+       |  FROM qprobe, (SELECT unnest(range(0, $PqM)) AS m)
+       |),
+       |ivf_dt AS (
+       |  SELECT p.query_id, p.cid, ct.m, ct.code, $sdist AS dcode
+       |  FROM qpcells p JOIN rcent$PqIters ct ON p.m = ct.m
+       |),
+       |ivf_adc AS (
+       |  SELECT d.query_id, k.vec_id AS neighbor_id,
+       |         CAST(sum(d.dcode) AS BIGINT) AS adc_dist
+       |  FROM rcodes k
+       |  JOIN ivf_dt d ON k.cid = d.cid AND k.m = d.m AND k.code = d.code
+       |  WHERE k.vec_id <> d.query_id
+       |  GROUP BY 1, 2
+       |),
+       |ivf_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rank
+       |    FROM ivf_adc
+       |  ) WHERE rank <= $PqTopK
+       |)""".stripMargin
+  }
+
+  val simIvfpqSql: String =
+    s"""WITH $ivfpqSqlChain
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the cell-pruned IVF-PQ probe vs the exact integer-L2
+    * top-5 — certifies what nprobe=2 of KmK=8 cells costs in recall.
+    */
+  def simIvfpqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivf = simIvfpq(s, d).select("query_id", "neighbor_id")
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val exact = qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("q").as("qq"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rk") <= PqTopK)
+      .select("query_id", "neighbor_id")
+    val hits = ivf.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    qq.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * lit(10000L / PqTopK)).cast("long").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  val simIvfpqRecallSql: String =
+    s"""WITH $ivfpqSqlChain,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qy.q)+1),
+       |               i -> (qy.q[i] - c.q[i]) * (qy.q[i] - c.q[i]))),
+       |             c.vec_id) AS rk
+       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) qy, qv c
+       |    WHERE c.vec_id <> qy.vec_id)
+       |  WHERE rk <= $PqTopK
+       |), hits AS (
+       |  SELECT v.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ivf_top v JOIN exact e
+       |    ON v.query_id = e.query_id AND v.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) * ${10000 / PqTopK} AS BIGINT)
+       |         AS recall_bp
+       |FROM (SELECT vec_id AS query_id FROM qv WHERE vec_id < $PqNQ) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   // ---- hybrid retrieval: lexical TF-IDF + dense PQ, RRF-fused ----
   // The retrieval shape RAG systems actually deploy: a lexical ranking
   // (integer TF-IDF over a df-capped inverted index) and a dense ranking
@@ -1264,6 +1618,8 @@ object SimilarityQueries {
     "sim_pq_recall" -> (simPqRecall _),
     "sim_pq_rerank" -> (simPqRerank _),
     "sim_rerank_recall" -> (simRerankRecall _),
+    "sim_ivfpq" -> (simIvfpq _),
+    "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_hybrid" -> (pipeRagHybrid _),
@@ -1282,6 +1638,8 @@ object SimilarityQueries {
     "sim_pq_recall" -> simPqRecallSql,
     "sim_pq_rerank" -> simPqRerankSql,
     "sim_rerank_recall" -> simRerankRecallSql,
+    "sim_ivfpq" -> simIvfpqSql,
+    "sim_ivfpq_recall" -> simIvfpqRecallSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_hybrid" -> pipeRagHybridSql,
