@@ -1250,13 +1250,15 @@ object SimilarityQueries {
     (coarse, rcent, codes)
   }
 
-  /** IVF-PQ top-k: probe the IvfProbe nearest coarse cells, integer ADC
-    * on residuals against those cells' codes only.
+  /** IVF-PQ top-k for a batch of raw (vec_id, embedding) query rows —
+    * the per-batch serving path shared by batch `sim_ivfpq` and the
+    * streaming twin ([[graft.streaming.AnnStream.ivfpqProbeStream]]).
+    * Pure function of (query rows, index): no cross-batch state.
     */
-  def simIvfpq(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfpqProbe(queries: DataFrame, coarse: DataFrame,
+                                rcent: DataFrame, codes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (coarse, rcent, codes) = ivfpqIndex(s, d)
-    val qq = pqQuantize(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ))
+    val qq = pqQuantize(queries)
     val probes = qq.crossJoin(broadcast(coarse))
       .withColumn("cd", distL2(col("q"), col("cvec")))
       .withColumn("pr", row_number().over(
@@ -1282,6 +1284,15 @@ object SimilarityQueries {
       .filter(col("rank") <= PqTopK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
+  }
+
+  /** IVF-PQ top-k: probe the IvfProbe nearest coarse cells, integer ADC
+    * on residuals against those cells' codes only.
+    */
+  def simIvfpq(s: SparkSession, d: String): DataFrame = {
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+      coarse, rcent, codes)
       .orderBy("query_id", "rank")
   }
 

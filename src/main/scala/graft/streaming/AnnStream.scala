@@ -62,4 +62,31 @@ object AnnStream {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** Continuous IVF-PQ serving — the streaming twin of batch
+    * `sim_ivfpq`, against the same built-once index (coarse centroids +
+    * residual codebooks + codes). Same contract as [[pqProbeStream]]:
+    * per-batch pure probe (verdicts bit-equal to batch on the same query
+    * set), per-batch `batch_<id>` subdirs overwritten on replay, resume
+    * via `checkpointDir`.
+    */
+  def ivfpqProbeStream(s: SparkSession, queryDir: String, indexDir: String,
+                       outDir: String,
+                       maxFilesPerTrigger: Option[Int] = None,
+                       checkpointDir: Option[String] = None): StreamingQuery = {
+    val (coarse, rcent, codes) = SimilarityQueries.ivfpqIndex(s, indexDir)
+    val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("recursiveFileLookup", "true")
+    val queries = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(queryDir)
+    val writer = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilarityQueries.ivfpqProbe(batch, coarse, rcent, codes)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

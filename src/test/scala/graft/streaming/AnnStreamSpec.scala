@@ -41,4 +41,30 @@ class AnnStreamSpec extends SparkSuite {
       s"stream/batch diverge: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
     assert(streamed.nonEmpty)
   }
+
+  test("streamed IVF-PQ verdicts are bit-equal to batch sim_ivfpq") {
+    val qDir = Files.createTempDirectory("ivfpq_q").toString
+    val outDir = Files.createTempDirectory("ivfpq_out").toString + "/probe"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val nq = graft.queries.SimilarityQueries.PqNQ
+    emb.filter(col("vec_id") < nq / 2)
+      .write.mode("overwrite").parquet(s"$qDir/b0.parquet")
+    emb.filter(col("vec_id") >= nq / 2 && col("vec_id") < nq)
+      .write.mode("overwrite").parquet(s"$qDir/b1.parquet")
+
+    val q = AnnStream.ivfpqProbeStream(spark, qDir, sf, outDir,
+      maxFilesPerTrigger = Some(1))
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.SimilarityQueries.simIvfpq(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"stream/batch diverge: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty)
+  }
 }
