@@ -588,13 +588,21 @@ object SimilarityQueries {
   private val PqTopK = 5
   private val PqTrainN = 1500 // codebook training sample: vec_id < 1500
 
-  /** Integer squared L2 between two array<long> columns — a strict
-    * zip/fold, bit-deterministic on any engine.
+  /** Integer squared L2 between two array<long> columns, expanded to
+    * `|a|² − 2a·b + |b|²` over the codegen'd [[graft.plans.DotProductL]]
+    * loop — bit-identical to the naive Σ(aᵢ−bᵢ)² fold (exact long
+    * arithmetic, overflow-free at the 2^20 grid: per-term ≤ 2^42, 64-dim
+    * sums ≤ 2^48), but ~an order of magnitude faster than the
+    * `aggregate(zip_with(...))` higher-order form, which is
+    * CodegenFallback and interprets two lambdas per element. Measured on
+    * the 10× rung before the swap: the three corpus×50-query recall
+    * evals cost 7–8 s EACH from interpreted lambdas alone.
     */
   private def distL2(a: org.apache.spark.sql.Column,
-                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.plans.DotProductL.dotL
+    dotL(a, a) - lit(2L) * dotL(a, b) + dotL(b, b)
+  }
 
   /** Quantize raw (vec_id, embedding) rows to the integer grid the whole
     * PQ pipeline runs on. The PqM×PqSub subspace split hard-codes the

@@ -376,4 +376,27 @@ class PlanShapeSpec extends SparkSuite {
     assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("sim_pq_rerank: shortlist+query vectors broadcast against the " +
+    "corpus-side quantized vectors — never a corpus sort-merge/cartesian") {
+    val p = plan("sim_pq_rerank")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_ivfpq: probe joins the codes on (cid, m, code) by broadcast — " +
+    "the join key IS the inverted-list prune; no corpus-side sort-merge") {
+    val p = plan("sim_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pipe_rag_hybrid: postings join the broadcast query side; no " +
+    "cartesian product anywhere (the one crossJoin is a 1-row scalar)") {
+    val p = plan("pipe_rag_hybrid")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
