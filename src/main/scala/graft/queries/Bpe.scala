@@ -157,6 +157,31 @@ object Bpe {
       .sortWithinPartitions("doc_id")
   }
 
+  /** Pack documents into fixed TOKEN-budget bins per language — `ds_pack`
+    * with the budget measured in true BPE tokens (what a training run
+    * actually packs by: sequence slots are token counts, not chars),
+    * composed from the certified `txt_bpe_encode` counts. Scale shape
+    * inherits both parents: one corpus tokenize pass + broadcast
+    * vocabulary join for the counts, then one lang exchange + per-lang
+    * running total for the bins.
+    */
+  private val PackTokBudget = 1024L
+
+  def dsPackTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = txtBpeEncode(s, d).select("doc_id", "n_tokens_bpe")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d).select("doc_id", "lang")
+      .join(counts, "doc_id")
+      .withColumn("cum", sum("n_tokens_bpe").over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens_bpe) div $PackTokBudget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens_bpe").cast("long").as("tokens"))
+      .orderBy("lang", "bin")
+  }
+
   // ---- oracle SQL (DuckDB), same algorithm spelled in its idiom ----
 
   private val tokSql =
@@ -217,11 +242,35 @@ object Bpe {
        |FROM tok JOIN w$R USING (w)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  val dsPackTokensSql: String =
+    s"""$cteChain,
+       |tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+       |cnts AS (
+       |  SELECT doc_id,
+       |         CAST(sum(len(string_split(enc, chr(31))) - 1) AS BIGINT)
+       |           AS n_tokens_bpe
+       |  FROM tok JOIN w$R USING (w) GROUP BY 1
+       |),
+       |packed AS (
+       |  SELECT d.lang, c.doc_id, c.n_tokens_bpe,
+       |         CAST(sum(c.n_tokens_bpe) OVER (PARTITION BY d.lang
+       |              ORDER BY c.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |              AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM cnts c JOIN documents d USING (doc_id)
+       |)
+       |SELECT lang,
+       |       CAST((cum - n_tokens_bpe) // $PackTokBudget AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens_bpe) AS BIGINT) AS tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "vocab_bpe" -> (vocabBpe _),
-    "txt_bpe_encode" -> (txtBpeEncode _))
+    "txt_bpe_encode" -> (txtBpeEncode _),
+    "ds_pack_tokens" -> (dsPackTokens _))
 
   val oracles: Map[String, String] = Map(
     "vocab_bpe" -> vocabBpeSql,
-    "txt_bpe_encode" -> txtBpeEncodeSql)
+    "txt_bpe_encode" -> txtBpeEncodeSql,
+    "ds_pack_tokens" -> dsPackTokensSql)
 }
