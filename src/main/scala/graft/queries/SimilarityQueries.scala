@@ -1264,7 +1264,8 @@ object SimilarityQueries {
     * Pure function of (query rows, index): no cross-batch state.
     */
   private[graft] def ivfpqProbe(queries: DataFrame, coarse: DataFrame,
-                                rcent: DataFrame, codes: DataFrame): DataFrame = {
+                                rcent: DataFrame, codes: DataFrame,
+                                topK: Int = PqTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qq = pqQuantize(queries)
     val probes = qq.crossJoin(broadcast(coarse))
@@ -1289,7 +1290,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
         .cast("long"))
-      .filter(col("rank") <= PqTopK)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
   }
@@ -1480,6 +1481,123 @@ object SimilarityQueries {
       .orderBy("query_id")
   }
 
+  /** IVF-PQ shortlist + exact rerank: ADC ranks a PqR-deep shortlist
+    * WITHIN the probed cells, exact integer-L2 re-ranks it — completing
+    * the serving matrix (flat PQ / flat PQ+rerank / IVF-PQ /
+    * IVF-PQ+rerank). The recall eval certifies the decomposition of the
+    * two loss sources: rerank recovers the residual-ADC ordering error;
+    * what remains unrecovered is exactly the cell-pruning miss (true
+    * neighbors outside the nprobe cells), which no rerank can see.
+    */
+  def simIvfpqRerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val short = ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+        coarse, rcent, codes, PqR)
+      .select(col("query_id"), col("neighbor_id"))
+    qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .join(broadcast(short.join(
+        qq.select(col("vec_id").as("query_id"), col("q").as("qq")),
+        "query_id")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .select("query_id", "rank", "neighbor_id", "d2")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shortlist + rerank CTEs appended to [[ivfpqSqlChain]], shared by
+    * `sim_ivfpq_rerank` and `sim_ivfpq_rr_recall`.
+    */
+  private def ivfRerankSqlChain: String =
+    s"""ivf_short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rk
+       |    FROM ivf_adc) WHERE rk <= $PqR
+       |),
+       |ivf_rr AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         CAST(list_sum(list_transform(range(1, len(q.q)+1),
+       |              i -> (q.q[i] - c.q[i]) * (q.q[i] - c.q[i]))) AS BIGINT)
+       |           AS d2
+       |  FROM ivf_short s
+       |  JOIN qv q ON q.vec_id = s.query_id
+       |  JOIN qv c ON c.vec_id = s.neighbor_id
+       |),
+       |ivf_rr_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, d2
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY d2, neighbor_id) AS rank
+       |    FROM ivf_rr
+       |  ) WHERE rank <= $PqTopK
+       |)""".stripMargin
+
+  val simIvfpqRerankSql: String =
+    s"""WITH $ivfpqSqlChain,
+       |$ivfRerankSqlChain
+       |SELECT query_id, rank, neighbor_id, d2
+       |FROM ivf_rr_top ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@5 of the cell-pruned + reranked probe vs the exact top-5. */
+  def simIvfpqRrRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rr = simIvfpqRerank(s, d).select("query_id", "neighbor_id")
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < PqNQ)
+    val exact = qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("q").as("qq"))))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))))
+      .filter(col("rk") <= PqTopK)
+      .select("query_id", "neighbor_id")
+    val hits = rr.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    qq.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits") * lit(10000L / PqTopK)).cast("long").as("recall_bp"))
+      .orderBy("query_id")
+  }
+
+  val simIvfpqRrRecallSql: String =
+    s"""WITH $ivfpqSqlChain,
+       |$ivfRerankSqlChain,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qy.q)+1),
+       |               i -> (qy.q[i] - c.q[i]) * (qy.q[i] - c.q[i]))),
+       |             c.vec_id) AS rk
+       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) qy, qv c
+       |    WHERE c.vec_id <> qy.vec_id)
+       |  WHERE rk <= $PqTopK
+       |), hits AS (
+       |  SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ivf_rr_top r JOIN exact e
+       |    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT q.query_id,
+       |       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(COALESCE(h.n_hits, 0) * ${10000 / PqTopK} AS BIGINT)
+       |         AS recall_bp
+       |FROM (SELECT vec_id AS query_id FROM qv WHERE vec_id < $PqNQ) q
+       |LEFT JOIN hits h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   val simIvfpqRecallSql: String =
     s"""WITH $ivfpqSqlChain,
        |exact AS (
@@ -1639,6 +1757,8 @@ object SimilarityQueries {
     "sim_rerank_recall" -> (simRerankRecall _),
     "sim_ivfpq" -> (simIvfpq _),
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
+    "sim_ivfpq_rerank" -> (simIvfpqRerank _),
+    "sim_ivfpq_rr_recall" -> (simIvfpqRrRecall _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_hybrid" -> (pipeRagHybrid _),
@@ -1659,6 +1779,8 @@ object SimilarityQueries {
     "sim_rerank_recall" -> simRerankRecallSql,
     "sim_ivfpq" -> simIvfpqSql,
     "sim_ivfpq_recall" -> simIvfpqRecallSql,
+    "sim_ivfpq_rerank" -> simIvfpqRerankSql,
+    "sim_ivfpq_rr_recall" -> simIvfpqRrRecallSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_hybrid" -> pipeRagHybridSql,

@@ -45,6 +45,22 @@ class IvfpqSpec extends SparkSuite {
     assert(r.count() > 0)
   }
 
+  test("rerank recall dominates raw IVF-PQ ADC recall per query (provable: " +
+    "ADC top-5 is inside the top-50 shortlist, and at most 4 shortlist " +
+    "members can exactly beat a true global-top-5 member)") {
+    val adc = SimilarityQueries.simIvfpqRecall(spark, sf)
+      .select(col("query_id"), col("n_hits").as("adc_hits"))
+    val rr = SimilarityQueries.simIvfpqRrRecall(spark, sf)
+      .select(col("query_id"), col("n_hits").as("rr_hits"))
+    val joined = adc.join(rr, "query_id").cache()
+    try {
+      assert(joined.filter(col("rr_hits") < col("adc_hits")).count() == 0)
+      val Seq(a, b) = joined.agg(sum("adc_hits"), sum("rr_hits"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+      info(s"total hits/250: IVFPQ-ADC=$a IVFPQ-rerank=$b")
+    } finally { joined.unpersist(); () }
+  }
+
   test("probe results: dense ranks from 1, adc nondecreasing, no self") {
     val r = SimilarityQueries.simIvfpq(spark, sf).cache()
     try {
