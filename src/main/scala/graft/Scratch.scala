@@ -136,4 +136,51 @@ object Scratch {
     }
     spark.read.parquet(path)
   }
+
+  /** [[stagedFrame]] with a Hive-style partition layout: the artifact is
+    * written `partitionBy(partCols)` so downstream equi-joins on the
+    * partition column PRUNE THE SCAN (static partition filters, or
+    * dynamic partition pruning off a broadcast join) instead of reading
+    * the whole artifact and discarding rows at the join — the S10 layout
+    * doctrine applied to staged indexes (an inverted list whose scan
+    * isn't partitioned by its list key stops being inverted at 100 TB).
+    *
+    * The build-time schema is kept alongside the path and re-applied on
+    * read: partition values come back from directory names, and without
+    * the explicit schema Spark would re-INFER the partition column's type
+    * (long cid → int) and silently break every downstream join on it.
+    * The read re-projects to the original column order (partition columns
+    * otherwise migrate to the end of the schema).
+    */
+  def stagedFramePartitioned(spark: SparkSession, key: String,
+                             partCols: Seq[String])
+                            (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val perSession = staged.synchronized {
+      var m = staged.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        staged.put(spark, m)
+      }
+      m
+    }
+    // value = path NUL schema-json (one string map shared with
+    // stagedFrame; NUL can't occur in either part)
+    val entry = Memo.getOrPut(perSession, key + "partitioned") {
+      val df = build
+      val p = dirFor(spark, key) + "/frame"
+      // one file per partition value instead of one per shuffle partition
+      // per value — the layout a real index store would compact to
+      df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(p)
+      p + "\u0000" + df.schema.json
+    }
+    val sep = entry.indexOf('\u0000')
+    val (path, schemaJson) = (entry.substring(0, sep), entry.substring(sep + 1))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(schema).parquet(path)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 }

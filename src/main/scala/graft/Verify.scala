@@ -1,6 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Runtime confs whose STATIC oracle SQL pins the default value. The
+  * knobs exist for production (shard counts in the thousands, nprobe per
+  * recall budget); the cross-engine gate is only meaningful at the pinned
+  * defaults, so Verify fails fast instead of silently hash-mismatching
+  * when a non-default value leaks into the gate's session.
+  */
+object OracleDefaults {
+  val pinned: Seq[(String, String)] = Seq(
+    "spark.graft.shards" -> "8",
+    "spark.graft.ivf.nprobe" -> "2",
+    "spark.graft.ivf.cells" -> "8")
+
+  def assertDefaults(spark: SparkSession): Unit = pinned.foreach {
+    case (k, v) =>
+      val got = spark.conf.get(k, v)
+      require(got == v,
+        s"oracle gate: $k=$got but the static oracle SQL pins $k=$v — " +
+          "unset the conf (or update the pinned default) before verifying")
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -17,6 +39,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    OracleDefaults.assertDefaults(spark)
     new java.io.File(outDir).mkdirs()
     // dev knob mirroring Bench's: SPARK_GRAFT_ONLY=tpch_q2,tpch_q8 dumps a
     // subset for fast tools/check.py iteration; driver leaves it unset

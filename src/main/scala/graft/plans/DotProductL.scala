@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * it to ~3 s). Long accumulation is associative and overflow-free for
   * the ×2^20 quantization (per-term ≤ 2^42, 64-dim sum ≤ 2^48).
   *
-  * Assumes non-null elements; on length mismatch the shorter length wins.
+  * Assumes non-null elements. Length mismatch throws: callers feed this
+  * fixed-width vector columns (quantized embeddings, collect_list-built
+  * centroids), where a width mismatch means upstream dimension drift —
+  * truncating to the shorter array would yield a plausible-looking wrong
+  * distance and silently corrupt every ranking built on it.
   */
 case class DotProductL(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +44,10 @@ case class DotProductL(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_l: array length mismatch (${n} vs ${y.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -56,7 +63,12 @@ case class DotProductL(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_l: array length mismatch (" + $n + " vs " +
+         |    $b.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getLong($i) * $b.getLong($i);

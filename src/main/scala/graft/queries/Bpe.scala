@@ -168,13 +168,13 @@ object Bpe {
   private val PackTokBudget = 1024L
 
   def dsPackTokens(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = txtBpeEncode(s, d).select("doc_id", "n_tokens_bpe")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d).select("doc_id", "lang")
-      .join(counts, "doc_id")
-      .withColumn("cum", sum("n_tokens_bpe").over(w))
+    // running total via the two-level chunked prefix sum (TextQueries.
+    // packCumsum) — a flat per-lang window would serialize the biggest
+    // language into one task at corpus scale
+    TextQueries.packCumsum(
+        Tables.documents(s, d).select("doc_id", "lang").join(counts, "doc_id"),
+        "n_tokens_bpe")
       .withColumn("bin", expr(s"(cum - n_tokens_bpe) div $PackTokBudget"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"),

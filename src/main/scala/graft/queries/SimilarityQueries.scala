@@ -1116,7 +1116,9 @@ object SimilarityQueries {
     val (cent, codes) = pqIndex(s, d)
     val qcells = pqCells(pqQuantize(
       Tables.embeddings(s, d).filter(col("vec_id") < PqNQ)))
-    val hits = pqProbe(qcells, cent, codes)
+    // retrieve RagK deep — the same candidate depth pipe_rag assembles
+    // from, so the two pipelines differ ONLY in the retrieve stage
+    val hits = pqProbe(qcells, cent, codes, RagK)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
     val w = Window.partitionBy("query_id").orderBy("rank")
@@ -1130,13 +1132,21 @@ object SimilarityQueries {
 
   val pipeRagAnnSql: String =
     s"""WITH $pqSqlChain,
+       |rag_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rank
+       |    FROM adc
+       |  ) WHERE rank <= $RagK
+       |),
        |packed AS (
        |  SELECT p.query_id, p.rank, d.doc_id, p.adc_dist,
        |         CAST(len(d.text) AS BIGINT) AS n_chars,
        |         CAST(sum(len(d.text)) OVER (PARTITION BY p.query_id
        |               ORDER BY p.rank ROWS BETWEEN UNBOUNDED PRECEDING
        |               AND CURRENT ROW) AS BIGINT) AS cum_chars
-       |  FROM pq_top p JOIN documents d ON p.neighbor_id = d.doc_id
+       |  FROM rag_top p JOIN documents d ON p.neighbor_id = d.doc_id
        |)
        |SELECT * FROM packed WHERE cum_chars <= $RagBudget
        |ORDER BY query_id, rank""".stripMargin
@@ -1161,7 +1171,30 @@ object SimilarityQueries {
   // encoding are broadcast-join passes; the probe joins a broadcast
   // Q×nprobe×PqM×PqK distance table against codes on (cid, m, code) —
   // the join key IS the inverted-list prune.
-  private val IvfProbe = 2
+  // nprobe and the coarse cell count are RUNTIME confs (the
+  // spark.graft.shards template): the oracle SQL pins the defaults, so
+  // Verify fails fast on non-default values (graft.OracleDefaults);
+  // production tunes nprobe per recall budget and cells per corpus size
+  // without touching code. nprobe never enters a staged-index key (the
+  // index is nprobe-independent — that IS the knob's point); the cell
+  // count trains a different coarse quantizer, so it IS part of the key.
+  private val IvfProbeDefault = 2
+  private val IvfCellsDefault = KmK // 8 — shared default with emb_kmeans
+
+  /** Cells probed per query — `spark.graft.ivf.nprobe`, default 2. */
+  private[graft] def ivfNprobe(s: SparkSession): Int = {
+    val n = s.conf.get("spark.graft.ivf.nprobe", IvfProbeDefault.toString).toInt
+    require(n >= 1 && n <= ivfCells(s),
+      s"spark.graft.ivf.nprobe must be in [1, cells=${ivfCells(s)}], got $n")
+    n
+  }
+
+  /** Coarse cell count — `spark.graft.ivf.cells`, default 8. */
+  private[graft] def ivfCells(s: SparkSession): Int = {
+    val k = s.conf.get("spark.graft.ivf.cells", IvfCellsDefault.toString).toInt
+    require(k >= 1, s"spark.graft.ivf.cells must be positive, got $k")
+    k
+  }
 
   /** The persisted IVF-PQ index: (coarse centroids (cid, cvec),
     * residual codebooks (m, code, cvec), codes (vec_id, cid, m, code)).
@@ -1169,25 +1202,37 @@ object SimilarityQueries {
   private[graft] def ivfpqIndex(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val tag = graft.Scratch.digest(d)
+    val nCells = ivfCells(s)
+    // the cell count shapes the trained index, so it keys the staged
+    // artifacts; nprobe deliberately does NOT (same index, shallower probe)
+    val tag = graft.Scratch.digest(d) + s"_c$nCells"
     def stage(c: => DataFrame, name: String): DataFrame =
       graft.Scratch.stagedFrame(s, s"ivfpq_${name}_$tag")(c)
 
     val qv = stage(pqQuantize(Tables.embeddings(s, d)), "qv")
     val tv = qv.filter(col("vec_id") < PqTrainN)
 
-    // coarse k-means over the bounded training sample: KmK cells,
-    // KmIters truncating-div Lloyd's rounds, lowest-id init (the
-    // emb_kmeans recipe — the coarse trainer needs spread less than the
-    // codebooks do, and the oracle mirrors it verbatim)
+    // coarse k-means over the bounded training sample: nCells cells,
+    // KmIters truncating-div Lloyd's rounds. Init is LABEL-STRATIFIED
+    // hash-ranked seeds — the same de-leaked recipe as the flat-PQ
+    // codebooks (round-8 study: lowest-id init draws its seeds from the
+    // vec_id order that overlaps the vec_id<PqNQ eval window); cell
+    // assignment is second-order for recall but the one init family
+    // keeps the whole ANN tier honest-eval by construction.
     def argminCid(on: DataFrame, c: DataFrame): DataFrame =
       on.crossJoin(broadcast(c))
         .withColumn("dist", distL2(col("q"), col("cvec")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"))).as("mm"))
         .select(col("vec_id"), col("mm.cid").as("cid"))
+    val wCSeed = Window.partitionBy("label").orderBy("hs", "vec_id")
+    val cseeds = Tables.embeddings(s, d).filter(col("vec_id") < PqTrainN)
+      .select(col("vec_id"), col("label"),
+        md5(concat(lit("ivfcseed|"), col("vec_id").cast("string"))).as("hs"))
+      .withColumn("rl", row_number().over(wCSeed))
+      .orderBy("rl", "label").limit(nCells).select("vec_id")
     var coarse = stage(
-      tv.orderBy("vec_id").limit(KmK)
+      tv.join(cseeds, "vec_id")
         .select((row_number().over(Window.orderBy("vec_id")) - 1)
           .cast("long").as("cid"), col("q").as("cvec")), "coarse_0")
     for (i <- 1 to KmIters) {
@@ -1250,11 +1295,17 @@ object SimilarityQueries {
             p => p.getField("cx")).as("cvec")), s"rcent_$i")
     }
 
-    // encode the full corpus — (vec_id, cid, PqM codes) IS the index
-    val codes = stage(
+    // encode the full corpus — (vec_id, cid, PqM codes) IS the index.
+    // Staged PARTITIONED BY the coarse cell id: the probe's equi-join on
+    // cid then prunes the SCAN via dynamic partition pruning (only the
+    // nprobe probed cells' files are read), not just the join — without
+    // the layout, "inverted lists" would still read 100% of the codes at
+    // every probe and stop being inverted at 100 TB.
+    val codes = graft.Scratch.stagedFramePartitioned(
+      s, s"ivfpq_codes_$tag", Seq("cid"))(
       argminCode(cells, rcent)
         .join(resid.select("vec_id", "cid"), "vec_id")
-        .select("vec_id", "cid", "m", "code"), "codes")
+        .select("vec_id", "cid", "m", "code"))
     (coarse, rcent, codes)
   }
 
@@ -1272,7 +1323,7 @@ object SimilarityQueries {
       .withColumn("cd", distL2(col("q"), col("cvec")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cd"), col("cid"))))
-      .filter(col("pr") <= IvfProbe)
+      .filter(col("pr") <= ivfNprobe(queries.sparkSession))
       .select(col("vec_id").as("query_id"), col("cid"),
         zip_with(col("q"), col("cvec"), (x, y) => x - y).as("rq"))
     val qcells = probes
@@ -1370,7 +1421,15 @@ object SimilarityQueries {
        |ccent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |         q AS cvec
-       |  FROM (SELECT vec_id, q FROM tv ORDER BY vec_id LIMIT $KmK)
+       |  FROM tv
+       |  WHERE vec_id IN (
+       |    SELECT vec_id FROM (
+       |      SELECT vec_id, label,
+       |             row_number() OVER (PARTITION BY label
+       |               ORDER BY md5('ivfcseed|' || CAST(vec_id AS VARCHAR)),
+       |                        vec_id) AS rl
+       |      FROM embeddings WHERE vec_id < $PqTrainN)
+       |    ORDER BY rl, label LIMIT $IvfCellsDefault)
        |),
        |$coarseRounds,
        |asg AS (
@@ -1420,7 +1479,7 @@ object SimilarityQueries {
        |                              ORDER BY $dist, c.cid) AS pr
        |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) e
        |    JOIN ccent$KmIters c ON true)
-       |  WHERE pr <= $IvfProbe
+       |  WHERE pr <= $IvfProbeDefault
        |),
        |qpcells AS (
        |  SELECT query_id, cid, m, rq[m*$PqSub+1 : (m+1)*$PqSub] AS sub

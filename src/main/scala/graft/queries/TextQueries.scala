@@ -919,19 +919,50 @@ object TextQueries {
   // ---- token-budget packing (context-window bin assignment) ----
   // greedy sequence packing for LLM training: docs are packed in doc_id
   // order into 4096-char bins per language via a running total — bin =
-  // (cumsum − own) div budget. Packing is inherently sequential, so it
-  // runs per stratum (one window per lang over one shuffle); a single
-  // global pack would serialize the corpus — shard first at 100 TB.
-  def dsPack(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+  // (cumsum − own) div budget. Packing is inherently sequential in VALUE,
+  // but the prefix sum that drives it is not sequential in EXECUTION:
+  // a per-lang `rows unbounded preceding` window would make the biggest
+  // language ONE task sorting and scanning ~half the corpus at 100 TB,
+  // so the running total comes from [[packCumsum]] — the two-level
+  // chunked prefix sum with carry-in (the ev_concurrency day-carry
+  // idiom), bit-identical to the flat window.
+  private[graft] val PackChunkW = 256L
+
+  /** Exact per-`lang` running total of `valueCol` in `doc_id` order,
+    * scale-safe: rows are chunked by `doc_id div PackChunkW`, each
+    * (lang, chunk) computes its LOCAL prefix sum in a bounded window
+    * partition (≤ PackChunkW rows), per-chunk totals roll up into a
+    * carry-in (a window over #chunks rows per lang — corpus/256, and the
+    * idiom nests if even that level ever needs splitting), and
+    * cum = carry + local. Same per-lang doc_id order as the flat window
+    * (chunk is monotone in doc_id), same exact sums — only the execution
+    * shape changes: no window partition ever holds a language's full
+    * corpus. Input must carry (doc_id, lang, valueCol).
+    */
+  private[graft] def packCumsum(df: DataFrame, valueCol: String): DataFrame = {
+    val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .withColumn("cum", sum("n_chars").over(w))
+    val wCarry = Window.partitionBy("lang").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = df.withColumn("chunk", expr(s"doc_id div $PackChunkW"))
+    val carries = chunked.groupBy("lang", "chunk")
+      .agg(sum(valueCol).as("ctot"))
+      .withColumn("carry", coalesce(sum("ctot").over(wCarry), lit(0L)))
+      .select("lang", "chunk", "carry")
+    chunked
+      .withColumn("local", sum(valueCol).over(wLocal))
+      .join(broadcast(carries), Seq("lang", "chunk"))
+      .withColumn("cum", col("carry") + col("local"))
+      .drop("chunk", "local", "carry")
+  }
+
+  def dsPack(s: SparkSession, d: String): DataFrame =
+    packCumsum(Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "n_chars")
       .withColumn("bin", expr("(cum - n_chars) div 4096"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
       .orderBy("lang", "bin")
-  }
 
   val dsPackSql: String =
     """WITH c AS (

