@@ -214,6 +214,19 @@ object TextDedup {
     kept.unionByName(bIdx)
   }
 
+  /** Right-to-be-forgotten pass over a persisted [[minhashBandIndex]]:
+    * drop every index row of the given doc_ids (broadcast anti-join —
+    * delete sets are small at any corpus scale). Index rows are pure
+    * per-document functions, so the result is ROW-IDENTICAL to
+    * rebuilding the index over corpus ∖ deleted — true rebuild parity,
+    * spec-asserted (AnnMaintenanceSpec) — and a forgotten document can
+    * never surface as anyone's near-dup match again.
+    */
+  def deleteFromBandIndex(corpusIndex: DataFrame,
+                          deleteIds: DataFrame): DataFrame =
+    corpusIndex.join(broadcast(deleteIds.select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+
   /** Incremental ingest dedup: match a NEW batch of documents against an
     * existing corpus' precomputed [[minhashBandIndex]] without touching
     * corpus text. Only the batch is tokenized/signed (linear in batch

@@ -1196,20 +1196,77 @@ object SimilarityQueries {
     k
   }
 
+  /** Nearest coarse cell per quantized vector — broadcast the ≤cells-row
+    * centroid table, ties to the lowest cid (the emb_kmeans struct-min).
+    */
+  private def ivfArgminCell(qv: DataFrame, coarse: DataFrame): DataFrame =
+    qv.crossJoin(broadcast(coarse))
+      .withColumn("dist", distL2(col("q"), col("cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("mm"))
+      .select(col("vec_id"), col("mm.cid").as("cid"))
+
+  /** Per-subspace (vec_id, cid, m, sub) rows of integer residuals. */
+  private def ivfResidCells(resid: DataFrame): DataFrame =
+    resid.select(col("vec_id"), col("cid"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
+      .select(col("vec_id"), col("cid"), col("m"),
+        slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
+
+  /** Nearest residual-codebook code per (vec, subspace). */
+  private def ivfArgminCode(cells: DataFrame, rcent: DataFrame): DataFrame =
+    cells.join(broadcast(rcent), "m")
+      .withColumn("dist", distL2(col("sub"), col("cvec")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.code").as("code"))
+
+  /** Encode raw (vec_id, embedding) rows against a FROZEN index —
+    * coarse assignment, integer residual, residual-codebook codes. This
+    * is the whole per-vector half of the index pipeline as one pure
+    * function: index build, incremental append ([[mergeIvfpqCodes]]),
+    * and the rebuild side of the maintenance-parity specs all run
+    * through it, so "append ≡ rebuild" holds by construction and is
+    * still spec-asserted.
+    */
+  private[graft] def ivfpqEncode(vecs: DataFrame, coarse: DataFrame,
+                                 rcent: DataFrame): DataFrame = {
+    val qv = pqQuantize(vecs)
+    val resid = ivfArgminCell(qv, coarse).join(qv, "vec_id")
+      .join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), col("cvec"), (x, y) => x - y).as("r"))
+    ivfArgminCode(ivfResidCells(resid), rcent)
+      .join(resid.select("vec_id", "cid"), "vec_id")
+      .select("vec_id", "cid", "m", "code")
+  }
+
   /** The persisted IVF-PQ index: (coarse centroids (cid, cvec),
     * residual codebooks (m, code, cvec), codes (vec_id, cid, m, code)).
     */
   private[graft] def ivfpqIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = ivfpqIndexOn(s, d, None)
+
+  /** [[ivfpqIndex]] restricted to a base corpus prefix: `baseBound =
+    * Some(n)` trains AND encodes only `vec_id < n` — the historical
+    * corpus of the incremental-ingest loop ([[simIvfpqIncr]]), whose
+    * later batches fold in against the frozen quantizers.
+    */
+  private[graft] def ivfpqIndexOn(s: SparkSession, d: String,
+                                  baseBound: Option[Long])
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nCells = ivfCells(s)
     // the cell count shapes the trained index, so it keys the staged
     // artifacts; nprobe deliberately does NOT (same index, shallower probe)
-    val tag = graft.Scratch.digest(d) + s"_c$nCells"
+    val tag = graft.Scratch.digest(d) + s"_c$nCells" +
+      baseBound.fold("")(b => s"_b$b")
     def stage(c: => DataFrame, name: String): DataFrame =
       graft.Scratch.stagedFrame(s, s"ivfpq_${name}_$tag")(c)
 
-    val qv = stage(pqQuantize(Tables.embeddings(s, d)), "qv")
+    val corpus = baseBound.fold(Tables.embeddings(s, d))(b =>
+      Tables.embeddings(s, d).filter(col("vec_id") < b))
+    val qv = stage(pqQuantize(corpus), "qv")
     val tv = qv.filter(col("vec_id") < PqTrainN)
 
     // coarse k-means over the bounded training sample: nCells cells,
@@ -1219,14 +1276,8 @@ object SimilarityQueries {
     // vec_id order that overlaps the vec_id<PqNQ eval window); cell
     // assignment is second-order for recall but the one init family
     // keeps the whole ANN tier honest-eval by construction.
-    def argminCid(on: DataFrame, c: DataFrame): DataFrame =
-      on.crossJoin(broadcast(c))
-        .withColumn("dist", distL2(col("q"), col("cvec")))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist"), col("cid"))).as("mm"))
-        .select(col("vec_id"), col("mm.cid").as("cid"))
     val wCSeed = Window.partitionBy("label").orderBy("hs", "vec_id")
-    val cseeds = Tables.embeddings(s, d).filter(col("vec_id") < PqTrainN)
+    val cseeds = corpus.filter(col("vec_id") < PqTrainN)
       .select(col("vec_id"), col("label"),
         md5(concat(lit("ivfcseed|"), col("vec_id").cast("string"))).as("hs"))
       .withColumn("rl", row_number().over(wCSeed))
@@ -1237,7 +1288,7 @@ object SimilarityQueries {
           .cast("long").as("cid"), col("q").as("cvec")), "coarse_0")
     for (i <- 1 to KmIters) {
       coarse = stage(
-        argminCid(tv, coarse).join(tv, "vec_id")
+        ivfArgminCell(tv, coarse).join(tv, "vec_id")
           .select(col("cid"), posexplode(col("q")).as(Seq("pos", "x")))
           .groupBy("cid", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -1251,16 +1302,12 @@ object SimilarityQueries {
 
     // full-corpus cell assignment + integer residuals
     val resid = stage(
-      argminCid(qv, coarse).join(qv, "vec_id").join(broadcast(coarse), "cid")
+      ivfArgminCell(qv, coarse).join(qv, "vec_id")
+        .join(broadcast(coarse), "cid")
         .select(col("vec_id"), col("cid"),
           zip_with(col("q"), col("cvec"), (x, y) => x - y).as("r")), "resid")
 
-    def rcellsOf(on: DataFrame): DataFrame =
-      on.select(col("vec_id"), col("cid"),
-          explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("r"))
-        .select(col("vec_id"), col("cid"), col("m"),
-          slice(col("r"), col("m") * PqSub + 1, lit(PqSub)).as("sub"))
-    val cells = stage(rcellsOf(resid), "rcells")
+    val cells = stage(ivfResidCells(resid), "rcells")
     val tcells = cells.filter(col("vec_id") < PqTrainN)
 
     // residual codebooks: hash-ranked seed spread over the training
@@ -1270,12 +1317,6 @@ object SimilarityQueries {
       .select(col("vec_id"),
         md5(concat(lit("ivfpqseed|"), col("vec_id").cast("string"))).as("hs"))
       .orderBy("hs", "vec_id").limit(PqK).select("vec_id")
-    def argminCode(on: DataFrame, c: DataFrame): DataFrame =
-      on.join(broadcast(c), "m")
-        .withColumn("dist", distL2(col("sub"), col("cvec")))
-        .groupBy("vec_id", "m")
-        .agg(min(struct(col("dist"), col("code"))).as("mm"))
-        .select(col("vec_id"), col("m"), col("mm.code").as("code"))
     var rcent = stage(
       tcells.join(seeds, "vec_id")
         .withColumn("code", (row_number().over(
@@ -1283,7 +1324,7 @@ object SimilarityQueries {
         .select(col("m"), col("code"), col("sub").as("cvec")), "rcent_0")
     for (i <- 1 to PqIters) {
       rcent = stage(
-        argminCode(tcells, rcent).join(tcells, Seq("vec_id", "m"))
+        ivfArgminCode(tcells, rcent).join(tcells, Seq("vec_id", "m"))
           .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
           .groupBy("m", "code", "pos")
           .agg(sum("x").as("sx"), count(lit(1)).as("n"))
@@ -1303,11 +1344,57 @@ object SimilarityQueries {
     // every probe and stop being inverted at 100 TB.
     val codes = graft.Scratch.stagedFramePartitioned(
       s, s"ivfpq_codes_$tag", Seq("cid"))(
-      argminCode(cells, rcent)
+      ivfArgminCode(cells, rcent)
         .join(resid.select("vec_id", "cid"), "vec_id")
         .select("vec_id", "cid", "m", "code"))
     (coarse, rcent, codes)
   }
+
+  /** Index maintenance: fold a new embedding batch into a persisted
+    * IVF-PQ code table WITHOUT retraining — the coarse quantizer and
+    * residual codebooks are FROZEN, the batch is [[ivfpqEncode]]d against
+    * them, and its rows append (the `TextDedup.mergeBandIndex` contract
+    * brought to the ANN tier). `replaceExisting = true` upserts
+    * re-ingested vec_ids (batch id set broadcasts — batches are small at
+    * any corpus scale); `false` is the pure-append crawl-ingest shape:
+    * partition appends to the cid layout plus an occasional
+    * `Sinks.compactParquet`, never a corpus rewrite. Because codes are a
+    * pure per-vector function of the frozen quantizers, the merged table
+    * is row-identical to encoding (corpus ∖ replaced) ∪ batch in one
+    * pass — spec-asserted (AnnMaintenanceSpec) and value-certified by
+    * the `sim_ivfpq_incr` oracle, whose DuckDB side IS the one-pass
+    * rebuild. What maintenance deliberately does NOT do is fold the
+    * batch into codebook training: quantizer refresh is a scheduled
+    * re-index (the Faiss operational shape), not a per-batch event.
+    */
+  private[graft] def mergeIvfpqCodes(codes: DataFrame, batch: DataFrame,
+                                     coarse: DataFrame, rcent: DataFrame,
+                                     replaceExisting: Boolean = true)
+      : DataFrame = {
+    val bCodes = ivfpqEncode(batch, coarse, rcent)
+    val kept =
+      if (replaceExisting)
+        codes.join(broadcast(batch.select("vec_id").distinct()),
+          Seq("vec_id"), "left_anti")
+      else codes
+    kept.unionByName(bCodes)
+  }
+
+  /** Right-to-be-forgotten pass over the persisted code table: drop
+    * every code row of the given vec_ids (broadcast anti-join — the
+    * delete set is small at any corpus scale; on the cid-partitioned
+    * layout this rewrites only partitions that contain deleted rows).
+    * Per-vector DATA is gone; the codebooks are aggregate statistics
+    * (like any trained model) and rotate on the scheduled re-index, not
+    * per deletion. Post-delete the table is row-identical to encoding
+    * corpus ∖ deleted against the same frozen quantizers
+    * (AnnMaintenanceSpec), and `sim_ivfpq_del` oracle-certifies that a
+    * deleted vector can never be retrieved.
+    */
+  private[graft] def deleteFromCodes(codes: DataFrame,
+                                     deleteIds: DataFrame): DataFrame =
+    codes.join(broadcast(deleteIds.select("vec_id").distinct()),
+      Seq("vec_id"), "left_anti")
 
   /** IVF-PQ top-k for a batch of raw (vec_id, embedding) query rows —
     * the per-batch serving path shared by batch `sim_ivfpq` and the
@@ -1359,8 +1446,15 @@ object SimilarityQueries {
   /** The full IVF-PQ oracle chain as a WITH body ending in `ivf_top`
     * (query_id, rank, neighbor_id, adc_dist) — shared verbatim by
     * `sim_ivfpq` and `sim_ivfpq_recall` (the sim_pq_recall doctrine).
+    * `trainN` bounds BOTH quantizers' training (and their seed draws) to
+    * `vec_id < trainN` — the incremental-ingest oracle trains on the
+    * base prefix while still encoding the full corpus, which makes the
+    * oracle the one-pass REBUILD that `sim_ivfpq_incr`'s maintained
+    * index must match. `codesWhere` filters the encoded code table —
+    * the post-delete oracle for `sim_ivfpq_del`.
     */
-  private def ivfpqSqlChain: String = {
+  private def ivfpqSqlChain(trainN: Int = PqTrainN,
+                            codesWhere: String = "TRUE"): String = {
     val dist =
       """list_sum(list_transform(range(1, len(q)+1),
         |            i -> (q[i] - cvec[i]) * (q[i] - cvec[i])))""".stripMargin
@@ -1417,7 +1511,7 @@ object SimilarityQueries {
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $PqScale.0) AS BIGINT)) AS q
        |  FROM embeddings
        |),
-       |tv AS (SELECT * FROM qv WHERE vec_id < $PqTrainN),
+       |tv AS (SELECT * FROM qv WHERE vec_id < $trainN),
        |ccent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |         q AS cvec
@@ -1428,7 +1522,7 @@ object SimilarityQueries {
        |             row_number() OVER (PARTITION BY label
        |               ORDER BY md5('ivfcseed|' || CAST(vec_id AS VARCHAR)),
        |                        vec_id) AS rl
-       |      FROM embeddings WHERE vec_id < $PqTrainN)
+       |      FROM embeddings WHERE vec_id < $trainN)
        |    ORDER BY rl, label LIMIT $IvfCellsDefault)
        |),
        |$coarseRounds,
@@ -1450,14 +1544,14 @@ object SimilarityQueries {
        |  SELECT vec_id, cid, m, r[m*$PqSub+1 : (m+1)*$PqSub] AS sub
        |  FROM resid, (SELECT unnest(range(0, $PqM)) AS m)
        |),
-       |rtcells AS (SELECT * FROM rcells WHERE vec_id < $PqTrainN),
+       |rtcells AS (SELECT * FROM rcells WHERE vec_id < $trainN),
        |rcent0 AS (
        |  SELECT m,
        |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
        |              AS BIGINT) AS code,
        |         sub AS cvec
        |  FROM rtcells
-       |  WHERE vec_id IN (SELECT vec_id FROM resid WHERE vec_id < $PqTrainN
+       |  WHERE vec_id IN (SELECT vec_id FROM resid WHERE vec_id < $trainN
        |                   ORDER BY md5('ivfpqseed|' || CAST(vec_id AS VARCHAR)),
        |                            vec_id LIMIT $PqK)
        |),
@@ -1468,7 +1562,7 @@ object SimilarityQueries {
        |           row_number() OVER (PARTITION BY t.vec_id, t.m
        |                              ORDER BY $sdist, ct.code) AS rk
        |    FROM rcells t JOIN rcent$PqIters ct ON t.m = ct.m)
-       |  WHERE rk = 1
+       |  WHERE rk = 1 AND ($codesWhere)
        |),
        |qprobe AS (
        |  SELECT query_id, cid,
@@ -1508,7 +1602,7 @@ object SimilarityQueries {
   }
 
   val simIvfpqSql: String =
-    s"""WITH $ivfpqSqlChain
+    s"""WITH ${ivfpqSqlChain()}
        |SELECT query_id, rank, neighbor_id, adc_dist
        |FROM ivf_top ORDER BY query_id, rank""".stripMargin
 
@@ -1599,7 +1693,7 @@ object SimilarityQueries {
        |)""".stripMargin
 
   val simIvfpqRerankSql: String =
-    s"""WITH $ivfpqSqlChain,
+    s"""WITH ${ivfpqSqlChain()},
        |$ivfRerankSqlChain
        |SELECT query_id, rank, neighbor_id, d2
        |FROM ivf_rr_top ORDER BY query_id, rank""".stripMargin
@@ -1631,7 +1725,7 @@ object SimilarityQueries {
   }
 
   val simIvfpqRrRecallSql: String =
-    s"""WITH $ivfpqSqlChain,
+    s"""WITH ${ivfpqSqlChain()},
        |$ivfRerankSqlChain,
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -1658,7 +1752,7 @@ object SimilarityQueries {
        |ORDER BY query_id""".stripMargin
 
   val simIvfpqRecallSql: String =
-    s"""WITH $ivfpqSqlChain,
+    s"""WITH ${ivfpqSqlChain()},
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT qy.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1683,6 +1777,58 @@ object SimilarityQueries {
        |LEFT JOIN hits h USING (query_id)
        |ORDER BY query_id""".stripMargin
 
+  // ---- maintenance served: incremental ingest + right-to-forget ----
+  // The two lifecycle passes every production corpus store runs against
+  // its persisted ANN index, each served and oracle-gated end-to-end.
+  private val IncrBase = 400L
+  private val DelMod = 7L
+  private val DelRes = 3L
+
+  /** Serve queries through a MAINTAINED index: the base corpus
+    * (vec_id < IncrBase) builds the persisted index; the rest of the
+    * corpus folds in as an ingest batch against the FROZEN quantizers
+    * ([[mergeIvfpqCodes]], pure append — the dd_incremental doctrine on
+    * the ANN tier). Per-batch cost: O(batch encode + probed cells),
+    * never O(corpus). The DuckDB oracle trains on the base prefix and
+    * encodes the full corpus in ONE pass — the oracle IS the rebuild,
+    * so this gate value-certifies append ≡ rebuild, not just row counts.
+    */
+  def simIvfpqIncr(s: SparkSession, d: String): DataFrame = {
+    val (coarse, rcent, baseCodes) = ivfpqIndexOn(s, d, Some(IncrBase))
+    val batch = Tables.embeddings(s, d).filter(col("vec_id") >= IncrBase)
+    val codes = mergeIvfpqCodes(baseCodes, batch, coarse, rcent,
+      replaceExisting = false)
+    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+      coarse, rcent, codes)
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfpqIncrSql: String =
+    s"""WITH ${ivfpqSqlChain(trainN = IncrBase.toInt)}
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
+  /** Serve queries through the index AFTER a right-to-forget pass
+    * ([[deleteFromCodes]]): a deterministic id set (vec_id ≡ DelRes mod
+    * DelMod, ~1/7 of the corpus) is deleted, and the gate certifies no
+    * deleted vector is ever retrieved — the property a GDPR audit
+    * actually checks. The oracle filters the same ids out of its encoded
+    * code table, i.e. it serves the rebuild-without-deleted.
+    */
+  def simIvfpqDel(s: SparkSession, d: String): DataFrame = {
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val del = Tables.embeddings(s, d).select("vec_id")
+      .filter(col("vec_id") % DelMod === DelRes)
+    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+      coarse, rcent, deleteFromCodes(codes, del))
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfpqDelSql: String =
+    s"""WITH ${ivfpqSqlChain(codesWhere = s"NOT (vec_id % $DelMod = $DelRes)")}
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
   // ---- hybrid retrieval: lexical TF-IDF + dense PQ, RRF-fused ----
   // The retrieval shape RAG systems actually deploy: a lexical ranking
   // (integer TF-IDF over a df-capped inverted index) and a dense ranking
@@ -1702,7 +1848,14 @@ object SimilarityQueries {
   private val HybRrfK = 60 // RRF damping constant
   private val HybNQ = 10   // query docs: doc_id < 10 (the pipe_rag set)
 
-  def pipeRagHybrid(s: SparkSession, d: String): DataFrame = {
+  /** The (lex, dense, fused) candidate frames shared by `pipe_rag_hybrid`
+    * and its recall eval `rag_hybrid_recall` — one builder so the eval
+    * can never drift from the retrieval it evaluates (the dd_lsh_recall
+    * doctrine at the DataFrame level; the SQL twin shares
+    * [[hybridSqlChain]] the same way).
+    */
+  private[graft] def hybridFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"),
@@ -1733,7 +1886,7 @@ object SimilarityQueries {
         col("rank").as("den_rank"))
     val cand = lex.select("query_id", "doc_id")
       .union(dense.select("query_id", "doc_id")).distinct()
-    cand.join(lex, Seq("query_id", "doc_id"), "left")
+    val fused = cand.join(lex, Seq("query_id", "doc_id"), "left")
       .join(dense, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"),
         (coalesce(expr(s"1000000 div ($HybRrfK + lex_rank)"), lit(0L)) +
@@ -1744,11 +1897,63 @@ object SimilarityQueries {
         .cast("long"))
       .filter(col("rank") <= RagK)
       .select("query_id", "rank", "doc_id", "rrf")
-      .orderBy("query_id", "rank")
+    (lex, dense, fused)
   }
 
-  val pipeRagHybridSql: String =
-    s"""WITH $pqSqlChain,
+  def pipeRagHybrid(s: SparkSession, d: String): DataFrame =
+    hybridFrames(s, d)._3.orderBy("query_id", "rank")
+
+  /** Recall@RagK of each retrieval system — lexical alone, dense alone,
+    * and the RRF fusion — against the exact integer-L2 top-RagK over the
+    * quantized grid (the dense truth every other certified recall row
+    * uses; for the lexical system this measures how much SEMANTIC
+    * neighborhood pure term overlap recovers). Each system is cut to the
+    * same depth (RagK) so the comparison is budget-fair. RRF dominance
+    * over both single systems is NOT universal (Cormack 2009 reports
+    * typical, not guaranteed, wins), so this row publishes the measured
+    * decomposition instead of asserting an inequality — the spec locks
+    * only what must hold (fused ∪ candidates ⊇ either system's hits at
+    * equal depth is false in general, so nothing is over-claimed).
+    */
+  def ragHybridRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lex, dense, fused) = hybridFrames(s, d)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val qq = qv.filter(col("vec_id") < HybNQ)
+    val exact = qv.select(col("vec_id").as("doc_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qq.select(col("vec_id").as("query_id"),
+        col("q").as("qq"))))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d2"), col("doc_id"))))
+      .filter(col("rk") <= RagK)
+      .select("query_id", "doc_id")
+    def hitsOf(sys: DataFrame, name: String): DataFrame =
+      sys.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as(name))
+    qq.select(col("vec_id").as("query_id"))
+      .join(hitsOf(lex.filter(col("lex_rank") <= RagK)
+        .select("query_id", "doc_id"), "n_hits_lex"), Seq("query_id"), "left")
+      .join(hitsOf(dense.filter(col("den_rank") <= RagK)
+        .select("query_id", "doc_id"), "n_hits_dense"), Seq("query_id"), "left")
+      .join(hitsOf(fused.select("query_id", "doc_id"), "n_hits_fused"),
+        Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits_lex", "n_hits_dense", "n_hits_fused"))
+      .select(col("query_id"), col("n_hits_lex"), col("n_hits_dense"),
+        col("n_hits_fused"),
+        (col("n_hits_fused") * lit(10000L / RagK)).cast("long")
+          .as("recall_bp_fused"))
+      .orderBy("query_id")
+  }
+
+  /** Everything through the fused ranking as a WITH body ending in
+    * `hyb_top` (plus `lex` / `dense` / `qv` in scope) — shared verbatim
+    * by `pipe_rag_hybrid` and `rag_hybrid_recall`.
+    */
+  private def hybridSqlChain: String =
+    s"""$pqSqlChain,
        |toks AS (
        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id,
@@ -1802,12 +2007,59 @@ object SimilarityQueries {
        |  FROM cand c
        |  LEFT JOIN lex l USING (query_id, doc_id)
        |  LEFT JOIN dense d USING (query_id, doc_id)
+       |),
+       |hyb_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY rrf DESC, doc_id) AS rank
+       |    FROM fused)
+       |  WHERE rank <= $RagK
+       |)""".stripMargin
+
+  val pipeRagHybridSql: String =
+    s"""WITH $hybridSqlChain
+       |SELECT query_id, rank, doc_id, rrf
+       |FROM hyb_top ORDER BY query_id, rank""".stripMargin
+
+  val ragHybridRecallSql: String =
+    s"""WITH $hybridSqlChain,
+       |exact AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT qy.vec_id AS query_id, c.vec_id AS doc_id,
+       |           row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+       |             list_sum(list_transform(range(1, len(qy.q)+1),
+       |               i -> (qy.q[i] - c.q[i]) * (qy.q[i] - c.q[i]))),
+       |             c.vec_id) AS rk
+       |    FROM (SELECT * FROM qv WHERE vec_id < $HybNQ) qy, qv c
+       |    WHERE c.vec_id <> qy.vec_id)
+       |  WHERE rk <= $RagK
+       |), hl AS (
+       |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM lex l JOIN exact e
+       |    ON l.query_id = e.query_id AND l.doc_id = e.doc_id
+       |  WHERE l.lex_rank <= $RagK GROUP BY 1
+       |), hd AS (
+       |  SELECT d.query_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM dense d JOIN exact e
+       |    ON d.query_id = e.query_id AND d.doc_id = e.doc_id
+       |  WHERE d.den_rank <= $RagK GROUP BY 1
+       |), hf AS (
+       |  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n
+       |  FROM hyb_top f JOIN exact e
+       |    ON f.query_id = e.query_id AND f.doc_id = e.doc_id
+       |  GROUP BY 1
        |)
-       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |                               ORDER BY rrf DESC, doc_id) AS rank
-       |  FROM fused)
-       |WHERE rank <= $RagK ORDER BY query_id, rank""".stripMargin
+       |SELECT q.query_id,
+       |       CAST(COALESCE(hl.n, 0) AS BIGINT) AS n_hits_lex,
+       |       CAST(COALESCE(hd.n, 0) AS BIGINT) AS n_hits_dense,
+       |       CAST(COALESCE(hf.n, 0) AS BIGINT) AS n_hits_fused,
+       |       CAST(COALESCE(hf.n, 0) * ${10000 / RagK} AS BIGINT)
+       |         AS recall_bp_fused
+       |FROM (SELECT vec_id AS query_id FROM qv WHERE vec_id < $HybNQ) q
+       |LEFT JOIN hl USING (query_id)
+       |LEFT JOIN hd USING (query_id)
+       |LEFT JOIN hf USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "sim_pq" -> (simPq _),
@@ -1818,9 +2070,12 @@ object SimilarityQueries {
     "sim_ivfpq_recall" -> (simIvfpqRecall _),
     "sim_ivfpq_rerank" -> (simIvfpqRerank _),
     "sim_ivfpq_rr_recall" -> (simIvfpqRrRecall _),
+    "sim_ivfpq_incr" -> (simIvfpqIncr _),
+    "sim_ivfpq_del" -> (simIvfpqDel _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_hybrid" -> (pipeRagHybrid _),
+    "rag_hybrid_recall" -> (ragHybridRecall _),
     "sim_recall" -> (simRecall _),
     "emb_quantize" -> (embQuantize _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
@@ -1840,9 +2095,12 @@ object SimilarityQueries {
     "sim_ivfpq_recall" -> simIvfpqRecallSql,
     "sim_ivfpq_rerank" -> simIvfpqRerankSql,
     "sim_ivfpq_rr_recall" -> simIvfpqRrRecallSql,
+    "sim_ivfpq_incr" -> simIvfpqIncrSql,
+    "sim_ivfpq_del" -> simIvfpqDelSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_hybrid" -> pipeRagHybridSql,
+    "rag_hybrid_recall" -> ragHybridRecallSql,
     "sim_recall" -> simRecallSql,
     "emb_quantize" -> embQuantizeSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,

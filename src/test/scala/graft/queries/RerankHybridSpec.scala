@@ -47,6 +47,31 @@ class RerankHybridSpec extends SparkSuite {
     } finally { joined.unpersist(); () }
   }
 
+  test("rag_hybrid_recall: per-system decomposition is bounded and " +
+    "internally consistent (the numbers themselves are oracle-certified)") {
+    val r = SimilarityQueries.ragHybridRecall(spark, sf).cache()
+    try {
+      assert(r.filter(col("n_hits_lex") > 8 || col("n_hits_dense") > 8 ||
+        col("n_hits_fused") > 8).count() == 0, "hits cannot exceed depth")
+      assert(r.filter(col("recall_bp_fused") =!=
+        col("n_hits_fused") * 1250).count() == 0)
+      val Seq(l, dn, f) = r.agg(sum("n_hits_lex"), sum("n_hits_dense"),
+        sum("n_hits_fused")).collect()(0).toSeq.map(_.asInstanceOf[Long])
+      // Measured, not asserted: RRF dominance over the best single system
+      // is NOT universal (Cormack 2009), and on this synthetic corpus the
+      // decomposition shows it — lexical term overlap carries ~no signal
+      // toward the dense-L2 truth, so fusing it in can EVICT true
+      // neighbors from the fixed-depth fused list (sf0.01: lex 0, dense
+      // 17, fused 15 of 80). That negative result is the point of
+      // shipping the eval: you measure fusion before deploying it.
+      info(s"hits@8 of 80: lex=$l dense=$dn fused=$f")
+      // no cross-system inequality is asserted: fused can exceed l+dn
+      // (a rank-9..20 candidate from either pool can enter the fused
+      // top-8) and can trail max(l, dn) (eviction, as measured here)
+      assert(l >= 0 && dn >= 0 && f >= 0)
+    } finally { r.unpersist(); () }
+  }
+
   test("pipe_rag_hybrid: bounded ranked lists, positive fused scores, no self") {
     val r = SimilarityQueries.pipeRagHybrid(spark, sf).cache()
     try {
