@@ -4,7 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // dev knob: SPARK_GRAFT_CONF="k=v;k2=v2" overlays session confs for
+    // isolated A/Bs (e.g. measuring the DPP scan prune by switching
+    // spark.sql.optimizer.dynamicPartitionPruning.enabled off); the
+    // driver leaves it unset
+    val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extraConf.foldLeft(SparkSession.builder()) {
+      case (b, (k, v)) => b.config(k, v)
+    }
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -13,6 +22,10 @@ object Bench {
       // time the SAME query it verified
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // DPP pruning subqueries may run standalone (see Verify.scala) —
+      // the cost model prunes partitioned staged indexes when it pays
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,8 +96,8 @@ object Bench {
       "gr_triangles", "dd_minhash_lsh", "dd_minhash_scaled", "dd_ngram_jaccard",
       "dd_substring", "dd_incremental", "dd_contaminate", "txt_winnow",
       "txt_chunks", "txt_nb_quality", "emb_kmeans", "sim_ivf_topk", "sim_pq",
-      "sim_pq_rerank", "sim_ivfpq", "pipe_rag_ann", "pipe_rag_hybrid",
-      "ds_shuffle", "ds_pack", "pipe_curate", "pipe_shards")
+      "sim_pq_rerank", "sim_ivfpq", "sim_ivfpq_incr", "pipe_rag_ann",
+      "pipe_rag_hybrid", "ds_shuffle", "ds_pack", "pipe_curate", "pipe_shards")
     val qsHead = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     // failed NAMES ride the headline too (tiny when nonempty): the detail

@@ -36,6 +36,13 @@ object Verify {
       // production wiring for graft's optimizer rules + SQL functions
       // (RewriteBoundedIntervalJoin, dot_f) — same plans the specs lock
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // let DPP run its pruning subquery standalone (measured: the
+      // default reuse-only mode can never engage for a hinted broadcast
+      // join over a partitioned staged index — the filter silently
+      // degrades to `true`; with this conf Spark's cost model decides,
+      // declining at toy scale and pruning the scan at production scale)
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -18,6 +18,12 @@ object SparkSuite {
       // same production extensions Verify/Bench run with — the specs must
       // exercise the sessions users actually get
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // production DPP conf (see Verify.scala): reuse-only mode can never
+      // prune the partitioned staged indexes' scans under a hinted
+      // broadcast join; standalone pruning subqueries let the cost model
+      // decide — the shape the IvfConfSpec scan-metrics test certifies
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -393,11 +393,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("sim_ivfpq: the cid-partitioned codes SCAN is pruned to the probed " +
-    "cells (dynamic partition pruning, not just join-side discard)") {
+  test("sim_ivfpq: the cid-partitioned codes SCAN carries a dynamic " +
+    "partition-pruning filter (structural half of the prune contract)") {
     // the codes artifact is staged partitionBy(cid); the probe's broadcast
     // equi-join on cid must reach the scan as a PartitionFilters
-    // dynamicpruningexpression — I/O scales with nprobe cells, not corpus
+    // dynamicpruningexpression. This locks INSERTION; whether the filter
+    // fires is Spark's pruningHasBenefit cost call (correctly "no" on a
+    // toy artifact, "yes" at production sizes) — the behavioral half is
+    // certified by IvfConfSpec's scan-metrics test, which forces the
+    // at-scale verdict and asserts numFiles == probed cells.
     val p = plan("sim_ivfpq")
     assert(p.contains("dynamicpruningexpression"), p)
     assert(p.contains("PartitionFilters"), p)
