@@ -1829,6 +1829,49 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, adc_dist
        |FROM ivf_top ORDER BY query_id, rank""".stripMargin
 
+  /** RAG assembly on the IVF-PQ index — completes the retrieve matrix
+    * (pipe_rag: brute force; pipe_rag_ann: flat-PQ ADC; this: cell-pruned
+    * residual ADC). Identical assembly stages; at 100 TB this is the one
+    * whose retrieve cost scales with probed cells, not corpus.
+    */
+  def pipeRagIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val hits = ivfpqProbe(
+      Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+      coarse, rcent, codes, RagK)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    hits.join(docs, hits("neighbor_id") === docs("doc_id"))
+      .withColumn("cum_chars", sum("n_chars").over(w))
+      .filter(col("cum_chars") <= RagBudget)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("adc_dist"),
+        col("n_chars"), col("cum_chars"))
+      .orderBy("query_id", "rank")
+  }
+
+  val pipeRagIvfSql: String =
+    s"""WITH ${ivfpqSqlChain()},
+       |rag_top AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, neighbor_id) AS rank
+       |    FROM ivf_adc
+       |  ) WHERE rank <= $RagK
+       |),
+       |packed AS (
+       |  SELECT p.query_id, p.rank, d.doc_id, p.adc_dist,
+       |         CAST(len(d.text) AS BIGINT) AS n_chars,
+       |         CAST(sum(len(d.text)) OVER (PARTITION BY p.query_id
+       |               ORDER BY p.rank ROWS BETWEEN UNBOUNDED PRECEDING
+       |               AND CURRENT ROW) AS BIGINT) AS cum_chars
+       |  FROM rag_top p JOIN documents d ON p.neighbor_id = d.doc_id
+       |)
+       |SELECT * FROM packed WHERE cum_chars <= $RagBudget
+       |ORDER BY query_id, rank""".stripMargin
+
   // ---- hybrid retrieval: lexical TF-IDF + dense PQ, RRF-fused ----
   // The retrieval shape RAG systems actually deploy: a lexical ranking
   // (integer TF-IDF over a df-capped inverted index) and a dense ranking
@@ -2074,6 +2117,7 @@ object SimilarityQueries {
     "sim_ivfpq_del" -> (simIvfpqDel _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
+    "pipe_rag_ivf" -> (pipeRagIvf _),
     "pipe_rag_hybrid" -> (pipeRagHybrid _),
     "rag_hybrid_recall" -> (ragHybridRecall _),
     "sim_recall" -> (simRecall _),
@@ -2099,6 +2143,7 @@ object SimilarityQueries {
     "sim_ivfpq_del" -> simIvfpqDelSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
+    "pipe_rag_ivf" -> pipeRagIvfSql,
     "pipe_rag_hybrid" -> pipeRagHybridSql,
     "rag_hybrid_recall" -> ragHybridRecallSql,
     "sim_recall" -> simRecallSql,

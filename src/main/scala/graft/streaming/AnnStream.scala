@@ -89,4 +89,45 @@ object AnnStream {
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** Streaming INDEX MAINTENANCE — the continuous twin of batch
+    * [[graft.queries.SimilarityQueries.mergeIvfpqCodes]] (and the ANN
+    * sibling of DocStream's incremental dedup ingest): new corpus
+    * vectors ARRIVE as a stream, each micro-batch is encoded against the
+    * FROZEN quantizers of the base index (trained on `indexDir`'s
+    * `vec_id < baseBound` prefix), and its code rows land as one
+    * idempotent partition append. The maintained store is
+    * self-contained under `codesOutDir`: `base/` (written once here,
+    * overwrite-idempotent) plus one `batch_<id>/` per micro-batch —
+    * read it back with `recursiveFileLookup` and serve probes through
+    * it directly. A replayed micro-batch overwrites its own `batch_<id>`
+    * path (exactly-once with `checkpointDir`, the pqProbeStream
+    * contract). Because codes are a pure per-vector function of the
+    * frozen quantizers, the store is row-identical to a one-pass encode
+    * of base ∪ every ingested batch — AnnStreamSpec asserts equality to
+    * the batch `sim_ivfpq_incr` serving path. Per-batch cost:
+    * O(batch encode) — the corpus is never touched; compact the
+    * accumulated batch dirs on the `Sinks.compactParquet` cadence.
+    */
+  def ivfpqIngestStream(s: SparkSession, vecDir: String, indexDir: String,
+                        baseBound: Long, codesOutDir: String,
+                        maxFilesPerTrigger: Option[Int] = None,
+                        checkpointDir: Option[String] = None): StreamingQuery = {
+    val (coarse, rcent, baseCodes) =
+      SimilarityQueries.ivfpqIndexOn(s, indexDir, Some(baseBound))
+    baseCodes.write.mode("overwrite").parquet(s"$codesOutDir/base")
+    val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("recursiveFileLookup", "true")
+    val vecs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(vecDir)
+    val writer = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
+          .write.mode("overwrite").parquet(s"$codesOutDir/batch_$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

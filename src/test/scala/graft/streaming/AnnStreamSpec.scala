@@ -67,4 +67,44 @@ class AnnStreamSpec extends SparkSuite {
       s"stream/batch diverge: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
     assert(streamed.nonEmpty)
   }
+
+  test("streaming index maintenance: the ingested code store equals the " +
+    "one-pass encode, and probes through it match batch sim_ivfpq_incr") {
+    import graft.queries.SimilarityQueries
+    val vecDir = Files.createTempDirectory("ivfpq_ingest_v").toString
+    val storeDir = Files.createTempDirectory("ivfpq_ingest_s").toString + "/codes"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val base = 400L
+    // two ingest micro-batches splitting the post-base corpus — equality
+    // below only holds if encoding is per-batch pure against the FROZEN
+    // quantizers (no dependence on batch boundaries)
+    emb.filter(col("vec_id") >= base && col("vec_id") < 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b0.parquet")
+    emb.filter(col("vec_id") >= 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b1.parquet")
+
+    val q = AnnStream.ivfpqIngestStream(spark, vecDir, sf, base, storeDir,
+      maxFilesPerTrigger = Some(1))
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val store = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir)
+    val (coarse, rcent, _) = SimilarityQueries.ivfpqIndexOn(spark, sf, Some(base))
+    val onePass = SimilarityQueries.ivfpqEncode(emb, coarse, rcent)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "m", "code").collect().map(_.toSeq).toSet
+    assert(rows(store) == rows(onePass),
+      "maintained store must be row-identical to the one-pass encode")
+    // and SERVING through the maintained store = the batch incr query
+    val served = SimilarityQueries.ivfpqProbe(
+        emb.filter(col("vec_id") < SimilarityQueries.PqNQ),
+        coarse, rcent, store)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    val batchIncr = SimilarityQueries.simIvfpqIncr(spark, sf)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    assert(served == batchIncr)
+    assert(served.nonEmpty)
+  }
 }
