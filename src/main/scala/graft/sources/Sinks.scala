@@ -28,14 +28,21 @@ object Sinks {
     * already-deleted source files. Rename is atomic on HDFS/local FS; on an
     * object store swap this for a transactional table format's commit.
     */
-  private def writeSwap(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
+  private def writeSwap(df: DataFrame, path: String): Unit =
+    writeSwapWith(df.sparkSession, path)(
+      tmp => df.write.mode("overwrite").parquet(tmp))
+
+  /** The swap dance with a caller-supplied writer (flat, partitioned,
+    * bucketed — anything that materializes a directory at the tmp path).
+    */
+  private def writeSwapWith(spark: SparkSession, path: String)
+                           (doWrite: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__swap__")
     val old = new org.apache.hadoop.fs.Path(path + ".__old__")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    doWrite(tmp.toString)
     // two renames, never delete-before-replace: a crash between them
     // leaves the previous table recoverable at `.__old__` instead of
     // gone — data is only deleted after the new table is in place.
@@ -147,6 +154,44 @@ object Sinks {
     val target = math.max(1L,
       (df.count() + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
     writeSwap(df.repartition(target), path)
+    (before, dataFiles())
+  }
+
+  /** [[compactParquet]] for a PARTITIONED store: fold a directory tree
+    * of appended batch outputs (the `AnnStream.ivfpqIngestStream` shape —
+    * `base/` plus one flat `batch_<id>/` per micro-batch) back into ONE
+    * Hive-partitioned layout, the scan-prunable form the staged-index
+    * probes rely on. This is the compaction cadence every
+    * append-maintained index runs: between compactions the store is read
+    * with `recursiveFileLookup` (partition values live IN the batch
+    * files); after compaction it is a plain partitioned read — supply
+    * the schema explicitly on read, exactly the
+    * `Scratch.stagedFramePartitioned` contract, or the partition
+    * column's type is re-inferred. Same two-rename crash-safe swap as
+    * every other sink here. Returns (dataFilesBefore, dataFilesAfter).
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Long = {
+      var n = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val before = dataFiles()
+    // read (and fully decouple from the files about to be swapped away:
+    // the writer below runs while the old tree still exists, so lineage
+    // reading `path` is safe — the swap happens only after the write)
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    writeSwapWith(spark, path) { tmp =>
+      df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+    }
     (before, dataFiles())
   }
 

@@ -106,5 +106,32 @@ class AnnStreamSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(served == batchIncr)
     assert(served.nonEmpty)
+
+    // the compaction cadence: fold base/ + batch dirs into ONE
+    // cid-partitioned layout (the scan-prunable form), then re-serve —
+    // parity must survive, and the file count must actually drop
+    val storeSchema = store.schema
+    val nCids = store.select("cid").distinct().count()
+    val (nBefore, nAfter) = graft.sources.Sinks.compactPartitioned(
+      spark, storeDir, Seq("cid"))
+    // the invariant is BOUNDEDNESS, not strict shrinkage: after
+    // compaction the file count is one per populated cell, independent
+    // of how many ingest batches accumulated (here 2 batches + base can
+    // be FEWER than 8 cells; in production batches >> cells and the
+    // collapse is the point)
+    assert(nAfter <= nCids,
+      s"compacted store must be <=1 file per cell: $nBefore -> $nAfter " +
+        s"files for $nCids cells")
+    val compacted = spark.read.schema(storeSchema).parquet(storeDir)
+      .select("vec_id", "cid", "m", "code")
+    assert(rows(compacted) == rows(onePass),
+      "compaction must not change the store's rows")
+    val servedCompact = SimilarityQueries.ivfpqProbe(
+        emb.filter(col("vec_id") < SimilarityQueries.PqNQ),
+        coarse, rcent, compacted)
+      .select("query_id", "rank", "neighbor_id", "adc_dist")
+      .collect().map(_.toSeq).toSet
+    assert(servedCompact == batchIncr,
+      "probes through the compacted store must match the batch query")
   }
 }
