@@ -807,11 +807,12 @@ object Curation {
     val sampled = graft.operators.Sampling.weightedBernoulli(
       kept, least(lit(10000L), col("n_tokens") * 20),
       md5(concat(lit("cur|"), col("doc_id").cast("string"))))
-    // pack survivors into 4096-char bins per language (doc_id order)
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
-      .withColumn("cum", sum("n_chars").over(w))
+    // pack survivors into 4096-char bins per language (doc_id order) —
+    // running total via the chunked two-level prefix sum (the ds_pack
+    // rewrite): a flat per-lang window would make the biggest language
+    // one corpus-width task at scale
+    TextQueries.packCumsum(sampled.select("doc_id", "lang", "n_chars"),
+        "n_chars")
       .withColumn("bin", expr("(cum - n_chars) div 4096"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

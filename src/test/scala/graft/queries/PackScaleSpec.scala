@@ -47,8 +47,8 @@ class PackScaleSpec extends SparkSuite {
   }
 
   test("no lang-only corpus-width window remains in ds_pack / " +
-    "ds_pack_tokens plans (the scale-killer shape)") {
-    for (q <- Seq("ds_pack", "ds_pack_tokens")) {
+    "ds_pack_tokens / pipe_curate plans (the scale-killer shape)") {
+    for (q <- Seq("ds_pack", "ds_pack_tokens", "pipe_curate")) {
       val p = graft.SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       // the running-total window must partition by (lang, chunk), never
