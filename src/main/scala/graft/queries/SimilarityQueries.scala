@@ -1451,10 +1451,13 @@ object SimilarityQueries {
     * base prefix while still encoding the full corpus, which makes the
     * oracle the one-pass REBUILD that `sim_ivfpq_incr`'s maintained
     * index must match. `codesWhere` filters the encoded code table —
-    * the post-delete oracle for `sim_ivfpq_del`.
+    * the post-delete oracle for `sim_ivfpq_del`. `nq` bounds the probe's
+    * query set (`vec_id < nq`) — semantic decontamination probes with
+    * the eval-set embeddings instead of the standard PqNQ window.
     */
   private def ivfpqSqlChain(trainN: Int = PqTrainN,
-                            codesWhere: String = "TRUE"): String = {
+                            codesWhere: String = "TRUE",
+                            nq: Int = PqNQ): String = {
     val dist =
       """list_sum(list_transform(range(1, len(q)+1),
         |            i -> (q[i] - cvec[i]) * (q[i] - cvec[i])))""".stripMargin
@@ -1571,7 +1574,7 @@ object SimilarityQueries {
        |    SELECT e.vec_id AS query_id, c.cid, e.q, c.cvec,
        |           row_number() OVER (PARTITION BY e.vec_id
        |                              ORDER BY $dist, c.cid) AS pr
-       |    FROM (SELECT * FROM qv WHERE vec_id < $PqNQ) e
+       |    FROM (SELECT * FROM qv WHERE vec_id < $nq) e
        |    JOIN ccent$KmIters c ON true)
        |  WHERE pr <= $IvfProbeDefault
        |),
@@ -1828,6 +1831,57 @@ object SimilarityQueries {
     s"""WITH ${ivfpqSqlChain(codesWhere = s"NOT (vec_id % $DelMod = $DelRes)")}
        |SELECT query_id, rank, neighbor_id, adc_dist
        |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
+  // ---- semantic decontamination through the persisted ANN index ----
+  // The embedding-space sibling of dd_contaminate's n-gram overlap: a
+  // benchmark's embeddings probe the SERVING index (IVF-PQ shortlist,
+  // PqR deep), the shortlist alone is verified by exact integer-L2, and
+  // corpus vectors within SemTau of any eval vector are flagged with
+  // their closest eval id. This is how decontamination actually runs at
+  // 100 TB — the eval set is tiny (broadcasts), the corpus is reached
+  // only through the index's probed cells, and the exact pass touches
+  // E×PqR rows. A pair the ANN shortlist misses is not flagged: that
+  // recall trade-off is the operator's real contract (tune nprobe/PqR
+  // against the certified recall curves), and the oracle runs the
+  // IDENTICAL chain, so the gate certifies the pipeline, not a
+  // brute-force idealization of it. SemTau sits at the ~0.1% quantile
+  // of the eval-to-corpus exact-distance distribution (measured on
+  // sf0.01: min 1.12e12, q0.001 1.36e12, median 2.20e12).
+  private val SemEvalN = 25L
+  private val SemTau = 1400000000000L
+
+  def ddContaminateSem(s: SparkSession, d: String): DataFrame = {
+    val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val short = ivfpqProbe(
+        Tables.embeddings(s, d).filter(col("vec_id") < SemEvalN),
+        coarse, rcent, codes, PqR)
+      .filter(col("neighbor_id") >= SemEvalN) // corpus side only
+      .select(col("query_id").as("eval_id"), col("neighbor_id").as("vec_id"))
+    qv.select(col("vec_id"), col("q").as("cq"))
+      .join(broadcast(short.join(
+        qv.select(col("vec_id").as("eval_id"), col("q").as("qq")),
+        "eval_id")), "vec_id")
+      .select(col("vec_id"), col("eval_id"),
+        distL2(col("qq"), col("cq")).as("d2"))
+      .filter(col("d2") <= SemTau)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("eval_id"))).as("mm"))
+      .select(col("vec_id"), col("mm.eval_id").as("eval_id"),
+        col("mm.d2").as("d2"))
+      .orderBy("vec_id")
+  }
+
+  val ddContaminateSemSql: String =
+    s"""WITH ${ivfpqSqlChain(nq = SemEvalN.toInt)},
+       |$ivfRerankSqlChain
+       |SELECT vec_id, eval_id, d2 FROM (
+       |  SELECT r.neighbor_id AS vec_id, r.query_id AS eval_id, r.d2,
+       |         row_number() OVER (PARTITION BY r.neighbor_id
+       |                            ORDER BY r.d2, r.query_id) AS rk2
+       |  FROM ivf_rr r
+       |  WHERE r.neighbor_id >= $SemEvalN AND r.d2 <= $SemTau)
+       |WHERE rk2 = 1 ORDER BY vec_id""".stripMargin
 
   /** RAG assembly on the IVF-PQ index — completes the retrieve matrix
     * (pipe_rag: brute force; pipe_rag_ann: flat-PQ ADC; this: cell-pruned
@@ -2115,6 +2169,7 @@ object SimilarityQueries {
     "sim_ivfpq_rr_recall" -> (simIvfpqRrRecall _),
     "sim_ivfpq_incr" -> (simIvfpqIncr _),
     "sim_ivfpq_del" -> (simIvfpqDel _),
+    "dd_contaminate_sem" -> (ddContaminateSem _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_ivf" -> (pipeRagIvf _),
@@ -2141,6 +2196,7 @@ object SimilarityQueries {
     "sim_ivfpq_rr_recall" -> simIvfpqRrRecallSql,
     "sim_ivfpq_incr" -> simIvfpqIncrSql,
     "sim_ivfpq_del" -> simIvfpqDelSql,
+    "dd_contaminate_sem" -> ddContaminateSemSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_ivf" -> pipeRagIvfSql,
