@@ -11,9 +11,7 @@ object Bench {
     val extraConf = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
-    val spark = extraConf.foldLeft(SparkSession.builder()) {
-      case (b, (k, v)) => b.config(k, v)
-    }
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,7 +25,12 @@ object Bench {
       .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
         "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // overlay LAST so the A/B knob really overrides — applied before the
+    // fixed chain, any overlapping key (shuffle.partitions, extensions, …)
+    // would silently keep its hard-coded value and the A/B would be a no-op
+    val spark = extraConf.foldLeft(base) {
+      case (b, (k, v)) => b.config(k, v)
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // the timed action materializes EVERY column through the `noop` sink:

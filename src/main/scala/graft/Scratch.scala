@@ -169,7 +169,12 @@ object Scratch {
     // stagedFrame; NUL can't occur in either part)
     val entry = Memo.getOrPut(perSession, key + "partitioned") {
       val df = build
-      val p = dirFor(spark, key) + "/frame"
+      // directory namespaced like the memo key: a plain stagedFrame with
+      // the same key writes dirFor(spark, key)/frame — the flat and
+      // Hive-partitioned layouts must never share a path, or each memo
+      // thinks it owns the files and the second writer silently clobbers
+      // the first's layout under the first's cached path
+      val p = dirFor(spark, key + "_partitioned") + "/frame"
       // one file per partition value instead of one per shuffle partition
       // per value — the layout a real index store would compact to
       df.repartition(partCols.map(col): _*)

@@ -35,8 +35,8 @@ object Sinks {
   /** The swap dance with a caller-supplied writer (flat, partitioned,
     * bucketed — anything that materializes a directory at the tmp path).
     */
-  private def writeSwapWith(spark: SparkSession, path: String)
-                           (doWrite: String => Unit): Unit = {
+  private[graft] def writeSwapWith(spark: SparkSession, path: String)
+                                  (doWrite: String => Unit): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__swap__")
     val old = new org.apache.hadoop.fs.Path(path + ".__old__")
@@ -67,8 +67,8 @@ object Sinks {
     * swallowing it would make the merge rebuild from the batch alone and
     * silently drop the table's history.
     */
-  private def readExisting(spark: SparkSession, path: String,
-                           cols: Seq[String]): Option[DataFrame] =
+  private[graft] def readExisting(spark: SparkSession, path: String,
+                                  cols: Seq[String]): Option[DataFrame] =
     try Some(spark.read.parquet(path)
       .select(cols.map(org.apache.spark.sql.functions.col): _*))
     catch {
@@ -157,21 +157,84 @@ object Sinks {
     (before, dataFiles())
   }
 
+  /** Read an append-maintained partitioned store whose tree can MIX two
+    * layouts across compaction cycles: flat appended dirs
+    * (`base/`, `batch_<id>/` — partition values live IN the data files)
+    * and `col=value/` dirs from a previous [[compactPartitioned]] run
+    * (values live in the DIRECTORY NAMES; `partitionBy` stripped them
+    * from the files). A single `recursiveFileLookup` read over such a
+    * tree is wrong twice: the flag disables partition inference, so
+    * directory-encoded values vanish, and Spark then either throws
+    * (column missing) or fills nulls depending on which file's footer it
+    * samples. So the two layouts are listed apart and read separately —
+    * each under the caller's explicit `schema` (the
+    * `Scratch.stagedFramePartitioned` contract: partition-column types
+    * must never be re-inferred) — then unioned by name.
+    */
+  def readPartitionedTree(spark: SparkSession, path: String,
+                          partCols: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val (hive, flat) =
+      readPartitionedTreeParts(spark, path, partCols, schema)
+    val parts = Seq(hive, flat).flatten
+    require(parts.nonEmpty, s"readPartitionedTree: no data under $path")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** The two layout halves of a mixed store tree, separately:
+    * `(hive-partitioned dirs from a prior compaction, flat appended
+    * dirs)` — for callers that must RECONCILE the halves (a micro-batch
+    * replayed after compaction re-lands rows the compacted half already
+    * holds; the reconcile is an anti-join of big-compacted vs
+    * small-recent, which needs the halves apart — see
+    * `AnnStream.storeCodes`).
+    */
+  private[graft] def readPartitionedTreeParts(
+      spark: SparkSession, path: String, partCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    import org.apache.spark.sql.functions.col
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).filter { e =>
+      val n = e.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (hive, flat) = entries.partition(e =>
+      e.isDirectory && partCols.exists(c => e.getPath.getName.startsWith(c + "=")))
+    val cols = schema.fieldNames.map(col).toIndexedSeq
+    (if (hive.isEmpty) None
+     else Some(spark.read.schema(schema).option("basePath", path)
+       .parquet(hive.map(_.getPath.toString).toIndexedSeq: _*)
+       .select(cols: _*)),
+     if (flat.isEmpty) None
+     else Some(spark.read.schema(schema).option("recursiveFileLookup", "true")
+       .parquet(flat.map(_.getPath.toString).toIndexedSeq: _*)
+       .select(cols: _*)))
+  }
+
   /** [[compactParquet]] for a PARTITIONED store: fold a directory tree
     * of appended batch outputs (the `AnnStream.ivfpqIngestStream` shape —
     * `base/` plus one flat `batch_<id>/` per micro-batch) back into ONE
     * Hive-partitioned layout, the scan-prunable form the staged-index
-    * probes rely on. This is the compaction cadence every
-    * append-maintained index runs: between compactions the store is read
-    * with `recursiveFileLookup` (partition values live IN the batch
-    * files); after compaction it is a plain partitioned read — supply
-    * the schema explicitly on read, exactly the
-    * `Scratch.stagedFramePartitioned` contract, or the partition
-    * column's type is re-inferred. Same two-rename crash-safe swap as
+    * probes rely on. This is the RECURRING compaction cadence every
+    * append-maintained index runs — compact, ingest more batches,
+    * compact again — so the input is read through
+    * [[readPartitionedTree]], which handles the mixed tree a second run
+    * sees (prior run's `col=value/` dirs + fresh flat batch dirs); the
+    * caller supplies the store schema explicitly, the same reason
+    * `Scratch.stagedFramePartitioned` carries one. `transform` (default
+    * identity) edits rows inside the same crash-safe rewrite — pass a
+    * key anti-join to run a right-to-be-forgotten delete and the
+    * compaction as ONE pass over the store. Same two-rename swap as
     * every other sink here. Returns (dataFilesBefore, dataFilesAfter).
     */
   def compactPartitioned(spark: SparkSession, path: String,
-                         partCols: Seq[String]): (Long, Long) = {
+                         partCols: Seq[String],
+                         schema: org.apache.spark.sql.types.StructType,
+                         transform: DataFrame => DataFrame = identity)
+      : (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,10 +247,9 @@ object Sinks {
       n
     }
     val before = dataFiles()
-    // read (and fully decouple from the files about to be swapped away:
     // the writer below runs while the old tree still exists, so lineage
-    // reading `path` is safe — the swap happens only after the write)
-    val df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    // reading `path` is safe — the swap happens only after the write
+    val df = transform(readPartitionedTree(spark, path, partCols, schema))
     writeSwapWith(spark, path) { tmp =>
       df.repartition(partCols.map(col): _*)
         .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)

@@ -113,7 +113,7 @@ class AnnStreamSpec extends SparkSuite {
     val storeSchema = store.schema
     val nCids = store.select("cid").distinct().count()
     val (nBefore, nAfter) = graft.sources.Sinks.compactPartitioned(
-      spark, storeDir, Seq("cid"))
+      spark, storeDir, Seq("cid"), storeSchema)
     // the invariant is BOUNDEDNESS, not strict shrinkage: after
     // compaction the file count is one per populated cell, independent
     // of how many ingest batches accumulated (here 2 batches + base can
@@ -133,5 +133,78 @@ class AnnStreamSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(servedCompact == batchIncr,
       "probes through the compacted store must match the batch query")
+  }
+
+  test("streaming right-to-forget: tombstones hold across a post-compaction " +
+    "micro-batch replay, and the recurring compaction makes the delete physical") {
+    import graft.queries.SimilarityQueries
+    import spark.implicits._
+    val vecDir = Files.createTempDirectory("ivfpq_forget_v").toString
+    val storeDir = Files.createTempDirectory("ivfpq_forget_s").toString + "/codes"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val base = 400L
+    emb.filter(col("vec_id") >= base && col("vec_id") < 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b0.parquet")
+    emb.filter(col("vec_id") >= 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b1.parquet")
+    val q = AnnStream.ivfpqIngestStream(spark, vecDir, sf, base, storeDir,
+      maxFilesPerTrigger = Some(1))
+    try { q.processAllAvailable() } finally { q.stop() }
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir).schema
+
+    // compaction cycle 1 folds base/ + batch dirs into cid=*/ layout
+    graft.sources.Sinks.compactPartitioned(spark, storeDir, Seq("cid"), schema)
+
+    // forget one base vector and one streamed vector (durable tombstones)
+    val dels = Seq(123L, 457L)
+    AnnStream.forgetVectors(spark, storeDir, dels.toDF("vec_id"))
+
+    // REPLAY: a micro-batch re-lands AFTER its rows were folded away —
+    // exactly the write its foreachBatch would repeat on recovery. The
+    // store tree now mixes cid=*/ dirs, a duplicate flat batch dir, and
+    // one replayed row of a forgotten vector (457)
+    val (coarse, rcent, _) =
+      SimilarityQueries.ivfpqIndexOn(spark, sf, Some(base))
+    SimilarityQueries.ivfpqEncode(emb.filter(col("vec_id") >= 450),
+        coarse, rcent)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_1")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "m", "code").collect().map(_.toSeq).toSet
+    val truth = rows(SimilarityQueries.ivfpqEncode(
+      emb.filter(!col("vec_id").isin(dels: _*)), coarse, rcent))
+
+    // serving view: replay duplicates reconciled, forgotten ids filtered
+    val view = AnnStream.storeCodes(spark, storeDir, schema)
+    assert(rows(view) == truth,
+      "serving view must equal the one-pass encode minus forgotten ids, " +
+        "even over the replay-duplicated tree")
+    val queries = emb.filter(col("vec_id") < SimilarityQueries.PqNQ)
+    def neighbors(codes: org.apache.spark.sql.DataFrame) =
+      SimilarityQueries.ivfpqProbe(queries, coarse, rcent, codes)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .collect().map(_.toSeq).toSet
+    val served = neighbors(view)
+    assert(!served.exists(r => dels.contains(r(2).asInstanceOf[Long])),
+      "a forgotten vector must never be retrieved")
+    val rebuilt = neighbors(SimilarityQueries.ivfpqEncode(
+      emb.filter(!col("vec_id").isin(dels: _*)), coarse, rcent))
+    assert(served == rebuilt,
+      "probes through the store must match the rebuild-without-deleted")
+
+    // compaction cycle 2 over the MIXED tree (the re-runnability the
+    // recurring cadence needs): delete becomes physical, probes hold
+    val nCids = view.select("cid").distinct().count()
+    val (_, nAfter) = AnnStream.compactStore(spark, storeDir, schema)
+    assert(nAfter <= nCids, s"cycle-2 compaction must rebound the file " +
+      s"count to <=1 per cell, got $nAfter for $nCids cells")
+    // `_tombstones` is skipped by the plain read (underscore prefix):
+    // what is physically left on disk is exactly truth
+    val physical = spark.read.schema(schema).parquet(storeDir)
+    assert(rows(physical) == truth,
+      "after delete+compact the forgotten rows must be physically gone")
+    assert(neighbors(AnnStream.storeCodes(spark, storeDir, schema)) == rebuilt,
+      "probe parity must survive the second compaction")
   }
 }
