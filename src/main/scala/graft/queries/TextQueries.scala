@@ -923,37 +923,80 @@ object TextQueries {
   // but the prefix sum that drives it is not sequential in EXECUTION:
   // a per-lang `rows unbounded preceding` window would make the biggest
   // language ONE task sorting and scanning ~half the corpus at 100 TB,
-  // so the running total comes from [[packCumsum]] — the two-level
-  // chunked prefix sum with carry-in (the ev_concurrency day-carry
-  // idiom), bit-identical to the flat window.
+  // so the running total comes from [[packCumsum]] — a fixed-depth
+  // chunked prefix-sum tree with carry-in (the ev_concurrency day-carry
+  // idiom, nested), bit-identical to the flat window.
   private[graft] val PackChunkW = 256L
 
   /** Exact per-`lang` running total of `valueCol` in `doc_id` order,
-    * scale-safe: rows are chunked by `doc_id div PackChunkW`, each
-    * (lang, chunk) computes its LOCAL prefix sum in a bounded window
-    * partition (≤ PackChunkW rows), per-chunk totals roll up into a
-    * carry-in (a window over #chunks rows per lang — corpus/256, and the
-    * idiom nests if even that level ever needs splitting), and
-    * cum = carry + local. Same per-lang doc_id order as the flat window
-    * (chunk is monotone in doc_id), same exact sums — only the execution
-    * shape changes: no window partition ever holds a language's full
-    * corpus. Input must carry (doc_id, lang, valueCol).
+    * scale-safe at every level: a depth-3 chunk tree over
+    * `doc_id div 256^k`. Each (lang, chunk) computes its LOCAL prefix
+    * sum in a ≤256-row window partition; per-chunk totals roll up twice
+    * more, so the two mid carry windows are ≤256 rows as well
+    * ((lang, chunk2) over chunks, (lang, chunk3) over chunk2s) and the
+    * only language-wide window left runs over chunk3 — corpus/256³ rows
+    * (~600 at the 10¹⁰-doc design point; ≈ one executor page at any
+    * plausible corpus). cum = local + within-parent + parent +
+    * grandparent carries. No forced broadcast anywhere: carry tables
+    * shrink 256× per level, and the planner picks broadcast exactly when
+    * a level is actually small — at the 100 TB point the level-1 carry
+    * (corpus/256 rows) rides the same (lang, chunk) shuffle the local
+    * window already paid for, instead of a driver collect+ship.
+    *
+    * `lang` joins are NULL-SAFE (`<=>`): a null lang is its own window
+    * partition in both Spark and the DuckDB oracle's flat window, and it
+    * must stay one through the carry joins — plain equality would
+    * silently drop null-lang rows. Same per-lang doc_id order as the
+    * flat window (every chunk level is monotone in doc_id), same exact
+    * sums — only the execution shape changes. Input must carry
+    * (doc_id, lang, valueCol) with non-null doc_id.
     */
   private[graft] def packCumsum(df: DataFrame, valueCol: String): DataFrame = {
+    val W = PackChunkW
+    val chunked = df.withColumn("chunk", expr(s"doc_id div $W"))
     val wLocal = Window.partitionBy("lang", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wCarry = Window.partitionBy("lang").orderBy("chunk")
+
+    // level 1: one row per (lang, chunk); exclusive prefix of chunk
+    // totals WITHIN the 256-chunk parent group (bounded window)
+    val t1 = chunked.groupBy("lang", "chunk")
+      .agg(sum(valueCol).as("ctot1"))
+      .withColumn("chunk2", expr(s"chunk div $W"))
+    val w1 = Window.partitionBy("lang", "chunk2").orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunked = df.withColumn("chunk", expr(s"doc_id div $PackChunkW"))
-    val carries = chunked.groupBy("lang", "chunk")
-      .agg(sum(valueCol).as("ctot"))
-      .withColumn("carry", coalesce(sum("ctot").over(wCarry), lit(0L)))
-      .select("lang", "chunk", "carry")
+    val c1 = t1.withColumn("e1", coalesce(sum("ctot1").over(w1), lit(0L)))
+
+    // level 2: one row per (lang, chunk2); exclusive prefix within the
+    // 256-chunk2 grandparent group (bounded window)
+    val t2 = t1.groupBy("lang", "chunk2").agg(sum("ctot1").as("ctot2"))
+      .withColumn("chunk3", expr(s"chunk2 div $W"))
+    val w2 = Window.partitionBy("lang", "chunk3").orderBy("chunk2")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c2 = t2.withColumn("e2", coalesce(sum("ctot2").over(w2), lit(0L)))
+      .select(col("lang").as("lang2"), col("chunk2").as("c2key"), col("e2"))
+
+    // level 3: one row per (lang, chunk3) — corpus/256³; the one
+    // language-spanning window, over the maximally-reduced key
+    val t3 = t2.groupBy("lang", "chunk3").agg(sum("ctot2").as("ctot3"))
+    val w3 = Window.partitionBy("lang").orderBy("chunk3")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c3 = t3.withColumn("e3", coalesce(sum("ctot3").over(w3), lit(0L)))
+      .select(col("lang").as("lang3"), col("chunk3").as("c3key"), col("e3"))
+
+    // carry per (lang, chunk) = within-parent + parent + grandparent
+    val carries = c1
+      .join(c2, col("lang") <=> col("lang2") && col("chunk2") === col("c2key"))
+      .join(c3, col("lang") <=> col("lang3")
+        && expr(s"chunk2 div $W") === col("c3key"))
+      .select(col("lang").as("langK"), col("chunk").as("chunkK"),
+        (col("e1") + col("e2") + col("e3")).as("carry"))
+
     chunked
       .withColumn("local", sum(valueCol).over(wLocal))
-      .join(broadcast(carries), Seq("lang", "chunk"))
+      .join(carries,
+        col("lang") <=> col("langK") && col("chunk") === col("chunkK"))
       .withColumn("cum", col("carry") + col("local"))
-      .drop("chunk", "local", "carry")
+      .drop("chunk", "local", "carry", "langK", "chunkK")
   }
 
   def dsPack(s: SparkSession, d: String): DataFrame =

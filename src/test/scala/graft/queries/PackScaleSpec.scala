@@ -49,8 +49,8 @@ class PackScaleSpec extends SparkSuite {
   test("no lang-only corpus-width window remains in ds_pack / " +
     "ds_pack_tokens / pipe_curate plans (the scale-killer shape)") {
     for (q <- Seq("ds_pack", "ds_pack_tokens", "pipe_curate")) {
-      val p = graft.SparkEntry.queries(q)(spark, sf)
-        .queryExecution.executedPlan.toString
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
       // the running-total window must partition by (lang, chunk), never
       // by lang alone with doc_id as the first order key
       assert(!"windowspecdefinition\\(lang#\\d+, doc_id#".r
@@ -59,9 +59,31 @@ class PackScaleSpec extends SparkSuite {
       assert("windowspecdefinition\\(lang#\\d+, chunk#\\d+".r
         .findFirstIn(p).isDefined,
         s"$q lost the chunked window shape:\n$p")
-      // the carry table joins back by broadcast — the corpus side never
-      // re-shuffles for the carry
-      assert(p.contains("BroadcastHashJoin"), p)
+      // the carry tree must stay bounded at EVERY level: a lang-only
+      // window ordering raw chunk would put corpus/256 rows in one task
+      // (the r9 residual) — only the 256³-reduced chunk3 level may span
+      // a whole language
+      assert(!"windowspecdefinition\\(lang#\\d+, chunk#\\d+L? ASC".r
+        .findFirstIn(p).isDefined,
+        s"$q has an unbounded lang-only carry window over raw chunks:\n$p")
+      assert("windowspecdefinition\\(lang#\\d+, chunk2#\\d+".r
+        .findFirstIn(p).isDefined &&
+        "windowspecdefinition\\(lang#\\d+, chunk3#\\d+L? ASC".r
+          .findFirstIn(p).isDefined,
+        s"$q lost the depth-3 carry tree:\n$p")
+      // and no FORCED corpus-width broadcast: the pure packing path
+      // (ds_pack = documents → packCumsum → groupBy) carries no broadcast
+      // hint at all (the planner still auto-broadcasts the tiny carry
+      // tables at test scale — that's its call, sized from real stats,
+      // not a hint that would ship corpus/256 rows at 100 TB).
+      // ds_pack_tokens / pipe_curate legitimately hint elsewhere
+      // (k-row vocab / quota frames), so the hint lock binds where the
+      // only possible hint would be the carry one.
+      if (q == "ds_pack") {
+        val analyzed = df.queryExecution.analyzed.toString
+        assert(!analyzed.contains("ResolvedHint"),
+          s"$q forces a broadcast hint in the packing path:\n$analyzed")
+      }
     }
   }
 
