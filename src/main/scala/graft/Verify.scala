@@ -12,7 +12,9 @@ object OracleDefaults {
   val pinned: Seq[(String, String)] = Seq(
     "spark.graft.shards" -> "8",
     "spark.graft.ivf.nprobe" -> "2",
-    "spark.graft.ivf.cells" -> "8")
+    "spark.graft.ivf.cells" -> "8",
+    "spark.graft.sem.evaln" -> "25",
+    "spark.graft.sem.tau" -> "1400000000000")
 
   def assertDefaults(spark: SparkSession): Unit = pinned.foreach {
     case (k, v) =>

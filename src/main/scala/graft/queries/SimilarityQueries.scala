@@ -1846,17 +1846,25 @@ object SimilarityQueries {
   // IDENTICAL chain, so the gate certifies the pipeline, not a
   // brute-force idealization of it. SemTau sits at the ~0.1% quantile
   // of the eval-to-corpus exact-distance distribution (measured on
-  // sf0.01: min 1.12e12, q0.001 1.36e12, median 2.20e12).
+  // sf0.01: min 1.12e12, q0.001 1.36e12, median 2.20e12). Both knobs
+  // are runtime confs (re-derive tau from that quantile when the
+  // embedding space changes); the static oracle SQL pins the defaults,
+  // so OracleDefaults fail-fasts a non-default value in the gate.
   private val SemEvalN = 25L
   private val SemTau = 1400000000000L
+  private[graft] def semEvalN(s: SparkSession): Long =
+    s.conf.get("spark.graft.sem.evaln", SemEvalN.toString).toLong
+  private[graft] def semTau(s: SparkSession): Long =
+    s.conf.get("spark.graft.sem.tau", SemTau.toString).toLong
 
   def ddContaminateSem(s: SparkSession, d: String): DataFrame = {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
+    val evalN = semEvalN(s)
     val qv = pqQuantize(Tables.embeddings(s, d))
     val short = ivfpqProbe(
-        Tables.embeddings(s, d).filter(col("vec_id") < SemEvalN),
+        Tables.embeddings(s, d).filter(col("vec_id") < evalN),
         coarse, rcent, codes, PqR)
-      .filter(col("neighbor_id") >= SemEvalN) // corpus side only
+      .filter(col("neighbor_id") >= evalN) // corpus side only
       .select(col("query_id").as("eval_id"), col("neighbor_id").as("vec_id"))
     qv.select(col("vec_id"), col("q").as("cq"))
       .join(broadcast(short.join(
@@ -1864,7 +1872,7 @@ object SimilarityQueries {
         "eval_id")), "vec_id")
       .select(col("vec_id"), col("eval_id"),
         distL2(col("qq"), col("cq")).as("d2"))
-      .filter(col("d2") <= SemTau)
+      .filter(col("d2") <= semTau(s))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("eval_id"))).as("mm"))
       .select(col("vec_id"), col("mm.eval_id").as("eval_id"),
@@ -1872,16 +1880,81 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** The shipped decontamination chain as CTEs ending in `sem_flags` —
+    * shared VERBATIM by `dd_contaminate_sem` and its recall eval
+    * `dd_sem_recall` (the dd_lsh_recall doctrine: an eval that embeds
+    * anything but the shipped query certifies nothing).
+    */
+  private def semSqlChain: String =
+    s"""${ivfpqSqlChain(nq = SemEvalN.toInt)},
+       |$ivfRerankSqlChain,
+       |sem_flags AS (
+       |  SELECT vec_id, eval_id, d2 FROM (
+       |    SELECT r.neighbor_id AS vec_id, r.query_id AS eval_id, r.d2,
+       |           row_number() OVER (PARTITION BY r.neighbor_id
+       |                              ORDER BY r.d2, r.query_id) AS rk2
+       |    FROM ivf_rr r
+       |    WHERE r.neighbor_id >= $SemEvalN AND r.d2 <= $SemTau)
+       |  WHERE rk2 = 1
+       |)""".stripMargin
+
   val ddContaminateSemSql: String =
-    s"""WITH ${ivfpqSqlChain(nq = SemEvalN.toInt)},
-       |$ivfRerankSqlChain
-       |SELECT vec_id, eval_id, d2 FROM (
-       |  SELECT r.neighbor_id AS vec_id, r.query_id AS eval_id, r.d2,
-       |         row_number() OVER (PARTITION BY r.neighbor_id
-       |                            ORDER BY r.d2, r.query_id) AS rk2
-       |  FROM ivf_rr r
-       |  WHERE r.neighbor_id >= $SemEvalN AND r.d2 <= $SemTau)
-       |WHERE rk2 = 1 ORDER BY vec_id""".stripMargin
+    s"""WITH $semSqlChain
+       |SELECT vec_id, eval_id, d2 FROM sem_flags ORDER BY vec_id""".stripMargin
+
+  /** Recall of `dd_contaminate_sem` against EXACT truth — the one
+    * approximate family that still lacked a certified recall row. Truth
+    * is the brute-force pass the production shape exists to avoid: every
+    * corpus vector's exact integer-L2 distance to every eval vector
+    * (E-bounded — corpus × SemEvalN with the eval side broadcast, the
+    * same shape as every other exact eval here), thresholded at SemTau.
+    * The shipped query's flags are exact-verified, so flags ⊆ truth by
+    * construction (n_flagged = n_hit; published anyway as the
+    * cross-check) — what this row certifies is the MISS rate: vectors
+    * inside tau whose eval pair the ANN shortlist never surfaced,
+    * invisible to every downstream artifact. The oracle embeds the
+    * shipped chain verbatim ([[semSqlChain]]), so the measured recall
+    * itself is oracle-certified.
+    */
+  def ddSemRecall(s: SparkSession, d: String): DataFrame = {
+    val evalN = semEvalN(s)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val truth = qv.filter(col("vec_id") >= evalN)
+      .select(col("vec_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qv.filter(col("vec_id") < evalN)
+        .select(col("vec_id").as("eval_id"), col("q").as("qq"))))
+      .filter(distL2(col("qq"), col("cq")) <= semTau(s))
+      .select("vec_id").distinct()
+    val flags = ddContaminateSem(s, d).select("vec_id")
+    truth.join(flags.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_hit"))
+      .crossJoin(broadcast(
+        flags.agg(count(lit(1)).cast("long").as("n_flagged"))))
+      .select(col("n_true"), col("n_flagged"), col("n_hit"),
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(expr("n_hit * 10000 div n_true")).cast("long")
+          .as("recall_bp"))
+  }
+
+  val ddSemRecallSql: String =
+    s"""WITH $semSqlChain,
+       |sem_truth AS (
+       |  SELECT DISTINCT c.vec_id
+       |  FROM (SELECT * FROM qv WHERE vec_id >= $SemEvalN) c,
+       |       (SELECT * FROM qv WHERE vec_id < $SemEvalN) e
+       |  WHERE list_sum(list_transform(range(1, len(e.q)+1),
+       |          i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) <= $SemTau
+       |)
+       |SELECT CAST((SELECT count(*) FROM sem_truth) AS BIGINT) AS n_true,
+       |       CAST((SELECT count(*) FROM sem_flags) AS BIGINT) AS n_flagged,
+       |       CAST((SELECT count(*) FROM sem_flags f JOIN sem_truth t
+       |             ON f.vec_id = t.vec_id) AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN (SELECT count(*) FROM sem_truth) = 0 THEN 0
+       |            ELSE (SELECT count(*) FROM sem_flags f JOIN sem_truth t
+       |                  ON f.vec_id = t.vec_id) * 10000
+       |                 // (SELECT count(*) FROM sem_truth) END AS BIGINT)
+       |         AS recall_bp""".stripMargin
 
   /** RAG assembly on the IVF-PQ index — completes the retrieve matrix
     * (pipe_rag: brute force; pipe_rag_ann: flat-PQ ADC; this: cell-pruned
@@ -2170,6 +2243,7 @@ object SimilarityQueries {
     "sim_ivfpq_incr" -> (simIvfpqIncr _),
     "sim_ivfpq_del" -> (simIvfpqDel _),
     "dd_contaminate_sem" -> (ddContaminateSem _),
+    "dd_sem_recall" -> (ddSemRecall _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_ivf" -> (pipeRagIvf _),
@@ -2197,6 +2271,7 @@ object SimilarityQueries {
     "sim_ivfpq_incr" -> simIvfpqIncrSql,
     "sim_ivfpq_del" -> simIvfpqDelSql,
     "dd_contaminate_sem" -> ddContaminateSemSql,
+    "dd_sem_recall" -> ddSemRecallSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_ivf" -> pipeRagIvfSql,
