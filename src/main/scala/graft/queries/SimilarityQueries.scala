@@ -1396,6 +1396,26 @@ object SimilarityQueries {
     codes.join(broadcast(deleteIds.select("vec_id").distinct()),
       Seq("vec_id"), "left_anti")
 
+  /** The eval/query vector batch as its OWN staged artifact (one tiny
+    * parquet, memoized per (session, d, n)). Two reasons, both the
+    * production shape: (1) query batches ARRIVE as small inputs (the
+    * streaming `foreachBatch` frame is exactly this) — they are never a
+    * filter over the 100 TB corpus file; (2) the planner's size
+    * estimate for `corpus.filter(vec_id < n)` is the corpus FILE size,
+    * which poisons every downstream decision sized from the probe side
+    * — most consequentially dynamic partition pruning's
+    * `pruningHasBenefit`, whose overhead estimate is the filtering
+    * plan's size: with the filter-over-corpus shape it concludes the
+    * pruning subquery costs ~a corpus scan and declines, and the
+    * cid-partitioned code store stops pruning I/O at exactly the scale
+    * it exists for (measured: 64/64 cell files read at the 100× rung;
+    * 2/64 once the batch is staged — DppCheck, BENCH_NOTES round 10).
+    */
+  private[graft] def queryBatch(s: SparkSession, d: String, n: Long)
+      : DataFrame =
+    graft.Scratch.stagedFrame(s, s"qbatch_${graft.Scratch.digest(d)}_$n")(
+      Tables.embeddings(s, d).filter(col("vec_id") < n))
+
   /** IVF-PQ top-k for a batch of raw (vec_id, embedding) query rows —
     * the per-batch serving path shared by batch `sim_ivfpq` and the
     * streaming twin ([[graft.streaming.AnnStream.ivfpqProbeStream]]).
@@ -1438,7 +1458,7 @@ object SimilarityQueries {
     */
   def simIvfpq(s: SparkSession, d: String): DataFrame = {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
-    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+    ivfpqProbe(queryBatch(s, d, PqNQ),
       coarse, rcent, codes)
       .orderBy("query_id", "rank")
   }
@@ -1650,7 +1670,7 @@ object SimilarityQueries {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
     val qv = pqQuantize(Tables.embeddings(s, d))
     val qq = qv.filter(col("vec_id") < PqNQ)
-    val short = ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+    val short = ivfpqProbe(queryBatch(s, d, PqNQ),
         coarse, rcent, codes, PqR)
       .select(col("query_id"), col("neighbor_id"))
     qv.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
@@ -1801,7 +1821,7 @@ object SimilarityQueries {
     val batch = Tables.embeddings(s, d).filter(col("vec_id") >= IncrBase)
     val codes = mergeIvfpqCodes(baseCodes, batch, coarse, rcent,
       replaceExisting = false)
-    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+    ivfpqProbe(queryBatch(s, d, PqNQ),
       coarse, rcent, codes)
       .orderBy("query_id", "rank")
   }
@@ -1822,7 +1842,7 @@ object SimilarityQueries {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
     val del = Tables.embeddings(s, d).select("vec_id")
       .filter(col("vec_id") % DelMod === DelRes)
-    ivfpqProbe(Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+    ivfpqProbe(queryBatch(s, d, PqNQ),
       coarse, rcent, deleteFromCodes(codes, del))
       .orderBy("query_id", "rank")
   }
@@ -1861,8 +1881,7 @@ object SimilarityQueries {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
     val evalN = semEvalN(s)
     val qv = pqQuantize(Tables.embeddings(s, d))
-    val short = ivfpqProbe(
-        Tables.embeddings(s, d).filter(col("vec_id") < evalN),
+    val short = ivfpqProbe(queryBatch(s, d, evalN),
         coarse, rcent, codes, PqR)
       .filter(col("neighbor_id") >= evalN) // corpus side only
       .select(col("query_id").as("eval_id"), col("neighbor_id").as("vec_id"))
@@ -1964,8 +1983,7 @@ object SimilarityQueries {
   def pipeRagIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
-    val hits = ivfpqProbe(
-      Tables.embeddings(s, d).filter(col("vec_id") < PqNQ),
+    val hits = ivfpqProbe(queryBatch(s, d, PqNQ),
       coarse, rcent, codes, RagK)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))

@@ -122,6 +122,47 @@ class IvfConfSpec extends SparkSuite {
       o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("at a production-proportioned cell count the scan prune engages " +
+    "NATURALLY — no cost-model knobs (sf0.01, cells=64, single query)") {
+    // The knob-forced test above certifies the at-scale verdict at toy
+    // scale; this one removes the knobs entirely. Two ingredients make
+    // pruningHasBenefit engage on its own: (1) cells=64 — a
+    // production-proportioned cell count for the sf0.01 corpus (the
+    // ~sqrt(N) Faiss rule), so one cell's file is a small fraction of
+    // the store; (2) the probe side is the STAGED query batch
+    // (SimilarityQueries.queryBatch) — a filter-over-corpus query side
+    // would carry the corpus file's size estimate and the cost model
+    // would (correctly, by its own numbers) conclude the pruning
+    // subquery costs a corpus scan. Round-10 DppCheck measurements:
+    // 2/64 files here and at the 100×/1000× rungs, with wall-clock
+    // 1.4× at 1000× (BENCH_NOTES).
+    val d01 = "/root/testdata/sf0.01"
+    withConf("spark.graft.ivf.cells", Some("64")) {
+      val (coarse, rcent, codes) = SimilarityQueries.ivfpqIndex(spark, d01)
+      val df = SimilarityQueries.ivfpqProbe(
+        SimilarityQueries.queryBatch(spark, d01, 1L), coarse, rcent, codes)
+      assert(df.collect().length == 5)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location")
+                .exists(_.contains("ivfpq_codes")) =>
+            Seq(f.metrics("numFiles").value)
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan).filter(_ > 0)
+      assert(scans.nonEmpty, "executed codes scan not found")
+      assert(scans.forall(_ <= 2),
+        s"un-forced prune should read <=nprobe=2 of 64 cell files: $scans")
+    }
+  }
+
   test("out-of-range knobs are rejected") {
     intercept[IllegalArgumentException] {
       withNprobe(0)(SimilarityQueries.simIvfpq(spark, sf))
