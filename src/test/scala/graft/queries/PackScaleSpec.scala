@@ -87,6 +87,35 @@ class PackScaleSpec extends SparkSuite {
     }
   }
 
+  test("packCumsum keeps null-lang rows as their own partition " +
+    "(bit-identity on a corpus that actually contains nulls)") {
+    // the generated corpus has no null lang, so the oracle can't catch a
+    // null-dropping join — this synthetic frame can: plain equality in
+    // the carry joins would silently drop every null-lang row, while the
+    // flat window (and DuckDB's) treats null as one more partition
+    import spark.implicits._
+    val rows = (0L until 600L).map { i =>
+      val lang = i % 7 match {
+        case 0 => null
+        case k => s"l$k"
+      }
+      (i, lang, (i % 37) + 1)
+    }
+    val base = rows.toDF("doc_id", "lang", "n_chars")
+    val flat = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = base.withColumn("cum", sum("n_chars").over(flat))
+      .select("doc_id", "cum")
+    val chunked = TextQueries.packCumsum(base, "n_chars")
+      .select("doc_id", "cum")
+    assert(chunked.count() == 600,
+      "null-lang rows must survive the carry joins")
+    assert(naive.except(chunked).count() == 0
+      && chunked.except(naive).count() == 0,
+      "chunked cumsum must be bit-identical to the flat window on " +
+        "null-lang partitions too")
+  }
+
   test("ds_pack bins: first bin of every language starts at 0 and bins " +
     "are monotone (packing semantics survive the rewrite)") {
     val r = TextQueries.dsPack(spark, sf).collect()
