@@ -38,4 +38,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK17 GCLocker hazard under heavy native parquet I/O near a full
+  // heap: "Retried waiting for GCLocker too often" surfaces as an
+  // executor-thread OOM, which in local mode KILLS the whole JVM
+  // (SparkUncaughtExceptionHandler). Observed once on the 100x bench
+  // rung (round 10); raising the retry budget is the standard
+  // mitigation (JDK-8192647 family) and costs nothing when GC is calm.
+  "-XX:GCLockerRetryAllocationCount=100",
 )
