@@ -44,5 +44,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (SparkUncaughtExceptionHandler). Observed once on the 100x bench
   // rung (round 10); raising the retry budget is the standard
   // mitigation (JDK-8192647 family) and costs nothing when GC is calm.
+  // Diagnostic option on JDK17 — the unlock flag must precede it.
+  "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=100",
 )
