@@ -132,110 +132,38 @@ object AnnStream {
   }
 
   // ---- maintained-store lifecycle: serve / forget / compact ----
-
-  private def tombstonePath(storeDir: String): String =
-    // underscore prefix: invisible to every parquet read of the store
-    // tree (Spark skips `_*` paths), so tombstones can live INSIDE the
-    // store directory and travel with it
-    s"$storeDir/_tombstones"
-
-  private def tombstones(s: SparkSession, storeDir: String)
-      : Option[DataFrame] =
-    graft.sources.Sinks.readExisting(s, tombstonePath(storeDir),
-      Seq("vec_id"))
+  // All three delegate to the shared graft.sources.KeyedStore lifecycle
+  // (key = vec_id, partitioned by cid) — the same machinery DocStream
+  // uses for the MinHash band-index store. Invariants and hazard
+  // analysis (replay duplicates reconciled by broadcast anti-join,
+  // durable tombstones held across compaction) live on KeyedStore.
 
   /** The serving view of an [[ivfpqIngestStream]] store — the ONE
-    * read-side reconcile every probe goes through. Two hazards are
-    * closed here, both with broadcast-sized work:
-    *
-    *  - **replay duplicates**: a micro-batch replayed AFTER a compaction
-    *    folded its rows re-lands its `batch_<id>` dir next to the
-    *    compacted `cid=N/` copies. The flat half is authoritative (its
-    *    rows are identical re-encodes under frozen quantizers) and SMALL
-    *    — only batches since the last compaction — so the reconcile is a
-    *    broadcast anti-join of compacted-vs-recent vec_ids, never a
-    *    store-wide dedup shuffle;
-    *  - **forgotten vectors**: ids in the durable tombstone list
-    *    ([[forgetVectors]]) are anti-joined out, so a deleted vector can
-    *    never surface even while a replayed batch dir physically carries
-    *    its rows again. Tombstones are forget REQUESTS — bounded by
-    *    legal/ops volume, broadcast-sized at any corpus scale.
+    * read-side reconcile every probe goes through: mixed-tree read,
+    * post-compaction replay duplicates reconciled, forgotten vectors
+    * filtered ([[graft.sources.KeyedStore.serve]]).
     */
   def storeCodes(s: SparkSession, storeDir: String,
-                 schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
-    val (hive, flat) = graft.sources.Sinks
-      .readPartitionedTreeParts(s, storeDir, Seq("cid"), schema)
-    val merged = (hive, flat) match {
-      case (Some(h), Some(f)) =>
-        h.join(broadcast(f.select("vec_id").distinct()),
-            Seq("vec_id"), "left_anti")
-          .unionByName(f)
-      case (h, f) => h.orElse(f).getOrElse(
-        throw new IllegalStateException(s"empty code store at $storeDir"))
-    }
-    tombstones(s, storeDir) match {
-      case Some(t) =>
-        merged.join(broadcast(t.select("vec_id").distinct()),
-          Seq("vec_id"), "left_anti")
-      case None => merged
-    }
-  }
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.sources.KeyedStore.serve(s, storeDir, Seq("cid"), schema, "vec_id")
 
-  /** Right-to-be-forgotten over the maintained store: record `ids` in
-    * the store's durable tombstone list (idempotent set-union through
-    * the crash-safe upsert sink). The DELETE is durable from this point
-    * — [[storeCodes]] filters tombstoned ids on every read, including
-    * rows a replayed micro-batch re-lands later — and the next
-    * [[compactStore]] makes it PHYSICAL. Tombstones survive compaction
-    * deliberately: they must keep guarding until no replay can
-    * resurrect the rows (the checkpoint has committed past every batch
-    * that carried them).
+  /** Right-to-be-forgotten over the maintained store: durable tombstone
+    * upsert — [[storeCodes]] filters the ids on every read (including
+    * rows a replayed micro-batch re-lands later); the next
+    * [[compactStore]] makes the delete physical.
     */
   def forgetVectors(s: SparkSession, storeDir: String,
                     ids: DataFrame): Unit =
-    graft.sources.Sinks.replaceKeysParquet(
-      s, ids.select("vec_id").distinct(), tombstonePath(storeDir),
-      Seq("vec_id"))
+    graft.sources.KeyedStore.forget(s, storeDir, "vec_id", ids)
 
-  /** Compaction cadence for the maintained store: fold the whole tree —
-    * prior compacted `cid=N/` dirs, appended `batch_<id>` dirs, replay
-    * duplicates, tombstoned rows — through the [[storeCodes]] reconcile
-    * into ONE cid-partitioned layout (crash-safe swap). After this pass
-    * forgotten vectors are physically gone and every probe prunes on
-    * `cid` again. Returns (dataFilesBefore, dataFilesAfter).
+  /** Compaction cadence: fold the whole tree through the [[storeCodes]]
+    * reconcile into ONE cid-partitioned layout (crash-safe swap) —
+    * forgotten vectors physically gone, every probe prunes on `cid`
+    * again. Returns (dataFilesBefore, dataFilesAfter).
     */
   def compactStore(s: SparkSession, storeDir: String,
                    schema: org.apache.spark.sql.types.StructType)
-      : (Long, Long) = {
-    import org.apache.spark.sql.functions.col
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def dataFiles(): Long = {
-      var n = 0L
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        // tombstones are store metadata, not data files — and they are
-        // the one `_`-prefixed subtree the swap must carry over
-        if (f.getName.endsWith(".parquet")
-          && !f.toString.contains("/_tombstones/")) n += 1
-      }
-      n
-    }
-    val before = dataFiles()
-    val df = storeCodes(s, storeDir, schema)
-    graft.sources.Sinks.writeSwapWith(s, storeDir) { tmp =>
-      df.repartition(col("cid"))
-        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
-      // tombstones ride along into the new tree (they must keep guarding
-      // replays of already-folded batches)
-      val oldT = new org.apache.hadoop.fs.Path(tombstonePath(storeDir))
-      if (fs.exists(oldT))
-        org.apache.hadoop.fs.FileUtil.copy(fs, oldT, fs,
-          new org.apache.hadoop.fs.Path(tombstonePath(tmp)), false,
-          s.sparkContext.hadoopConfiguration)
-    }
-    (before, dataFiles())
-  }
+      : (Long, Long) =
+    graft.sources.KeyedStore.compact(s, storeDir, Seq("cid"), schema,
+      "vec_id")
 }

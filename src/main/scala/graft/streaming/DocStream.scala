@@ -111,4 +111,80 @@ object DocStream {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("match_id"), round(col("est"), 4).as("match_est"))
   }
+
+  // ---- persisted band-index store: ingest / serve / forget / compact ----
+  // The dedup index family gets the SAME maintained-store lifecycle as
+  // the ANN code store (graft.sources.KeyedStore; AnnStream is the other
+  // client): band-index rows are a pure per-document function of the
+  // fixed hash family, so streamed appends ≡ one-pass rebuild, replayed
+  // batches re-land identical rows, and right-to-forget has TRUE rebuild
+  // parity.
+
+  /** Streaming INDEX MAINTENANCE for the persisted MinHash band index —
+    * the dedup sibling of `AnnStream.ivfpqIngestStream`: the historical
+    * corpus (`doc_id < baseBound` of `corpusDir`'s documents) is signed
+    * ONCE into `outDir/base`; new documents then ARRIVE as a parquet
+    * stream and each micro-batch is signed/banded (only the batch — the
+    * corpus is never re-tokenized) and lands as one idempotent
+    * `batch_<id>` append. A replayed micro-batch overwrites its own
+    * `batch_<id>` path (exactly-once with `checkpointDir`). Serve
+    * probes through [[storeBandIndex]]; run [[compactBandStore]] on the
+    * maintenance cadence.
+    */
+  def bandIndexIngestStream(s: org.apache.spark.sql.SparkSession,
+                            docDir: String, corpusDir: String,
+                            baseBound: Long, outDir: String,
+                            shingleN: Int, bands: Int, rowsPerBand: Int,
+                            maxFilesPerTrigger: Option[Int] = None,
+                            checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val base = graft.Tables.documents(s, corpusDir)
+      .filter(col("doc_id") < baseBound).select("doc_id", "text")
+    TextDedup.minhashBandIndex(base, shingleN, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$outDir/base")
+    val reader = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("recursiveFileLookup", "true")
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docDir)
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** Serving view of the maintained band-index store (mixed-tree read,
+    * replay reconcile, tombstones filtered) — feed it to
+    * `TextDedup.incrementalNearDups` as the corpus index.
+    */
+  def storeBandIndex(s: org.apache.spark.sql.SparkSession, storeDir: String,
+                     schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    graft.sources.KeyedStore.serve(s, storeDir, Seq("band"), schema,
+      "doc_id")
+
+  /** Right-to-be-forgotten over the maintained band index: durable
+    * tombstones now, physical at the next [[compactBandStore]]. A
+    * forgotten document can never surface as anyone's near-dup match
+    * again — not even from a replayed micro-batch that physically
+    * re-lands its rows.
+    */
+  def forgetDocs(s: org.apache.spark.sql.SparkSession, storeDir: String,
+                 ids: DataFrame): Unit =
+    graft.sources.KeyedStore.forget(s, storeDir, "doc_id", ids)
+
+  /** Compaction cadence: fold base + batches + tombstones into ONE
+    * band-partitioned layout (one file per band — the bucket-join's
+    * scan shape). Returns (dataFilesBefore, dataFilesAfter).
+    */
+  def compactBandStore(s: org.apache.spark.sql.SparkSession,
+                       storeDir: String,
+                       schema: org.apache.spark.sql.types.StructType)
+      : (Long, Long) =
+    graft.sources.KeyedStore.compact(s, storeDir, Seq("band"), schema,
+      "doc_id")
 }

@@ -7,6 +7,65 @@ import org.apache.spark.sql.functions._
 
 class DocStreamSpec extends SparkSuite {
 
+  test("persisted band-index store: streamed ingest equals the one-pass " +
+    "index, forget holds across a replayed batch, compaction re-runnable") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val docDir = Files.createTempDirectory("band_ingest_d").toString
+    val storeDir = Files.createTempDirectory("band_ingest_s").toString + "/band"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val base = 400L
+    docs.filter(col("doc_id") >= base && col("doc_id") < 450)
+      .write.mode("overwrite").parquet(s"$docDir/b0.parquet")
+    docs.filter(col("doc_id") >= 450)
+      .write.mode("overwrite").parquet(s"$docDir/b1.parquet")
+    val q = DocStream.bandIndexIngestStream(spark, docDir, sf, base, storeDir,
+      shingleN = 2, bands = 4, rowsPerBand = 4, maxFilesPerTrigger = Some(1))
+    try { q.processAllAvailable() } finally { q.stop() }
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir).schema
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "band_hash").collect().map(_.toSeq).toSet
+    def onePass(d: org.apache.spark.sql.DataFrame) =
+      TextDedup.minhashBandIndex(d, 2, 4, 4)
+    assert(rows(DocStream.storeBandIndex(spark, storeDir, schema))
+      == rows(onePass(docs)),
+      "streamed store must equal the one-pass index (pure per-doc rows)")
+
+    // compaction cycle 1, then forget one base doc and one streamed doc
+    graft.sources.Sinks.compactPartitioned(spark, storeDir, Seq("band"), schema)
+    val dels = Seq(123L, 457L)
+    DocStream.forgetDocs(spark, storeDir, dels.toDF("doc_id"))
+    // REPLAY: batch_1 re-lands after its rows were folded away — its
+    // rows physically carry forgotten doc 457 again
+    TextDedup.minhashBandIndex(docs.filter(col("doc_id") >= 450), 2, 4, 4)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_1")
+
+    val truthDocs = docs.filter(!col("doc_id").isin(dels: _*))
+    val view = DocStream.storeBandIndex(spark, storeDir, schema)
+    assert(rows(view) == rows(onePass(truthDocs)),
+      "TRUE rebuild parity: serving view == index over corpus minus " +
+        "forgotten, even over the replay-duplicated tree")
+    // a forgotten doc can never surface as a match: probe with an exact
+    // copy of doc 457's text under a fresh id
+    val probe = docs.filter(col("doc_id") === 457L)
+      .select(lit(900001L).as("doc_id"), col("text"))
+    val verdicts = TextDedup.incrementalNearDups(view, probe,
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .collect()
+    assert(!verdicts.exists(r => !r.isNullAt(r.fieldIndex("match_id"))
+        && dels.contains(r.getLong(r.fieldIndex("match_id")))),
+      s"forgotten docs must never be matched: ${verdicts.mkString(", ")}")
+
+    // compaction cycle 2 over the mixed tree: delete becomes physical
+    val (_, nAfter) = DocStream.compactBandStore(spark, storeDir, schema)
+    assert(nAfter <= 4, s"one file per band after compaction, got $nAfter")
+    val physical = spark.read.schema(schema).parquet(storeDir)
+    assert(rows(physical) == rows(onePass(truthDocs)),
+      "after delete+compact the forgotten rows must be physically gone")
+  }
+
   private val TextA =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val TextANear =
