@@ -71,6 +71,9 @@ object DppCheck {
       val qs = queries.SimilarityQueries.queryBatch(s, sfDir, q)
       val df = queries.SimilarityQueries.ivfpqProbe(qs, coarse, rcent, codes)
       val t0 = System.nanoTime()
+      // collect() ON PURPOSE (dev measurement tool, k-row result): the
+      // scan metrics below must come from THIS QueryExecution — a
+      // write/count would plan a fresh one with untouched metrics
       val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val files = codesScanFiles(df)
@@ -93,6 +96,7 @@ object DppCheck {
       val qs = queries.SimilarityQueries.queryBatch(s2, sfDir, q)
       val df = queries.SimilarityQueries.ivfpqProbe(qs, co2, rc2, cd2)
       val t0 = System.nanoTime()
+      // collect() on purpose — same QueryExecution contract as above
       val n = df.collect().length
       val dt = (System.nanoTime() - t0) / 1e9
       val files = codesScanFiles(df)
