@@ -66,8 +66,13 @@ object Scratch {
     */
   def dir(spark: SparkSession, prefix: String): String = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // prefix is display-only (uniqueness comes from runId + seq), so any
+    // path-hostile char — e.g. the  that namespaces partitioned
+    // memo keys below — is flattened rather than handed to the filesystem
+    val safe = prefix.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
     val p = new org.apache.hadoop.fs.Path(
-      root(spark), s"$prefix${runId}_${seq.incrementAndGet()}")
+      root(spark), s"$safe${runId}_${seq.incrementAndGet()}")
     val fs = p.getFileSystem(conf)
     fs.mkdirs(p)
     val q = fs.makeQualified(p).toString
@@ -169,12 +174,17 @@ object Scratch {
     // stagedFrame; NUL can't occur in either part)
     val entry = Memo.getOrPut(perSession, key + "partitioned") {
       val df = build
-      // directory namespaced like the memo key: a plain stagedFrame with
+      // directory namespaced with the same  separator as the memo
+      // key (dir() flattens it for the filesystem; the collision-proof
+      // part is the dirFor MEMO key, where  cannot occur in a
+      // caller key — a plain key literally ending in "_partitioned"
+      // used to alias this entry's directory and clobber its layout):
+      // a plain stagedFrame with
       // the same key writes dirFor(spark, key)/frame — the flat and
       // Hive-partitioned layouts must never share a path, or each memo
       // thinks it owns the files and the second writer silently clobbers
       // the first's layout under the first's cached path
-      val p = dirFor(spark, key + "_partitioned") + "/frame"
+      val p = dirFor(spark, key + "partitioned") + "/frame"
       // one file per partition value instead of one per shuffle partition
       // per value — the layout a real index store would compact to
       df.repartition(partCols.map(col): _*)

@@ -227,13 +227,17 @@ object Sinks {
     * `Scratch.stagedFramePartitioned` carries one. `transform` (default
     * identity) edits rows inside the same crash-safe rewrite — pass a
     * key anti-join to run a right-to-be-forgotten delete and the
-    * compaction as ONE pass over the store. Same two-rename swap as
-    * every other sink here. Returns (dataFilesBefore, dataFilesAfter).
+    * compaction as ONE pass over the store. `maxRecordsPerFile` bounds a
+    * hot partition value into ceil(rows/max) files instead of one
+    * unbounded file — scans still prune at partition granularity. Same
+    * two-rename swap as every other sink here. Returns
+    * (dataFilesBefore, dataFilesAfter).
     */
   def compactPartitioned(spark: SparkSession, path: String,
                          partCols: Seq[String],
                          schema: org.apache.spark.sql.types.StructType,
-                         transform: DataFrame => DataFrame = identity)
+                         transform: DataFrame => DataFrame = identity,
+                         maxRecordsPerFile: Option[Long] = None)
       : (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val p = new org.apache.hadoop.fs.Path(path)
@@ -251,8 +255,10 @@ object Sinks {
     // reading `path` is safe — the swap happens only after the write
     val df = transform(readPartitionedTree(spark, path, partCols, schema))
     writeSwapWith(spark, path) { tmp =>
-      df.repartition(partCols.map(col): _*)
-        .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+      val w = df.repartition(partCols.map(col): _*)
+        .write.mode("overwrite")
+      maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
+        .partitionBy(partCols: _*).parquet(tmp)
     }
     (before, dataFiles())
   }

@@ -1,0 +1,143 @@
+package graft.sources
+
+import graft.SparkSuite
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The maintained-store lifecycle on a synthetic keyed index, hazard by
+  * hazard: tombstone retirement past the replay horizon (bounded guard
+  * set — the round-10 unbounded-broadcast finding), the pre-horizon
+  * replay that must STAY guarded, cross-batch key re-sends (latest batch
+  * wins wholesale), serving an emptied store, bounded file sizes for hot
+  * partitions, and a micro-batch landing mid-compaction.
+  */
+class KeyedStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("part", LongType),
+    StructField("v", LongType)))
+
+  private def rows(ids: Seq[Long], v: Long) =
+    ids.map(i => (i, i % 3, v)).toDF("id", "part", "v")
+
+  private def newStore(): String =
+    Files.createTempDirectory("kstore").toString + "/store"
+
+  private def serve(dir: String) =
+    KeyedStore.serve(spark, dir, Seq("part"), schema, "id")
+
+  private def servedIds(dir: String): Set[Long] =
+    serve(dir).select("id").collect().map(_.getLong(0)).toSet
+
+  private def tombCount(dir: String): Long =
+    Sinks.readExisting(spark, s"$dir/_tombstones", Seq("id"))
+      .map(_.count()).getOrElse(0L)
+
+  test("a post-horizon tombstone retires at compact, and the forgotten " +
+    "key still never resurfaces") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    rows(10L to 19L, 1).write.parquet(s"$dir/batch_0")
+    // forget key 7 long ago (t=1000); the replay horizon has long passed
+    KeyedStore.forget(spark, dir, "id", Seq(7L).toDF("id"), atMs = 1000L)
+    assert(tombCount(dir) == 1)
+    val (_, after) = KeyedStore.compact(spark, dir, Seq("part"), schema,
+      "id", retireHorizonMs = Some(5000L), nowMs = 1000000L)
+    assert(after > 0)
+    // retired: the guard is gone because the delete is physical and no
+    // replayable batch can predate the forget any more
+    assert(tombCount(dir) == 0, "post-horizon tombstone must retire")
+    assert(!servedIds(dir).contains(7L))
+    // later life of the store never brings the key back: fresh ingest
+    // without it, another compaction — still gone
+    rows(20L to 24L, 2).write.parquet(s"$dir/batch_1")
+    assert(!servedIds(dir).contains(7L))
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    assert(servedIds(dir) == ((0L to 24L).toSet - 7L))
+  }
+
+  test("a pre-horizon tombstone is carried, and a replayed batch that " +
+    "physically resurrects the forgotten rows stays guarded") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    rows(10L to 19L, 1).write.parquet(s"$dir/batch_0")
+    val now = 1000000L
+    KeyedStore.forget(spark, dir, "id", Seq(12L).toDF("id"), atMs = now - 10)
+    // horizon far wider than the tombstone's age: it must be carried
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id",
+      retireHorizonMs = Some(100000L), nowMs = now)
+    assert(tombCount(dir) == 1, "pre-horizon tombstone must be carried")
+    // replay re-lands batch_0 — including key 12's physical rows
+    rows(10L to 19L, 1).write.parquet(s"$dir/batch_0")
+    assert(!servedIds(dir).contains(12L),
+      "a replayed batch must not resurface a forgotten key")
+    assert(servedIds(dir) == ((0L to 19L).toSet - 12L))
+  }
+
+  test("forgetting every key and compacting leaves a store that serves " +
+    "an EMPTY frame, not an exception") {
+    val dir = newStore()
+    rows(0L to 4L, 1).write.parquet(s"$dir/base")
+    KeyedStore.forget(spark, dir, "id", (0L to 4L).toDF("id"))
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    val served = serve(dir)
+    assert(served.count() == 0)
+    assert(served.schema.fieldNames.toSeq == Seq("id", "part", "v"))
+    // and a store that never existed still fails fast (the tree listing
+    // surfaces the missing directory before any empty-frame fallback)
+    intercept[java.io.FileNotFoundException] {
+      serve(newStore() + "/nowhere")
+    }
+  }
+
+  test("a key re-sent in a later micro-batch replaces its older flat " +
+    "rows (latest batch wins wholesale, base ranks below every batch)") {
+    val dir = newStore()
+    rows(Seq(1L, 2L, 3L), v = 10).write.parquet(s"$dir/base")
+    rows(Seq(3L, 4L), v = 20).write.parquet(s"$dir/batch_0")
+    rows(Seq(4L, 5L), v = 30).write.parquet(s"$dir/batch_1")
+    val got = serve(dir).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 10L, 2L -> 10L, 3L -> 20L, 4L -> 30L, 5L -> 30L),
+      s"newest batch must win per key: $got")
+    // and the upsert survives compaction + a post-compaction re-send
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    rows(Seq(1L), v = 40).write.parquet(s"$dir/batch_2")
+    val got2 = serve(dir).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 40L, 2L -> 10L, 3L -> 20L, 4L -> 30L, 5L -> 30L))
+  }
+
+  test("maxRecordsPerFile splits a hot partition into bounded files " +
+    "while the layout stays partition-pruned") {
+    val dir = newStore()
+    // one hot partition value: 900 of 1000 rows land in part=0
+    (0L until 1000L).map(i => (i, if (i < 900) 0L else 1L, i))
+      .toDF("id", "part", "v").write.parquet(s"$dir/base")
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id",
+      maxRecordsPerFile = Some(100L))
+    val fs = new java.io.File(dir)
+    def files(sub: String) = Option(new java.io.File(fs, sub).listFiles())
+      .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+    assert(files("part=0") >= 9, "hot partition must split into >=9 files")
+    assert(files("part=1") >= 1)
+    assert(servedIds(dir) == (0L until 1000L).toSet)
+    // partition dirs survived, so a part-filter still prunes at listing
+    val pruned = serve(dir).filter(col("part") === 1L)
+    assert(pruned.count() == 100)
+  }
+
+  test("a micro-batch dir landed DURING compaction is carried into the " +
+    "swapped tree instead of being deleted with the old one") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    KeyedStore.compactWithHook(spark, dir, Seq("part"), schema, "id",
+      None, None, 0L,
+      // the concurrent ingest: lands after the fold wrote, before the swap
+      () => rows(10L to 14L, 2).write.parquet(s"$dir/batch_9"))
+    assert(servedIds(dir) == (0L to 14L).toSet,
+      "the mid-compaction batch must survive the swap")
+    assert(new java.io.File(dir, "batch_9").isDirectory,
+      "the carried batch dir must be physically present in the new tree")
+  }
+}
