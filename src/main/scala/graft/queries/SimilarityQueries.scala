@@ -1255,17 +1255,31 @@ object SimilarityQueries {
   private[graft] def ivfpqIndexOn(s: SparkSession, d: String,
                                   baseBound: Option[Long])
       : (DataFrame, DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val nCells = ivfCells(s)
     // the cell count shapes the trained index, so it keys the staged
     // artifacts; nprobe deliberately does NOT (same index, shallower probe)
-    val tag = graft.Scratch.digest(d) + s"_c$nCells" +
+    val tag = graft.Scratch.digest(d) + s"_c${ivfCells(s)}" +
       baseBound.fold("")(b => s"_b$b")
+    val corpus = baseBound.fold(Tables.embeddings(s, d))(b =>
+      Tables.embeddings(s, d).filter(col("vec_id") < b))
+    ivfpqBuild(s, corpus, tag)
+  }
+
+  /** The full index-TRAINING pipeline over an arbitrary corpus frame —
+    * coarse k-means, residual codebooks, corpus encode — shared by the
+    * path-based [[ivfpqIndexOn]] and by [[rotateIvfpqIndex]] (which
+    * retrains on a maintained store's served view minus tombstones, a
+    * corpus no path filter can express). `tag` keys the staged
+    * artifacts and must be a pure function of (corpus identity, cell
+    * count): callers are responsible for that, or two builds would
+    * cross-wire their memoized stages.
+    */
+  private def ivfpqBuild(s: SparkSession, corpus: DataFrame, tag: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val nCells = ivfCells(s)
     def stage(c: => DataFrame, name: String): DataFrame =
       graft.Scratch.stagedFrame(s, s"ivfpq_${name}_$tag")(c)
 
-    val corpus = baseBound.fold(Tables.embeddings(s, d))(b =>
-      Tables.embeddings(s, d).filter(col("vec_id") < b))
     val qv = stage(pqQuantize(corpus), "qv")
     val tv = qv.filter(col("vec_id") < PqTrainN)
 
@@ -1474,10 +1488,16 @@ object SimilarityQueries {
     * the post-delete oracle for `sim_ivfpq_del`. `nq` bounds the probe's
     * query set (`vec_id < nq`) — semantic decontamination probes with
     * the eval-set embeddings instead of the standard PqNQ window.
+    * `trainPred` (default `vec_id < trainN`) generalizes the training
+    * bound to an arbitrary predicate — the quantizer-ROTATION oracle
+    * retrains on the training window minus the forgotten ids, a set no
+    * prefix can express.
     */
   private def ivfpqSqlChain(trainN: Int = PqTrainN,
                             codesWhere: String = "TRUE",
-                            nq: Int = PqNQ): String = {
+                            nq: Int = PqNQ,
+                            trainPred: Option[String] = None): String = {
+    val pred = trainPred.getOrElse(s"vec_id < $trainN")
     val dist =
       """list_sum(list_transform(range(1, len(q)+1),
         |            i -> (q[i] - cvec[i]) * (q[i] - cvec[i])))""".stripMargin
@@ -1534,7 +1554,7 @@ object SimilarityQueries {
        |           x -> CAST(floor(CAST(x AS DOUBLE) * $PqScale.0) AS BIGINT)) AS q
        |  FROM embeddings
        |),
-       |tv AS (SELECT * FROM qv WHERE vec_id < $trainN),
+       |tv AS (SELECT * FROM qv WHERE $pred),
        |ccent0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
        |         q AS cvec
@@ -1545,7 +1565,7 @@ object SimilarityQueries {
        |             row_number() OVER (PARTITION BY label
        |               ORDER BY md5('ivfcseed|' || CAST(vec_id AS VARCHAR)),
        |                        vec_id) AS rl
-       |      FROM embeddings WHERE vec_id < $trainN)
+       |      FROM embeddings WHERE $pred)
        |    ORDER BY rl, label LIMIT $IvfCellsDefault)
        |),
        |$coarseRounds,
@@ -1567,14 +1587,14 @@ object SimilarityQueries {
        |  SELECT vec_id, cid, m, r[m*$PqSub+1 : (m+1)*$PqSub] AS sub
        |  FROM resid, (SELECT unnest(range(0, $PqM)) AS m)
        |),
-       |rtcells AS (SELECT * FROM rcells WHERE vec_id < $trainN),
+       |rtcells AS (SELECT * FROM rcells WHERE $pred),
        |rcent0 AS (
        |  SELECT m,
        |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
        |              AS BIGINT) AS code,
        |         sub AS cvec
        |  FROM rtcells
-       |  WHERE vec_id IN (SELECT vec_id FROM resid WHERE vec_id < $trainN
+       |  WHERE vec_id IN (SELECT vec_id FROM resid WHERE $pred
        |                   ORDER BY md5('ivfpqseed|' || CAST(vec_id AS VARCHAR)),
        |                            vec_id LIMIT $PqK)
        |),
@@ -1849,6 +1869,124 @@ object SimilarityQueries {
 
   val simIvfpqDelSql: String =
     s"""WITH ${ivfpqSqlChain(codesWhere = s"NOT (vec_id % $DelMod = $DelRes)")}
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
+  /** Serve queries through the MAINTAINED STORE after its full life:
+    * ingest → compact → ingest → forget → replay — every row travels
+    * the `graft.sources.KeyedStore` path the streaming twins
+    * (`AnnStream.storeCodes`) serve in production, and the DuckDB
+    * oracle is the one-pass encode of corpus ∖ forgotten against the
+    * base-trained quantizers (the `sim_ivfpq_del` doctrine). This is
+    * the lifecycle's CORRECTNESS gate: the mixed-tree read, the
+    * replay reconcile (batch_0 physically resurrects forgotten rows
+    * after the compaction folded it away), and the durable tombstones
+    * all sit between the parquet and the probe here — a bug in any of
+    * them hash-mismatches this row. The store is rebuilt from scratch
+    * on every call (delete + replay the lifecycle): deterministic,
+    * idempotent, and the gate re-certifies the whole sequence each run.
+    */
+  def simIvfpqStore(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.KeyedStore
+    val (coarse, rcent, baseCodes) = ivfpqIndexOn(s, d, Some(IncrBase))
+    val schema = baseCodes.schema
+    val dir = graft.Scratch.dirFor(s,
+      s"ivfpq_store_${graft.Scratch.digest(d)}_c${ivfCells(s)}") + "/store"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val emb = Tables.embeddings(s, d)
+    def enc(even: Boolean) = ivfpqEncode(
+      emb.filter(col("vec_id") >= IncrBase &&
+        col("vec_id") % 2 === (if (even) 0 else 1)), coarse, rcent)
+    baseCodes.write.mode("overwrite").parquet(s"$dir/base")
+    enc(even = true).write.mode("overwrite").parquet(s"$dir/batch_0")
+    KeyedStore.compact(s, dir, Seq("cid"), schema, "vec_id")
+    enc(even = false).write.mode("overwrite").parquet(s"$dir/batch_1")
+    KeyedStore.forget(s, dir, "vec_id",
+      emb.select("vec_id").filter(col("vec_id") % DelMod === DelRes))
+    // the replay: batch_0 re-lands AFTER the compaction folded its rows
+    // and AFTER some of them were forgotten — its dir physically carries
+    // forgotten vectors again, and serve() must still never show them
+    enc(even = true).write.mode("overwrite").parquet(s"$dir/batch_0")
+    val codes = KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id")
+    ivfpqProbe(queryBatch(s, d, PqNQ), coarse, rcent, codes)
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfpqStoreSql: String =
+    s"""WITH ${ivfpqSqlChain(trainN = IncrBase.toInt,
+      codesWhere = s"NOT (vec_id % $DelMod = $DelRes)")}
+       |SELECT query_id, rank, neighbor_id, adc_dist
+       |FROM ivf_top ORDER BY query_id, rank""".stripMargin
+
+  /** Quantizer ROTATION — the scheduled re-index `deleteFromCodes`'s
+    * doc promises: retrain BOTH quantizer levels on the store's served
+    * view minus tombstones (live corpus), re-encode it, and atomically
+    * swap the store (`KeyedStore.replaceAll` — same two-rename dance as
+    * compaction, so the store stays readable throughout and a crash
+    * leaves the previous index recoverable). Tombstones are carried
+    * minus retirement: the rotation made every delete physical, but
+    * replays of PRE-rotation batches still need guarding until the
+    * horizon passes. Operational contract (documented, spec-enforced
+    * by convention not code): rotation changes the pure per-key
+    * encode function, so the ingest stream's checkpoint must be reset
+    * across a rotation — a pre-rotation batch replayed afterwards
+    * would re-land rows encoded with the RETIRED quantizers, which the
+    * latest-batch-wins reconcile would faithfully serve. Returns the
+    * fresh (coarse centroids, residual codebooks) for the probe side.
+    */
+  private[graft] def rotateIvfpqIndex(s: SparkSession, storeDir: String,
+                                      d: String,
+                                      schema: org.apache.spark.sql.types.StructType,
+                                      tag: String,
+                                      retireHorizonMs: Option[Long] = None,
+                                      nowMs: Long = System.currentTimeMillis())
+      : (DataFrame, DataFrame) = {
+    import graft.sources.KeyedStore
+    val live = KeyedStore.serve(s, storeDir, Seq("cid"), schema, "vec_id")
+      .select("vec_id").distinct()
+    val corpus = Tables.embeddings(s, d).join(live, Seq("vec_id"), "left_semi")
+    val (coarse, rcent, codes) = ivfpqBuild(s, corpus, tag)
+    KeyedStore.replaceAll(s, storeDir, Seq("cid"), codes, "vec_id",
+      retireHorizonMs = retireHorizonMs, nowMs = nowMs)
+    (coarse, rcent)
+  }
+
+  /** Serve queries through the store AFTER a quantizer rotation: base
+    * index (trained on vec_id < IncrBase) + full ingest + forget, then
+    * [[rotateIvfpqIndex]] retrains both codebook levels on the live
+    * corpus and re-encodes. The oracle retrains on the SAME set —
+    * `trainPred` = training window minus forgotten ids — and encodes
+    * corpus ∖ forgotten in one pass: rotation ≡ rebuild-on-live, gated
+    * end to end (probe through `KeyedStore.serve` over the swapped
+    * store). Completes the maintenance triad ingest/forget/rotate.
+    */
+  def simIvfpqRot(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.KeyedStore
+    val (coarse0, rcent0, baseCodes) = ivfpqIndexOn(s, d, Some(IncrBase))
+    val schema = baseCodes.schema
+    val dir = graft.Scratch.dirFor(s,
+      s"ivfpq_rotstore_${graft.Scratch.digest(d)}_c${ivfCells(s)}") + "/store"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val emb = Tables.embeddings(s, d)
+    baseCodes.write.mode("overwrite").parquet(s"$dir/base")
+    ivfpqEncode(emb.filter(col("vec_id") >= IncrBase), coarse0, rcent0)
+      .write.mode("overwrite").parquet(s"$dir/batch_0")
+    KeyedStore.forget(s, dir, "vec_id",
+      emb.select("vec_id").filter(col("vec_id") % DelMod === DelRes))
+    val (coarse, rcent) = rotateIvfpqIndex(s, dir, d, schema,
+      tag = graft.Scratch.digest(d) + s"_c${ivfCells(s)}_rot")
+    val codes = KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id")
+    ivfpqProbe(queryBatch(s, d, PqNQ), coarse, rcent, codes)
+      .orderBy("query_id", "rank")
+  }
+
+  val simIvfpqRotSql: String =
+    s"""WITH ${ivfpqSqlChain(
+      trainPred = Some(
+        s"vec_id < $PqTrainN AND NOT (vec_id % $DelMod = $DelRes)"),
+      codesWhere = s"NOT (vec_id % $DelMod = $DelRes)")}
        |SELECT query_id, rank, neighbor_id, adc_dist
        |FROM ivf_top ORDER BY query_id, rank""".stripMargin
 
@@ -2260,6 +2398,8 @@ object SimilarityQueries {
     "sim_ivfpq_rr_recall" -> (simIvfpqRrRecall _),
     "sim_ivfpq_incr" -> (simIvfpqIncr _),
     "sim_ivfpq_del" -> (simIvfpqDel _),
+    "sim_ivfpq_store" -> (simIvfpqStore _),
+    "sim_ivfpq_rot" -> (simIvfpqRot _),
     "dd_contaminate_sem" -> (ddContaminateSem _),
     "dd_sem_recall" -> (ddSemRecall _),
     "pipe_rag" -> (pipeRag _),
@@ -2288,6 +2428,8 @@ object SimilarityQueries {
     "sim_ivfpq_rr_recall" -> simIvfpqRrRecallSql,
     "sim_ivfpq_incr" -> simIvfpqIncrSql,
     "sim_ivfpq_del" -> simIvfpqDelSql,
+    "sim_ivfpq_store" -> simIvfpqStoreSql,
+    "sim_ivfpq_rot" -> simIvfpqRotSql,
     "dd_contaminate_sem" -> ddContaminateSemSql,
     "dd_sem_recall" -> ddSemRecallSql,
     "pipe_rag" -> pipeRagSql,
