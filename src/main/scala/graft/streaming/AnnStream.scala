@@ -159,11 +159,17 @@ object AnnStream {
   /** Compaction cadence: fold the whole tree through the [[storeCodes]]
     * reconcile into ONE cid-partitioned layout (crash-safe swap) —
     * forgotten vectors physically gone, every probe prunes on `cid`
-    * again. Returns (dataFilesBefore, dataFilesAfter).
+    * again. `maxRecordsPerFile` bounds hot cells into multiple files;
+    * `retireHorizonMs` (the ingest stream's checkpoint retention)
+    * retires tombstones no replay can need — see
+    * [[graft.sources.KeyedStore.compact]]. Returns
+    * (dataFilesBefore, dataFilesAfter).
     */
   def compactStore(s: SparkSession, storeDir: String,
-                   schema: org.apache.spark.sql.types.StructType)
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxRecordsPerFile: Option[Long] = None,
+                   retireHorizonMs: Option[Long] = None)
       : (Long, Long) =
     graft.sources.KeyedStore.compact(s, storeDir, Seq("cid"), schema,
-      "vec_id")
+      "vec_id", maxRecordsPerFile, retireHorizonMs)
 }

@@ -179,12 +179,17 @@ object DocStream {
 
   /** Compaction cadence: fold base + batches + tombstones into ONE
     * band-partitioned layout (one file per band — the bucket-join's
-    * scan shape). Returns (dataFilesBefore, dataFilesAfter).
+    * scan shape; `maxRecordsPerFile` bounds a hot band into several).
+    * `retireHorizonMs` (checkpoint retention) retires tombstones no
+    * replay can need — see [[graft.sources.KeyedStore.compact]].
+    * Returns (dataFilesBefore, dataFilesAfter).
     */
   def compactBandStore(s: org.apache.spark.sql.SparkSession,
                        storeDir: String,
-                       schema: org.apache.spark.sql.types.StructType)
+                       schema: org.apache.spark.sql.types.StructType,
+                       maxRecordsPerFile: Option[Long] = None,
+                       retireHorizonMs: Option[Long] = None)
       : (Long, Long) =
     graft.sources.KeyedStore.compact(s, storeDir, Seq("band"), schema,
-      "doc_id")
+      "doc_id", maxRecordsPerFile, retireHorizonMs)
 }
