@@ -79,6 +79,14 @@ object KeyedStore {
     * read-side path every probe of a maintained store goes through. A
     * store whose every key was forgotten and compacted away serves an
     * EMPTY frame (the directory still exists; readers must not brick).
+    *
+    * QUIESCED fast path: when every batch has been folded and every
+    * tombstone retired ([[compact]] with a horizon), the tree is pure
+    * `col=value/` dirs with no guard set, and serve returns the ONE
+    * hive scan directly — no union, no anti-join — so dynamic partition
+    * pruning applies to probes through the store exactly as it does to
+    * the staged index (spec-locked in IvfConfSpec at the scan-metrics
+    * level). The reconcile machinery prices only the store's churn.
     */
   def serve(s: SparkSession, storeDir: String, partCols: Seq[String],
             schema: StructType, keyCol: String): DataFrame = {
@@ -145,6 +153,23 @@ object KeyedStore {
                         nowMs: Long): DataFrame =
     retireHorizonMs.fold(t)(h => t.filter(col(ForgottenAt) > lit(nowMs - h)))
 
+  /** Carry the unretired tombstones of `fromDir` into a new tree being
+    * written at `tmpDir`. A FULLY-retired guard set writes nothing: its
+    * absence is what re-enables the quiesced-store fast path in
+    * [[serve]] (no flat dirs + no tombstone dir ⇒ serve is ONE
+    * partition-prunable scan, DPP-eligible — the probe reads only its
+    * probed partitions again, exactly like the staged index).
+    */
+  private def carryTombstones(s: SparkSession, fromDir: String,
+                              tmpDir: String, keyCol: String,
+                              retireHorizonMs: Option[Long],
+                              nowMs: Long): Unit =
+    tombstones(s, fromDir, keyCol, withTs = true).foreach { t =>
+      val keep = unretired(t, retireHorizonMs, nowMs)
+      if (!keep.isEmpty)
+        keep.write.mode("overwrite").parquet(tombstonePath(tmpDir))
+    }
+
   private def countDataFiles(s: SparkSession, storeDir: String): Long = {
     val (fs, p) = hadoopFs(s, storeDir)
     var n = 0L
@@ -197,11 +222,9 @@ object KeyedStore {
     // the writer runs while the old tree still exists; the swap happens
     // only after the write, so lineage reading storeDir is safe
     val df = serve(s, storeDir, partCols, schema, keyCol)
-    val tomb = tombstones(s, storeDir, keyCol, withTs = true)
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(df, tmp, partCols, maxRecordsPerFile)
-      tomb.foreach(t => unretired(t, retireHorizonMs, nowMs)
-        .write.mode("overwrite").parquet(tombstonePath(tmp)))
+      carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
       afterWrite()
       // concurrent-ingest carry-over: batch dirs that appeared since the
       // fold snapshot move into the new tree untouched (serve reconciles
@@ -231,14 +254,11 @@ object KeyedStore {
                  newData: DataFrame, keyCol: String,
                  maxRecordsPerFile: Option[Long] = None,
                  retireHorizonMs: Option[Long] = None,
-                 nowMs: Long = System.currentTimeMillis()): Unit = {
-    val tomb = tombstones(s, storeDir, keyCol, withTs = true)
+                 nowMs: Long = System.currentTimeMillis()): Unit =
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(newData, tmp, partCols, maxRecordsPerFile)
-      tomb.foreach(t => unretired(t, retireHorizonMs, nowMs)
-        .write.mode("overwrite").parquet(tombstonePath(tmp)))
+      carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
     }
-  }
 
   private def writePartitioned(df: DataFrame, path: String,
                                partCols: Seq[String],

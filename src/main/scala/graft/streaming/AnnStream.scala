@@ -172,4 +172,21 @@ object AnnStream {
       : (Long, Long) =
     graft.sources.KeyedStore.compact(s, storeDir, Seq("cid"), schema,
       "vec_id", maxRecordsPerFile, retireHorizonMs)
+
+  /** Quantizer rotation over the maintained store — the scheduled
+    * re-index: retrain both codebook levels on the served view minus
+    * tombstones (raw vectors come from `d`'s embeddings table),
+    * re-encode, atomic swap. Returns the fresh (coarse, residual)
+    * quantizers for the probe side. Reset this store's ingest-stream
+    * checkpoint across a rotation (pre-rotation replays would re-land
+    * stale-quantizer rows) — contract and details on
+    * [[graft.queries.SimilarityQueries.rotateIvfpqIndex]].
+    */
+  def rotateStore(s: SparkSession, storeDir: String, d: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  tag: String,
+                  retireHorizonMs: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    SimilarityQueries.rotateIvfpqIndex(s, storeDir, d, schema, tag,
+      retireHorizonMs)
 }

@@ -192,4 +192,34 @@ object DocStream {
       : (Long, Long) =
     graft.sources.KeyedStore.compact(s, storeDir, Seq("band"), schema,
       "doc_id", maxRecordsPerFile, retireHorizonMs)
+
+  /** Hash-family ROTATION — the band-index twin of the ANN quantizer
+    * rotation (`SimilarityQueries.rotateIvfpqIndex`): re-index the
+    * store's LIVE documents (served view minus tombstones) under NEW
+    * banding parameters and swap atomically
+    * (`KeyedStore.replaceAll` — store readable throughout, tombstones
+    * carried minus retirement). This is how a deployment re-tunes
+    * recall (more bands) or cost (fewer) on a running store without a
+    * correctness gap: index rows are pure per-doc functions of the
+    * parameters, so the swapped store IS the one-pass index under the
+    * new family. Same operational contract as the ANN rotation: reset
+    * the ingest stream's checkpoint across a rotation — a pre-rotation
+    * batch replayed afterwards would re-land rows hashed with the OLD
+    * family next to the new ones.
+    */
+  def rotateBandStore(s: org.apache.spark.sql.SparkSession,
+                      storeDir: String, corpusDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      shingleN: Int, bands: Int, rowsPerBand: Int,
+                      retireHorizonMs: Option[Long] = None,
+                      nowMs: Long = System.currentTimeMillis()): Unit = {
+    val live = graft.sources.KeyedStore
+      .serve(s, storeDir, Seq("band"), schema, "doc_id")
+      .select("doc_id").distinct()
+    val docs = graft.Tables.documents(s, corpusDir)
+      .join(live, Seq("doc_id"), "left_semi").select("doc_id", "text")
+    graft.sources.KeyedStore.replaceAll(s, storeDir, Seq("band"),
+      TextDedup.minhashBandIndex(docs, shingleN, bands, rowsPerBand),
+      "doc_id", retireHorizonMs = retireHorizonMs, nowMs = nowMs)
+  }
 }

@@ -188,6 +188,52 @@ class IvfConfSpec extends SparkSuite {
     }
   }
 
+  test("a QUIESCED maintained store (batches folded, tombstones retired) " +
+    "serves one prunable scan: probes through KeyedStore.serve read " +
+    "<=nprobe of 64 cell files, no cost-model knobs") {
+    // The serve() reconcile (union + anti-joins) necessarily blocks DPP
+    // while the store has churn; this locks the other half of the
+    // contract — compaction with retirement RESTORES scan-prunability
+    // end to end through the store path, not just for the staged index.
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    withConf("spark.graft.ivf.cells", Some("64")) {
+      val (coarse, rcent, codes) = SimilarityQueries.ivfpqIndex(spark, d01)
+      val dir = java.nio.file.Files.createTempDirectory("quiesced")
+        .toString + "/store"
+      codes.write.mode("overwrite").parquet(s"$dir/base")
+      graft.sources.KeyedStore.forget(spark, dir, "vec_id",
+        Seq(123L).toDF("vec_id"), atMs = 1000L)
+      graft.sources.KeyedStore.compact(spark, dir, Seq("cid"), codes.schema,
+        "vec_id", retireHorizonMs = Some(5000L), nowMs = 1000000L)
+      assert(!new java.io.File(dir, "_tombstones").exists(),
+        "a fully-retired guard set must leave no tombstone dir")
+      val served = graft.sources.KeyedStore.serve(spark, dir, Seq("cid"),
+        codes.schema, "vec_id")
+      val df = SimilarityQueries.ivfpqProbe(
+        SimilarityQueries.queryBatch(spark, d01, 1L), coarse, rcent, served)
+      assert(df.collect().nonEmpty)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = {
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("quiesced")) =>
+            Seq(f.metrics("numFiles").value)
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan).filter(_ > 0)
+      assert(scans.nonEmpty, "executed store scan not found")
+      // same cost-model caveat as the staged-index test above
+      assert(scans.forall(_ <= 2),
+        s"quiesced store probe should read <=nprobe=2 of 64 cell files: $scans")
+    }
+  }
+
   test("out-of-range knobs are rejected") {
     intercept[IllegalArgumentException] {
       withNprobe(0)(SimilarityQueries.simIvfpq(spark, sf))

@@ -66,6 +66,51 @@ class DocStreamSpec extends SparkSuite {
       "after delete+compact the forgotten rows must be physically gone")
   }
 
+  test("band-store rotation: re-index the live docs under a NEW hash " +
+    "family, swap atomically, keep forgotten docs unmatched") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val storeDir = Files.createTempDirectory("band_rot").toString + "/band"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val base = 400L
+    // build the store one-pass (base + one appended batch), then forget
+    TextDedup.minhashBandIndex(docs.filter(col("doc_id") < base), 2, 4, 4)
+      .write.mode("overwrite").parquet(s"$storeDir/base")
+    TextDedup.minhashBandIndex(docs.filter(col("doc_id") >= base), 2, 4, 4)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_0")
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir).schema
+    val dels = Seq(123L, 457L)
+    DocStream.forgetDocs(spark, storeDir, dels.toDF("doc_id"))
+
+    // rotate to a WIDER family (8 bands of 2 rows — the recall re-tune)
+    DocStream.rotateBandStore(spark, storeDir, sf, schema,
+      shingleN = 2, bands = 8, rowsPerBand = 2)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "band", "band_hash").collect().map(_.toSeq).toSet
+    val truthDocs = docs.filter(!col("doc_id").isin(dels: _*))
+    val view = DocStream.storeBandIndex(spark, storeDir, schema)
+    assert(rows(view) ==
+      rows(TextDedup.minhashBandIndex(truthDocs, 2, 8, 2)),
+      "rotated store must equal the one-pass index under the new family")
+    // pure hive layout post-swap, tombstones carried
+    val subdirs = new java.io.File(storeDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.contains("_tombstones"), s"tombstones carried: $subdirs")
+    assert((subdirs - "_tombstones").forall(_.startsWith("band=")),
+      s"pure hive tree post-rotate: $subdirs")
+    // a forgotten doc still never matches, probed under the NEW family
+    val probe = docs.filter(col("doc_id") === 457L)
+      .select(lit(900002L).as("doc_id"), col("text"))
+    val verdicts = TextDedup.incrementalNearDups(view, probe,
+        shingleN = 2, bands = 8, rowsPerBand = 2, minEst = 0.25)
+      .collect()
+    assert(!verdicts.exists(r => !r.isNullAt(r.fieldIndex("match_id"))
+        && dels.contains(r.getLong(r.fieldIndex("match_id")))),
+      s"forgotten docs must never match post-rotation: ${verdicts.mkString(", ")}")
+  }
+
   private val TextA =
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
   private val TextANear =
