@@ -99,7 +99,8 @@ object Bench {
       "gr_triangles", "dd_minhash_lsh", "dd_minhash_scaled", "dd_ngram_jaccard",
       "dd_substring", "dd_incremental", "dd_contaminate", "txt_winnow",
       "txt_chunks", "txt_nb_quality", "emb_kmeans", "sim_ivf_topk", "sim_pq",
-      "sim_pq_rerank", "sim_ivfpq", "sim_ivfpq_incr", "pipe_rag_ann",
+      "sim_pq_rerank", "sim_ivfpq", "sim_ivfpq_incr", "sim_ivfpq_store",
+      "sim_ivfpq_rot", "pipe_rag_ann",
       "pipe_rag_hybrid", "ds_shuffle", "ds_pack", "pipe_curate", "pipe_shards")
     val qsHead = headline.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
