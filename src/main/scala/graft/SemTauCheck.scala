@@ -56,16 +56,24 @@ object SemTauCheck {
     // round q0.001 UP to 2 significant digits: a human-legible conf
     // value that still admits the same tail
     val q0001 = qs(0)
-    val mag = math.pow(10, math.floor(math.log10(q0001)) - 1)
-    val rec = (math.ceil(q0001 / mag) * mag).toLong
-
     println(s"[semtau] sfDir=$sfDir evalN=$evalN n_pairs=$n")
     println(f"[semtau] min=$minD2 q0.001=${qs(0)}%.4g q0.01=${qs(1)}%.4g " +
       f"median=${qs(2)}%.4g")
     println(f"[semtau] pinned tau=$pinned admits $under of $n pairs " +
       f"(${under * 100.0 / n}%.3f%%)")
-    println(s"[semtau] recommended spark.graft.sem.tau=$rec (q0.001 " +
-      "rounded up to 2 significant digits)")
+    if (q0001 > 0) {
+      val mag = math.pow(10, math.floor(math.log10(q0001)) - 1)
+      val rec = (math.ceil(q0001 / mag) * mag).toLong
+      println(s"[semtau] recommended spark.graft.sem.tau=$rec (q0.001 " +
+        "rounded up to 2 significant digits)")
+    } else
+      // log10(0) would NaN the rounding into a silent tau=0 — and a
+      // zero quantile is itself the signal: >=0.1% of pairs are EXACT
+      // duplicates, so the tail is degenerate and no distance threshold
+      // separates contamination from it
+      println("[semtau] q0.001 = 0: >=0.1% of eval-to-corpus pairs are " +
+        "EXACT duplicates — run exact dedup/decontamination first, then " +
+        "re-derive tau on the cleaned corpus (no automatic recommendation)")
     spark.stop()
   }
 }

@@ -1891,15 +1891,32 @@ object SimilarityQueries {
     * itself: `Scratch.dirFor` hands each session a fresh empty parent,
     * so existence ⇔ this session already ran the lifecycle.
     */
+  /** Build-once guard for side-effectful store lifecycles: run `build`
+    * if this (session, dir) hasn't completed one, stamping a `_built`
+    * marker as the LAST step — bare directory existence is not enough
+    * (a crash mid-lifecycle would leave a half-built store that every
+    * later call silently serves); a markerless leftover is wiped and
+    * rebuilt instead.
+    */
+  private def buildOnce(s: SparkSession, dir: String)(build: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_built")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true)
+      build
+      fs.create(marker, true).close()
+    }
+  }
+
   def simIvfpqStore(s: SparkSession, d: String): DataFrame = {
     import graft.sources.KeyedStore
     val (coarse, rcent, baseCodes) = ivfpqIndexOn(s, d, Some(IncrBase))
     val schema = baseCodes.schema
     val dir = graft.Scratch.dirFor(s,
       s"ivfpq_store_${graft.Scratch.digest(d)}_c${ivfCells(s)}") + "/store"
-    val p = new org.apache.hadoop.fs.Path(dir)
     val emb = Tables.embeddings(s, d)
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+    buildOnce(s, dir) {
       def enc(even: Boolean) = ivfpqEncode(
         emb.filter(col("vec_id") >= IncrBase &&
           col("vec_id") % 2 === (if (even) 0 else 1)), coarse, rcent)
@@ -1949,12 +1966,17 @@ object SimilarityQueries {
                                       nowMs: Long = System.currentTimeMillis())
       : (DataFrame, DataFrame) = {
     import graft.sources.KeyedStore
+    // snapshot BEFORE serving the live view: ingest landing anywhere in
+    // the serve → retrain → swap window must fail the swap loudly
+    // (those rows would be stale-quantizer data in the rotated store)
+    val snap = KeyedStore.flatSnapshot(s, storeDir, Seq("cid"))
     val live = KeyedStore.serve(s, storeDir, Seq("cid"), schema, "vec_id")
       .select("vec_id").distinct()
     val corpus = Tables.embeddings(s, d).join(live, Seq("vec_id"), "left_semi")
     val (coarse, rcent, codes) = ivfpqBuild(s, corpus, tag)
     KeyedStore.replaceAll(s, storeDir, Seq("cid"), codes, "vec_id",
-      retireHorizonMs = retireHorizonMs, nowMs = nowMs)
+      retireHorizonMs = retireHorizonMs, nowMs = nowMs,
+      sinceSnapshot = Some(snap))
     (coarse, rcent)
   }
 
@@ -1973,12 +1995,11 @@ object SimilarityQueries {
     val schema = baseCodes.schema
     val dir = graft.Scratch.dirFor(s,
       s"ivfpq_rotstore_${graft.Scratch.digest(d)}_c${ivfCells(s)}") + "/store"
-    val p = new org.apache.hadoop.fs.Path(dir)
     val emb = Tables.embeddings(s, d)
     val tag = graft.Scratch.digest(d) + s"_c${ivfCells(s)}_rot"
     // build-once per (session, dataset), the simIvfpqStore contract:
     // first call runs ingest → forget → ROTATE; repeats time the serve
-    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+    buildOnce(s, dir) {
       baseCodes.write.mode("overwrite").parquet(s"$dir/base")
       ivfpqEncode(emb.filter(col("vec_id") >= IncrBase), coarse0, rcent0)
         .write.mode("overwrite").parquet(s"$dir/batch_0")

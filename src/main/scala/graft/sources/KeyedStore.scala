@@ -97,22 +97,44 @@ object KeyedStore {
     // `base/` ranks below every batch). Bounded by the flat half — no
     // broadcast hint: before the first compaction `base/` IS the corpus
     // and the per-key max must be free to shuffle (map-side combinable).
+    // the newest-wins self-join is a no-op (pure overhead on the serving
+    // hot path) unless at least TWO flat dirs exist — within one writer
+    // output a key appears once per its rows, so `base/`-only stores and
+    // single-batch tails skip it entirely
+    val nFlatDirs = flatDirNames(s, storeDir, partCols).size
     val flatLatest = flat.map { f =>
-      val m = regexp_extract(input_file_name(), "/batch_(\\d+)/[^/]+$", 1)
-      // `base/` (and any non-batch dir) extracts "" — ANSI cast would
-      // throw, so rank it explicitly below every batch id
-      val b = when(m === "", lit(-1L)).otherwise(m.cast("long"))
-      val fb = f.withColumn("__graft_batch", b)
-      fb.join(fb.groupBy(keyCol).agg(max("__graft_batch").as("__graft_batch")),
-          Seq(keyCol, "__graft_batch"))
-        .drop("__graft_batch")
+      if (nFlatDirs <= 1) f
+      else {
+        val m = regexp_extract(input_file_name(), "/batch_(\\d+)/[^/]+$", 1)
+        // `base/` (and any non-batch dir) extracts "" — ANSI cast would
+        // throw, so rank it explicitly below every batch id
+        val b = when(m === "", lit(-1L)).otherwise(m.cast("long"))
+        val fb = f.withColumn("__graft_batch", b)
+        // null-key rows BYPASS the reconcile: they are not versions of
+        // one key (a null-safe join would collapse them all to a single
+        // "latest" row) and a plain equi-join would silently eat them
+        // (the Sinks.replaceKeysParquet lesson) — they pass through
+        // like every other read path keeps them
+        val nulls = fb.filter(col(keyCol).isNull).drop("__graft_batch")
+        val keyed = fb.filter(col(keyCol).isNotNull)
+        val latest = keyed.groupBy(keyCol)
+          .agg(max("__graft_batch").as("__graft_b2"))
+          .withColumnRenamed(keyCol, "__graft_k2")
+        keyed.join(latest, col(keyCol) === col("__graft_k2") &&
+            col("__graft_batch") === col("__graft_b2"))
+          .drop("__graft_batch", "__graft_b2", "__graft_k2")
+          .unionByName(nulls)
+      }
     }
     val merged = (hive, flatLatest) match {
       case (Some(h), Some(f)) =>
         // compacted-vs-recent: flat keys replace their compacted rows.
-        // The flat key set here is bounded by batches since the last
-        // compaction, so the hint is safe (unlike the tombstone side).
-        h.join(broadcast(f.select(keyCol).distinct()),
+        // Keys come from the RAW flat read (same key set as the
+        // reconciled frame, one scan cheaper); bounded by batches since
+        // the last compaction, so the hint is safe (unlike the
+        // tombstone side). Null-key hive rows never match an anti-join
+        // key and correctly pass through.
+        h.join(broadcast(flat.get.select(keyCol).distinct()),
             Seq(keyCol), "left_anti")
           .unionByName(f)
       case (Some(h), None) => h
@@ -224,7 +246,6 @@ object KeyedStore {
     val df = serve(s, storeDir, partCols, schema, keyCol)
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(df, tmp, partCols, maxRecordsPerFile)
-      carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
       afterWrite()
       // concurrent-ingest carry-over: batch dirs that appeared since the
       // fold snapshot move into the new tree untouched (serve reconciles
@@ -236,6 +257,14 @@ object KeyedStore {
           new org.apache.hadoop.fs.Path(tmp, d), false,
           s.sparkContext.hadoopConfiguration)
       }
+      // tombstones are carried LAST — the final read before the swap —
+      // so a forget() committed at any point during the long data
+      // rewrite is still in the carried set ("durable from this point"
+      // must survive a concurrent compaction). The hairline between
+      // this read and the rename is the same one the batch carry-over
+      // documents: pause forget traffic across compactions if it
+      // matters, or re-issue after.
+      carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
     }
     (before, countDataFiles(s, storeDir))
   }
@@ -250,15 +279,41 @@ object KeyedStore {
     * passes. The store stays readable throughout: the old tree is only
     * renamed away after the new one is fully written.
     */
+  /** Snapshot of the store's flat (appended-batch) dir names — take one
+    * BEFORE reading the served view that feeds a re-index, and pass it
+    * to [[replaceAll]] so ingest landing anywhere in the
+    * serve → retrain → swap window is detected, not just during the
+    * final rewrite.
+    */
+  private[graft] def flatSnapshot(s: SparkSession, storeDir: String,
+                                  partCols: Seq[String]): Set[String] =
+    flatDirNames(s, storeDir, partCols)
+
   def replaceAll(s: SparkSession, storeDir: String, partCols: Seq[String],
                  newData: DataFrame, keyCol: String,
                  maxRecordsPerFile: Option[Long] = None,
                  retireHorizonMs: Option[Long] = None,
-                 nowMs: Long = System.currentTimeMillis()): Unit =
+                 nowMs: Long = System.currentTimeMillis(),
+                 sinceSnapshot: Option[Set[String]] = None): Unit = {
+    val before = sinceSnapshot.getOrElse(flatDirNames(s, storeDir, partCols))
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(newData, tmp, partCols, maxRecordsPerFile)
+      // a re-index REQUIRES quiesced ingest (stronger than compact's
+      // carry-over): a batch landed during the rewrite holds rows
+      // derived under the OLD parameters — carrying it would serve
+      // stale-parameter rows via the newest-wins reconcile, dropping it
+      // would silently lose a committed batch. Fail the swap instead
+      // (writeSwapWith aborts before any rename, old tree intact) and
+      // make the caller stop ingest and re-run the rotation.
+      val landed = flatDirNames(s, storeDir, partCols) -- before
+      if (landed.nonEmpty)
+        throw new IllegalStateException(
+          s"replaceAll: ingest batches landed during the re-index " +
+            s"(${landed.mkString(", ")}) — stop the ingest stream across " +
+            "a rotation, then re-run it")
       carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
     }
+  }
 
   private def writePartitioned(df: DataFrame, path: String,
                                partCols: Seq[String],

@@ -213,6 +213,7 @@ object DocStream {
                       shingleN: Int, bands: Int, rowsPerBand: Int,
                       retireHorizonMs: Option[Long] = None,
                       nowMs: Long = System.currentTimeMillis()): Unit = {
+    val snap = graft.sources.KeyedStore.flatSnapshot(s, storeDir, Seq("band"))
     val live = graft.sources.KeyedStore
       .serve(s, storeDir, Seq("band"), schema, "doc_id")
       .select("doc_id").distinct()
@@ -220,6 +221,7 @@ object DocStream {
       .join(live, Seq("doc_id"), "left_semi").select("doc_id", "text")
     graft.sources.KeyedStore.replaceAll(s, storeDir, Seq("band"),
       TextDedup.minhashBandIndex(docs, shingleN, bands, rowsPerBand),
-      "doc_id", retireHorizonMs = retireHorizonMs, nowMs = nowMs)
+      "doc_id", retireHorizonMs = retireHorizonMs, nowMs = nowMs,
+      sinceSnapshot = Some(snap))
   }
 }

@@ -127,6 +127,49 @@ class KeyedStoreSpec extends SparkSuite {
     assert(pruned.count() == 100)
   }
 
+  test("rows with a NULL key pass through the cross-batch reconcile " +
+    "instead of being eaten by a plain equi-join") {
+    val dir = newStore()
+    Seq((Some(1L), 0L, 10L), (None, 0L, 11L))
+      .toDF("id", "part", "v").write.parquet(s"$dir/batch_0")
+    Seq((Some(2L), 0L, 20L), (None, 0L, 21L))
+      .toDF("id", "part", "v").write.parquet(s"$dir/batch_1")
+    val got = serve(dir).select("v").collect().map(_.getLong(0)).toSet
+    // both null-key rows survive (they are distinct records, not
+    // versions of one key); keyed rows reconcile normally
+    assert(got == Set(10L, 11L, 20L, 21L), s"got $got")
+  }
+
+  test("a forget() committed DURING compaction is still carried into " +
+    "the swapped tree's tombstones (durable-from-this-point holds)") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    KeyedStore.compactWithHook(spark, dir, Seq("part"), schema, "id",
+      None, None, 0L,
+      // the concurrent forget: lands after the fold wrote its data
+      () => KeyedStore.forget(spark, dir, "id", Seq(4L).toDF("id")))
+    assert(tombCount(dir) == 1,
+      "the mid-compaction tombstone must survive the swap")
+    assert(!servedIds(dir).contains(4L),
+      "the key forgotten mid-compaction must be filtered from serve")
+  }
+
+  test("replaceAll refuses to swap when an ingest batch landed since " +
+    "the caller's snapshot (stale-parameter rows must not be served " +
+    "or silently dropped)") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    val snap = KeyedStore.flatSnapshot(spark, dir, Seq("part"))
+    // the hazard: a batch lands while the caller retrains/re-encodes
+    rows(10L to 12L, 2).write.parquet(s"$dir/batch_7")
+    intercept[IllegalStateException] {
+      KeyedStore.replaceAll(spark, dir, Seq("part"), rows(0L to 9L, 9),
+        "id", sinceSnapshot = Some(snap))
+    }
+    // the failed swap left the old tree fully intact, batch included
+    assert(servedIds(dir) == (0L to 12L).toSet)
+  }
+
   test("a micro-batch dir landed DURING compaction is carried into the " +
     "swapped tree instead of being deleted with the old one") {
     val dir = newStore()
