@@ -1437,7 +1437,26 @@ object SimilarityQueries {
     */
   private[graft] def ivfpqProbe(queries: DataFrame, coarse: DataFrame,
                                 rcent: DataFrame, codes: DataFrame,
-                                topK: Int = PqTopK): DataFrame = {
+                                topK: Int = PqTopK): DataFrame =
+    ivfpqProbeFrom(queries, coarse, rcent, _ => codes, topK)
+
+  /** [[ivfpqProbe]] with the code table supplied AS A FUNCTION of the
+    * probed cells (one small `cid` frame, nprobe rows per query) — the
+    * maintained-store serving shape: the store queries pass
+    * `cells => KeyedStore.serve(..., partPrune = Some(cells))`, which
+    * semi-joins each leg of the store reconcile to the probed cells
+    * BEFORE the union so the compacted hive half keeps a
+    * DPP-prunable scan even while the store has churn (a pending batch
+    * or live tombstone — its steady state; through the union the DPP
+    * rule cannot reach the scan and every probe between compactions
+    * would read all 64 of 64 cell dirs instead of nprobe of them).
+    * Result-identical to probing the full serve: the ADC join below
+    * only ever touches the probed cells' rows anyway.
+    */
+  private[graft] def ivfpqProbeFrom(queries: DataFrame, coarse: DataFrame,
+                                    rcent: DataFrame,
+                                    codesFor: DataFrame => DataFrame,
+                                    topK: Int = PqTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qq = pqQuantize(queries)
     val probes = qq.crossJoin(broadcast(coarse))
@@ -1455,6 +1474,7 @@ object SimilarityQueries {
     val dt = qcells.join(broadcast(rcent), "m")
       .select(col("query_id"), col("cid"), col("m"), col("code"),
         distL2(col("sub"), col("cvec")).as("dcode"))
+    val codes = codesFor(probes.select("cid"))
     codes.join(broadcast(dt), Seq("cid", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
@@ -1931,8 +1951,14 @@ object SimilarityQueries {
       // carries forgotten vectors again, and serve() must never show them
       enc(even = true).write.mode("overwrite").parquet(s"$dir/batch_0")
     }
-    val codes = KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id")
-    ivfpqProbe(queryBatch(s, d, PqNQ), coarse, rcent, codes)
+    // serve through the cell-pruned path: the probe's cells semi-join
+    // each leg of the store reconcile, keeping the compacted hive half
+    // DPP-prunable while the store has churn (this store sits
+    // non-quiesced by construction — batch_0/batch_1 pending, a live
+    // tombstone — exactly the steady state the prune exists for)
+    ivfpqProbeFrom(queryBatch(s, d, PqNQ), coarse, rcent,
+      cells => KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id",
+        partPrune = Some(cells)))
       .orderBy("query_id", "rank")
   }
 
@@ -1974,9 +2000,13 @@ object SimilarityQueries {
       .select("vec_id").distinct()
     val corpus = Tables.embeddings(s, d).join(live, Seq("vec_id"), "left_semi")
     val (coarse, rcent, codes) = ivfpqBuild(s, corpus, tag)
+    // the staging tag IS the generation identity: the rotated store is
+    // stamped with it, so a pre-rotation batch replayed afterwards (old
+    // stamp or none) fails serve/compact loudly instead of re-landing
+    // stale-quantizer rows — the checkpoint-reset contract in code
     KeyedStore.replaceAll(s, storeDir, Seq("cid"), codes, "vec_id",
       retireHorizonMs = retireHorizonMs, nowMs = nowMs,
-      sinceSnapshot = Some(snap))
+      sinceSnapshot = Some(snap), newGeneration = Some(tag))
     (coarse, rcent)
   }
 
@@ -2014,7 +2044,9 @@ object SimilarityQueries {
     val (coarse, rcent, _) = ivfpqBuild(s,
       emb.join(live.select("vec_id").distinct(), Seq("vec_id"), "left_semi"),
       tag)
-    ivfpqProbe(queryBatch(s, d, PqNQ), coarse, rcent, live)
+    ivfpqProbeFrom(queryBatch(s, d, PqNQ), coarse, rcent,
+      cells => KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id",
+        partPrune = Some(cells)))
       .orderBy("query_id", "rank")
   }
 
@@ -2148,6 +2180,163 @@ object SimilarityQueries {
        |                  ON f.vec_id = t.vec_id) * 10000
        |                 // (SELECT count(*) FROM sem_truth) END AS BIGINT)
        |         AS recall_bp""".stripMargin
+
+  /** FUSED decontamination — the union of the two shipped families with
+    * per-source provenance, because a real pipeline flags a document if
+    * EITHER test fires: `dd_contaminate`'s asymmetric n-gram overlap
+    * (exact, surface-form leaks) and `dd_contaminate_sem`'s
+    * embedding-space pass through the serving ANN index (paraphrased
+    * leaks). Shipping them fused matters precisely because
+    * `rag_hybrid_recall` proved naive fusion can LOSE recall when it
+    * re-ranks; decontamination fuses by SET UNION — monotone by
+    * construction — and [[ddDeconRecall]] certifies that fact against
+    * exact truth instead of asking users to trust the construction.
+    * One row per flagged doc: `src` says which family fired
+    * (lexical/semantic/both), the per-family evidence columns are NULL
+    * where that family did not fire (lexical reduced to its best eval
+    * match per doc — max shared n-grams, ties to min eval id — the
+    * same rule the semantic family already applies to d2).
+    */
+  def ddDeconFused(s: SparkSession, d: String): DataFrame = {
+    val lexBest = TextQueries.contaminateDerived(s, d, salt = None)
+      .groupBy("doc_id")
+      .agg(min(struct((-col("shared_ngrams")).as("ns"), col("eval_id")))
+        .as("mm"))
+      .select(col("doc_id"), col("mm.eval_id").as("lex_eval_id"),
+        (-col("mm.ns")).as("lex_shared"))
+    val sem = ddContaminateSem(s, d)
+      .select(col("vec_id"), col("eval_id").as("sem_eval_id"),
+        col("d2").as("sem_d2"))
+    lexBest.join(sem, lexBest("doc_id") === sem("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, "both")
+          .when(col("doc_id").isNotNull, "lexical")
+          .otherwise("semantic").as("src"),
+        col("lex_eval_id"), col("lex_shared"),
+        col("sem_eval_id"), col("sem_d2"))
+      .orderBy("doc_id")
+  }
+
+  /** The lexical chain + per-doc best reduction as CTEs ending in
+    * `lex_best` — shared verbatim by `dd_decon_fused` and
+    * `dd_decon_recall`. CTE names are l-prefixed: the sem chain this
+    * always rides with owns the bare ones.
+    */
+  private def lexBestSqlChain: String =
+    """ltoks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                             t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), lsh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(tk) >= 5 THEN list_transform(range(1, len(tk) - 3),
+      |      i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4]))
+      |    ELSE [array_to_string(tk, ' ')] END)) AS g
+      |  FROM ltoks
+      |), lex AS (
+      |  SELECT c.doc_id, e.doc_id AS eval_id,
+      |         CAST(count(*) AS BIGINT) AS shared_ngrams
+      |  FROM lsh c JOIN lsh e ON c.g = e.g
+      |  WHERE e.doc_id % 20 = 0 AND c.doc_id % 20 <> 0
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), lex_best AS (
+      |  SELECT doc_id, eval_id AS lex_eval_id, shared_ngrams AS lex_shared
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY shared_ngrams DESC, eval_id) AS lrk FROM lex)
+      |  WHERE lrk = 1
+      |)""".stripMargin
+
+  val ddDeconFusedSql: String =
+    s"""WITH $semSqlChain,
+       |$lexBestSqlChain
+       |SELECT coalesce(l.doc_id, sm.vec_id) AS doc_id,
+       |       CASE WHEN l.doc_id IS NOT NULL AND sm.vec_id IS NOT NULL
+       |              THEN 'both'
+       |            WHEN l.doc_id IS NOT NULL THEN 'lexical'
+       |            ELSE 'semantic' END AS src,
+       |       l.lex_eval_id, l.lex_shared,
+       |       sm.eval_id AS sem_eval_id, sm.d2 AS sem_d2
+       |FROM lex_best l FULL JOIN sem_flags sm ON l.doc_id = sm.vec_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Recall of the FUSED flag set against exact union truth — the row
+    * that certifies fusion-by-union cannot lose what either family had
+    * (`rag_hybrid_recall`'s lesson made checkable): truth is the union
+    * of the exact lexical flags (the lexical family IS exact) and the
+    * brute-force semantic truth (`dd_sem_recall`'s pass), and the
+    * published per-family coverages let the spec assert
+    * fused >= lexical-alone and fused >= semantic-alone on the SAME
+    * truth set. The fused recall's only misses are the semantic ANN
+    * misses — bought down by nprobe exactly like `dd_sem_recall`.
+    */
+  def ddDeconRecall(s: SparkSession, d: String): DataFrame = {
+    val evalN = semEvalN(s)
+    val qv = pqQuantize(Tables.embeddings(s, d))
+    val semTruth = qv.filter(col("vec_id") >= evalN)
+      .select(col("vec_id"), col("q").as("cq"))
+      .crossJoin(broadcast(qv.filter(col("vec_id") < evalN)
+        .select(col("vec_id").as("eval_id"), col("q").as("qq"))))
+      .filter(distL2(col("qq"), col("cq")) <= semTau(s))
+      .select("vec_id").distinct()
+    val lexTruth = TextQueries.contaminateDerived(s, d, salt = None)
+      .select(col("doc_id").as("vec_id")).distinct()
+    val truth = lexTruth.unionByName(semTruth).distinct()
+    val fused = ddDeconFused(s, d).select(col("doc_id").as("vec_id"))
+    val semFlags = ddContaminateSem(s, d).select("vec_id")
+    truth.join(fused.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        coalesce(sum("hit"), lit(0L)).cast("long").as("n_hit"))
+      .crossJoin(broadcast(
+        fused.agg(count(lit(1)).cast("long").as("n_flagged"))))
+      .crossJoin(broadcast(
+        lexTruth.agg(count(lit(1)).cast("long").as("n_lex"))))
+      .crossJoin(broadcast(
+        semFlags.agg(count(lit(1)).cast("long").as("n_sem"))))
+      .select(col("n_true"), col("n_flagged"), col("n_hit"),
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(expr("n_hit * 10000 div n_true")).cast("long")
+          .as("recall_bp"),
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(expr("n_lex * 10000 div n_true")).cast("long")
+          .as("lex_only_bp"),
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(expr("n_sem * 10000 div n_true")).cast("long")
+          .as("sem_only_bp"))
+  }
+
+  val ddDeconRecallSql: String =
+    s"""WITH $semSqlChain,
+       |$lexBestSqlChain,
+       |sem_truth AS (
+       |  SELECT DISTINCT c.vec_id
+       |  FROM (SELECT * FROM qv WHERE vec_id >= $SemEvalN) c,
+       |       (SELECT * FROM qv WHERE vec_id < $SemEvalN) e
+       |  WHERE list_sum(list_transform(range(1, len(e.q)+1),
+       |          i -> (e.q[i] - c.q[i]) * (e.q[i] - c.q[i]))) <= $SemTau
+       |),
+       |lex_truth AS (SELECT DISTINCT doc_id AS vec_id FROM lex),
+       |dtruth AS (SELECT vec_id FROM lex_truth
+       |           UNION SELECT vec_id FROM sem_truth),
+       |dfused AS (
+       |  SELECT coalesce(l.doc_id, sm.vec_id) AS vec_id
+       |  FROM lex_best l FULL JOIN sem_flags sm ON l.doc_id = sm.vec_id)
+       |SELECT CAST((SELECT count(*) FROM dtruth) AS BIGINT) AS n_true,
+       |       CAST((SELECT count(*) FROM dfused) AS BIGINT) AS n_flagged,
+       |       CAST((SELECT count(*) FROM dfused f JOIN dtruth t
+       |             ON f.vec_id = t.vec_id) AS BIGINT) AS n_hit,
+       |       CAST(CASE WHEN (SELECT count(*) FROM dtruth) = 0 THEN 0
+       |            ELSE (SELECT count(*) FROM dfused f JOIN dtruth t
+       |                  ON f.vec_id = t.vec_id) * 10000
+       |                 // (SELECT count(*) FROM dtruth) END AS BIGINT)
+       |         AS recall_bp,
+       |       CAST(CASE WHEN (SELECT count(*) FROM dtruth) = 0 THEN 0
+       |            ELSE (SELECT count(*) FROM lex_truth) * 10000
+       |                 // (SELECT count(*) FROM dtruth) END AS BIGINT)
+       |         AS lex_only_bp,
+       |       CAST(CASE WHEN (SELECT count(*) FROM dtruth) = 0 THEN 0
+       |            ELSE (SELECT count(*) FROM sem_flags) * 10000
+       |                 // (SELECT count(*) FROM dtruth) END AS BIGINT)
+       |         AS sem_only_bp""".stripMargin
 
   /** RAG assembly on the IVF-PQ index — completes the retrieve matrix
     * (pipe_rag: brute force; pipe_rag_ann: flat-PQ ADC; this: cell-pruned
@@ -2438,6 +2627,8 @@ object SimilarityQueries {
     "sim_ivfpq_rot" -> (simIvfpqRot _),
     "dd_contaminate_sem" -> (ddContaminateSem _),
     "dd_sem_recall" -> (ddSemRecall _),
+    "dd_decon_fused" -> (ddDeconFused _),
+    "dd_decon_recall" -> (ddDeconRecall _),
     "pipe_rag" -> (pipeRag _),
     "pipe_rag_ann" -> (pipeRagAnn _),
     "pipe_rag_ivf" -> (pipeRagIvf _),
@@ -2468,6 +2659,8 @@ object SimilarityQueries {
     "sim_ivfpq_rot" -> simIvfpqRotSql,
     "dd_contaminate_sem" -> ddContaminateSemSql,
     "dd_sem_recall" -> ddSemRecallSql,
+    "dd_decon_fused" -> ddDeconFusedSql,
+    "dd_decon_recall" -> ddDeconRecallSql,
     "pipe_rag" -> pipeRagSql,
     "pipe_rag_ann" -> pipeRagAnnSql,
     "pipe_rag_ivf" -> pipeRagIvfSql,

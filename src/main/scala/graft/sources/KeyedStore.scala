@@ -23,11 +23,37 @@ import org.apache.spark.sql.types.StructType
   *    reconciles by a per-key max over the batch id parsed from the file
   *    path, an aggregate bounded by the flat half (batches since the
   *    last compaction, plus `base/` before the first);
-  *  - a micro-batch replayed AFTER a compaction folded its rows re-lands
-  *    its `batch_<id>` dir next to the compacted `col=value/` dirs —
-  *    [[serve]] reconciles by broadcast anti-join (compacted-vs-recent
-  *    keys; the flat half is small post-compaction), never a store-wide
-  *    dedup shuffle;
+  *  - [[compact]] records the highest batch id it folded in a
+  *    `_watermark` marker, and [[serve]] EXCLUDES flat dirs at or below
+  *    it wholesale: a pre-fold batch replayed after the fold holds only
+  *    rows the hive half already carries at their NEWEST folded version
+  *    (or rows a still-live tombstone guards — retirement is bounded by
+  *    the same replay horizon), so re-reading it could only let an
+  *    older replay outrank a folded re-send. Exclusion is both the
+  *    correct newest-wins answer and free (list-level, no join); the
+  *    stale dirs themselves are cleaned up by the next [[compact]].
+  *    The watermark assumes batch ids are monotone within one store
+  *    generation (a streaming checkpoint's contract); [[replaceAll]]
+  *    starts a new generation and drops it;
+  *  - a micro-batch replayed AFTER a compaction but ABOVE the watermark
+  *    (a batch the fold never saw) re-lands its `batch_<id>` dir next to
+  *    the compacted `col=value/` dirs — [[serve]] reconciles by
+  *    broadcast anti-join (compacted-vs-recent keys; the flat half is
+  *    small post-compaction), never a store-wide dedup shuffle;
+  *  - a flat dir is only served once its writer COMMITTED it (the
+  *    `_SUCCESS` marker a Spark parquet job writes last): a dir
+  *    mid-write is a partial micro-batch, and both [[serve]] and
+  *    [[compact]]'s carry-over skip it — its uncommitted offsets replay
+  *    it whole;
+  *  - stores that went through a parameter rotation carry a
+  *    `_generation` marker and every flat dir a `_gen` stamp
+  *    ([[stampBatch]], written by the ingest wrappers with the
+  *    generation they CAPTURED THEIR PARAMETERS under): [[serve]] and
+  *    [[compact]] fail loudly on a mismatch, because a pre-rotation
+  *    batch replayed after the swap re-lands rows encoded with RETIRED
+  *    parameters that the newest-wins reconcile would otherwise
+  *    faithfully serve — the checkpoint-reset contract enforced in
+  *    code, not convention;
   *  - forgotten keys live in `_tombstones/` (underscore = invisible to
   *    every data read) as (key, forgotten_at_ms) rows, filter every
   *    [[serve]] — including rows a replay physically resurrects — and
@@ -44,20 +70,103 @@ import org.apache.spark.sql.types.StructType
 object KeyedStore {
 
   private val ForgottenAt = "forgotten_at_ms"
+  private val WatermarkFile = "_watermark"
+  private val GenerationFile = "_generation"
+  private val BatchGenFile = "_gen"
+  private val CommitMarker = "_SUCCESS"
 
   private def tombstonePath(storeDir: String): String =
     s"$storeDir/_tombstones"
 
+  /** The durable tombstone set, with the retirement stamp backfilled for
+    * stores written before stamps existed: a legacy row gets
+    * `Long.MaxValue` — it NEVER retires silently (retiring it would
+    * unguard replays the operator believed guarded); re-[[forget]]ting
+    * the key refreshes it to a real stamp.
+    */
   private def tombstones(s: SparkSession, storeDir: String,
                          keyCol: String, withTs: Boolean): Option[DataFrame] =
-    Sinks.readExisting(s, tombstonePath(storeDir),
-      if (withTs) Seq(keyCol, ForgottenAt) else Seq(keyCol))
+    Sinks.readExistingAny(s, tombstonePath(storeDir)).map { t =>
+      if (!withTs) t.select(col(keyCol))
+      else if (t.columns.contains(ForgottenAt))
+        t.select(col(keyCol), col(ForgottenAt))
+      else t.select(col(keyCol), lit(Long.MaxValue).as(ForgottenAt))
+    }
 
   private def hadoopFs(s: SparkSession, dir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
+
+  // ---- tiny root-level marker files (watermark / generation) ----
+  // Underscore names keep them invisible to every parquet read; they are
+  // written inside the compaction/rotation tmp tree, so they swap
+  // atomically with the data they describe.
+
+  private def readMarker(s: SparkSession, dir: String,
+                         name: String): Option[String] = {
+    val (fs, p) = hadoopFs(s, dir)
+    val f = new org.apache.hadoop.fs.Path(p, name)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+        Some(new String(out.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeMarker(s: SparkSession, dir: String, name: String,
+                          value: String): Unit = {
+    val (fs, p) = hadoopFs(s, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+    try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Highest batch id a [[compact]] has folded into the hive half, if
+    * any — flat dirs at or below it are replayed pre-fold content.
+    */
+  private[graft] def watermark(s: SparkSession,
+                               storeDir: String): Option[Long] =
+    readMarker(s, storeDir, WatermarkFile).map(_.toLong)
+
+  /** The store's parameter-generation id, if it has been stamped (by a
+    * [[replaceAll]] rotation or [[setGeneration]] at bootstrap).
+    */
+  private[graft] def generation(s: SparkSession,
+                                storeDir: String): Option[String] =
+    readMarker(s, storeDir, GenerationFile)
+
+  /** Stamp a bare store with its initial parameter generation — ingest
+    * bootstrap wrappers call this once so that every later rotation can
+    * tell this generation's batches from the next one's.
+    */
+  private[graft] def setGeneration(s: SparkSession, storeDir: String,
+                                   gen: String): Unit =
+    writeMarker(s, storeDir, GenerationFile, gen)
+
+  /** Stamp a landed flat dir with the generation its rows were ENCODED
+    * under — the ingest wrapper's generation captured at stream
+    * definition (when it captured the quantizers/hash family), never
+    * the store's current one: a replay stamped with whatever the store
+    * says NOW would defeat the very mismatch the stamp exists to catch.
+    */
+  private[graft] def stampBatch(s: SparkSession, storeDir: String,
+                                dirName: String, gen: String): Unit =
+    writeMarker(s, s"$storeDir/$dirName", BatchGenFile, gen)
+
+  /** `batch_<id>` dir-name rank — the same ordering [[serve]]'s
+    * newest-wins reconcile derives from file paths (`base/` and any
+    * non-`batch_<n>` name rank -1, below every batch).
+    */
+  private def flatRank(name: String): Long =
+    "^batch_(\\d+)$".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong).getOrElse(-1L)
 
   /** Names of the flat (non-`col=value/`, non-underscore) dirs in the
     * store tree — the appended-batch half of the mixed layout.
@@ -71,6 +180,45 @@ object KeyedStore {
       e.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
         !partCols.exists(c => n.startsWith(c + "="))
     }.map(_.getPath.getName).toSet
+  }
+
+  /** The flat dirs [[serve]] may read — three gates, in order:
+    *  1. committed: a dir without its writer's `_SUCCESS` marker is a
+    *     torn in-flight micro-batch — skipped (its uncommitted offsets
+    *     replay it whole);
+    *  2. above the compaction watermark: a dir at or below it is a
+    *     replayed pre-fold batch whose content the hive half + live
+    *     tombstones provably subsume — excluded wholesale, so an older
+    *     replay can never outrank a folded re-send;
+    *  3. generation-stamped, when the store is: a surviving dir whose
+    *     `_gen` is missing or differs from the store's `_generation`
+    *     holds rows encoded under retired parameters — the read FAILS
+    *     (IllegalStateException), never serves them.
+    */
+  private def admittedFlatDirs(s: SparkSession, storeDir: String,
+                               partCols: Seq[String]): Set[String] = {
+    val (fs, p) = hadoopFs(s, storeDir)
+    val committed = flatDirNames(s, storeDir, partCols).filter { d =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(p, d), CommitMarker))
+    }
+    val wm = watermark(s, storeDir)
+    val fresh = wm.fold(committed)(w => committed.filter(d => flatRank(d) > w))
+    generation(s, storeDir).foreach { g =>
+      fresh.foreach { d =>
+        val bg = readMarker(s, s"$storeDir/$d", BatchGenFile)
+        if (!bg.contains(g))
+          throw new IllegalStateException(
+            s"KeyedStore: flat dir '$d' under $storeDir carries generation " +
+              s"'${bg.getOrElse("<unstamped>")}' but the store is at " +
+              s"generation '$g'. Its rows were encoded under retired " +
+              "parameters (a pre-rotation batch replayed after the " +
+              "rotation, or an ingest stream restarted without re-reading " +
+              "the rotated quantizers) and must not be served. Reset the " +
+              "ingest checkpoint and re-encode, or remove the stale dir.")
+      }
+    }
+    fresh
   }
 
   /** The serving view: mixed-tree read (prior compactions + appended
@@ -87,11 +235,33 @@ object KeyedStore {
     * pruning applies to probes through the store exactly as it does to
     * the staged index (spec-locked in IvfConfSpec at the scan-metrics
     * level). The reconcile machinery prices only the store's churn.
+    *
+    * `partPrune` keeps the hive half prunable through a NON-quiesced
+    * reconcile — the store's steady-state read cost, since a production
+    * store always has a pending batch or a live tombstone: pass a small
+    * frame of partition-column values (the probe's cells) and each LEG
+    * is semi-joined to it BEFORE the union, so the join over the hive
+    * scan sits directly above it and dynamic partition pruning engages
+    * (through the union of the full reconcile the DPP rule cannot reach
+    * the scan, and every probe between compactions would full-scan the
+    * compacted 99.9%). Result ≡ `serve(None)` semi-joined to the same
+    * values: the key-level reconciles stay GLOBAL — the anti-join keys
+    * come from the unpruned flat read and the newest-wins rank runs
+    * before the restriction — so a key whose newest version moved
+    * partitions still shadows its old rows.
     */
   def serve(s: SparkSession, storeDir: String, partCols: Seq[String],
-            schema: StructType, keyCol: String): DataFrame = {
+            schema: StructType, keyCol: String,
+            partPrune: Option[DataFrame] = None): DataFrame = {
+    val admitted = admittedFlatDirs(s, storeDir, partCols)
     val (hive, flat) =
-      Sinks.readPartitionedTreeParts(s, storeDir, partCols, schema)
+      Sinks.readPartitionedTreeParts(s, storeDir, partCols, schema,
+        flatAdmit = admitted)
+    def prune(df: DataFrame): DataFrame = partPrune.fold(df)(p =>
+      // semi join ignores multiplicity, so the cells frame needs no
+      // distinct; the hint is safe — nprobe cells per query, always tiny
+      df.join(broadcast(p.select(partCols.map(col): _*)),
+        partCols, "left_semi"))
     // flat-vs-flat: newest batch wins wholesale per key. The batch id is
     // the part file's immediate parent dir (`batch_<id>/part-...`;
     // `base/` ranks below every batch). Bounded by the flat half — no
@@ -101,9 +271,8 @@ object KeyedStore {
     // hot path) unless at least TWO flat dirs exist — within one writer
     // output a key appears once per its rows, so `base/`-only stores and
     // single-batch tails skip it entirely
-    val nFlatDirs = flatDirNames(s, storeDir, partCols).size
     val flatLatest = flat.map { f =>
-      if (nFlatDirs <= 1) f
+      if (admitted.size <= 1) f
       else {
         val m = regexp_extract(input_file_name(), "/batch_(\\d+)/[^/]+$", 1)
         // `base/` (and any non-batch dir) extracts "" — ANSI cast would
@@ -133,12 +302,14 @@ object KeyedStore {
         // reconciled frame, one scan cheaper); bounded by batches since
         // the last compaction, so the hint is safe (unlike the
         // tombstone side). Null-key hive rows never match an anti-join
-        // key and correctly pass through.
-        h.join(broadcast(flat.get.select(keyCol).distinct()),
+        // key and correctly pass through. The semi join sits INSIDE the
+        // anti (directly over the scan) so DPP still reaches it.
+        prune(h)
+          .join(broadcast(flat.get.select(keyCol).distinct()),
             Seq(keyCol), "left_anti")
-          .unionByName(f)
-      case (Some(h), None) => h
-      case (None, Some(f)) => f
+          .unionByName(prune(f))
+      case (Some(h), None) => prune(h)
+      case (None, Some(f)) => prune(f)
       case (None, None) =>
         // data-less but real store (a missing DIR already failed fast in
         // the tree listing): everything forgotten + compacted away must
@@ -159,12 +330,24 @@ object KeyedStore {
     * crash-safe upsert sink (re-forgetting a key refreshes its stamp,
     * which only EXTENDS the guard). Durable from this point; physical at
     * the next [[compact]]; retired once the replay horizon passes.
+    * A legacy tombstone dir written before retirement stamps existed is
+    * migrated in place first (backfilled `Long.MaxValue` — never retires
+    * silently), so the merge below resolves both columns.
     */
   def forget(s: SparkSession, storeDir: String, keyCol: String,
-             ids: DataFrame, atMs: Long = System.currentTimeMillis()): Unit =
+             ids: DataFrame, atMs: Long = System.currentTimeMillis()): Unit = {
+    val tp = tombstonePath(storeDir)
+    Sinks.readExistingAny(s, tp)
+      .filter(!_.columns.contains(ForgottenAt))
+      .foreach { legacy =>
+        val migrated = legacy.withColumn(ForgottenAt, lit(Long.MaxValue))
+        Sinks.writeSwapWith(s, tp)(
+          tmp => migrated.write.mode("overwrite").parquet(tmp))
+      }
     Sinks.replaceKeysParquet(s,
       ids.select(keyCol).distinct().withColumn(ForgottenAt, lit(atMs)),
-      tombstonePath(storeDir), Seq(keyCol))
+      tp, Seq(keyCol))
+  }
 
   /** Tombstones still needed after a fold at `nowMs`: with a retirement
     * horizon, drop every tombstone old enough that no replayable batch
@@ -211,14 +394,23 @@ object KeyedStore {
     * ceil(rows/max) files instead of one unbounded file (probes still
     * prune at partition granularity; only the per-file row bound
     * changes). Tombstones are carried across the swap minus the ones
-    * [[unretired]] retires. A `batch_<id>` dir landed by a concurrent
-    * ingest DURING the rewrite is re-listed and copied into the new tree
-    * before the swap, so its committed micro-batch is not deleted with
-    * the old tree; a batch landing in the hairline between that re-list
-    * and the rename is still lost — pause ingest across compactions (or
-    * accept replay-from-checkpoint re-landing it) if that window
-    * matters. Returns (dataFilesBefore, dataFilesAfter), tombstone files
-    * excluded from both counts.
+    * [[unretired]] retires; the `_generation` marker (if any) is carried
+    * verbatim, and the `_watermark` advances to the highest batch id
+    * this fold ingested (replayed pre-fold dirs and torn in-flight dirs
+    * are NOT counted — they were not read — and are removed with the
+    * old tree; replays of the former are subsumed by the new hive half,
+    * the latter's uncommitted offsets re-land them whole). A committed
+    * `batch_<id>` dir landed by a concurrent ingest DURING the rewrite
+    * is re-listed and RENAMED into the new tree before the swap (same
+    * FS by construction — O(1) per dir, not a byte copy through the
+    * driver), so its micro-batch is not deleted with the old tree; a
+    * batch landing in the hairline between that re-list and the rename
+    * is still lost, and a crash between the carry-rename and the swap
+    * leaves the carried dir recoverable under `.__swap__` — pause
+    * ingest across compactions (or accept replay-from-checkpoint
+    * re-landing it) if those windows matter. Returns
+    * (dataFilesBefore, dataFilesAfter), tombstone files excluded from
+    * both counts.
     */
   def compact(s: SparkSession, storeDir: String, partCols: Seq[String],
               schema: StructType, keyCol: String,
@@ -240,24 +432,25 @@ object KeyedStore {
       retireHorizonMs: Option[Long], nowMs: Long,
       afterWrite: () => Unit): (Long, Long) = {
     val before = countDataFiles(s, storeDir)
-    val folded = flatDirNames(s, storeDir, partCols)
+    // what this fold will actually read — the serve() below recomputes
+    // the same set (modulo a benign race: a batch landing between the
+    // two listings is folded AND carried, and the newest-wins reconcile
+    // serves its identical rows once)
+    val folded = admittedFlatDirs(s, storeDir, partCols)
+    val gen = generation(s, storeDir)
+    val wmNew = {
+      val cands = folded.map(flatRank) ++ watermark(s, storeDir)
+      if (cands.isEmpty) None else Some(cands.max)
+    }
     // the writer runs while the old tree still exists; the swap happens
     // only after the write, so lineage reading storeDir is safe
     val df = serve(s, storeDir, partCols, schema, keyCol)
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(df, tmp, partCols, maxRecordsPerFile)
       afterWrite()
-      // concurrent-ingest carry-over: batch dirs that appeared since the
-      // fold snapshot move into the new tree untouched (serve reconciles
-      // them like any other appended batch)
-      val (fs, _) = hadoopFs(s, storeDir)
-      (flatDirNames(s, storeDir, partCols) -- folded).foreach { d =>
-        org.apache.hadoop.fs.FileUtil.copy(fs,
-          new org.apache.hadoop.fs.Path(storeDir, d), fs,
-          new org.apache.hadoop.fs.Path(tmp, d), false,
-          s.sparkContext.hadoopConfiguration)
-      }
-      // tombstones are carried LAST — the final read before the swap —
+      gen.foreach(g => writeMarker(s, tmp, GenerationFile, g))
+      wmNew.foreach(w => writeMarker(s, tmp, WatermarkFile, w.toString))
+      // tombstones are carried near-LAST — a late read before the swap —
       // so a forget() committed at any point during the long data
       // rewrite is still in the carried set ("durable from this point"
       // must survive a concurrent compaction). The hairline between
@@ -265,20 +458,32 @@ object KeyedStore {
       // documents: pause forget traffic across compactions if it
       // matters, or re-issue after.
       carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
+      // concurrent-ingest carry-over, the very last step (renames are
+      // the only destructive reads of the old tree — doing them after
+      // every other read minimizes the crash window): committed batch
+      // dirs that appeared since the fold snapshot and rank above the
+      // new watermark MOVE into the new tree untouched (serve
+      // reconciles them like any other appended batch). Uncommitted
+      // (no `_SUCCESS`) dirs are torn in-flight writes — carrying one
+      // would serve a partial micro-batch as if complete, so they drop
+      // with the old tree and their unacknowledged offsets replay them.
+      val (fs, _) = hadoopFs(s, storeDir)
+      (flatDirNames(s, storeDir, partCols) -- folded).foreach { d =>
+        val committed = fs.exists(new org.apache.hadoop.fs.Path(
+          s"$storeDir/$d", CommitMarker))
+        if (committed && wmNew.forall(flatRank(d) > _)) {
+          val src = new org.apache.hadoop.fs.Path(storeDir, d)
+          val dst = new org.apache.hadoop.fs.Path(tmp, d)
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"compact carry-over: rename $src -> $dst failed; " +
+                s"carried batch left at $src, new tree not swapped in")
+        }
+      }
     }
     (before, countDataFiles(s, storeDir))
   }
 
-  /** Full re-index swap — the quantizer-rotation cadence: replace the
-    * store's DATA wholesale with `newData` (already re-encoded against
-    * fresh parameters, tombstoned keys excluded by the caller serving
-    * through [[serve]]), written as one partitioned layout through the
-    * same crash-safe swap as [[compact]]. Tombstones are carried minus
-    * retirement — the rotation made every delete physical, but replays
-    * of pre-rotation batches still need guarding until the horizon
-    * passes. The store stays readable throughout: the old tree is only
-    * renamed away after the new one is fully written.
-    */
   /** Snapshot of the store's flat (appended-batch) dir names — take one
     * BEFORE reading the served view that feeds a re-index, and pass it
     * to [[replaceAll]] so ingest landing anywhere in the
@@ -289,12 +494,34 @@ object KeyedStore {
                                   partCols: Seq[String]): Set[String] =
     flatDirNames(s, storeDir, partCols)
 
+  /** Full re-index swap — the quantizer-rotation cadence: replace the
+    * store's DATA wholesale with `newData` (already re-encoded against
+    * fresh parameters, tombstoned keys excluded by the caller serving
+    * through [[serve]]), written as one partitioned layout through the
+    * same crash-safe swap as [[compact]]. Tombstones are carried minus
+    * retirement — the rotation made every delete physical, but replays
+    * of pre-rotation batches still need guarding until the horizon
+    * passes. The store stays readable throughout: the old tree is only
+    * renamed away after the new one is fully written.
+    *
+    * The swapped store starts a NEW generation: `newGeneration` (or a
+    * timestamp-derived id) lands in the `_generation` marker, so a
+    * pre-rotation batch replayed afterwards — rows encoded under the
+    * retired parameters, stamped with the old generation or not at all
+    * — makes [[serve]]/[[compact]] fail loudly instead of silently
+    * winning the newest-wins reconcile. The compaction `_watermark` is
+    * deliberately NOT carried: the caller resets the ingest checkpoint
+    * across a rotation (that contract is what the generation stamp
+    * enforces), so batch ids restart and an old watermark would
+    * swallow the new sequence's first batches.
+    */
   def replaceAll(s: SparkSession, storeDir: String, partCols: Seq[String],
                  newData: DataFrame, keyCol: String,
                  maxRecordsPerFile: Option[Long] = None,
                  retireHorizonMs: Option[Long] = None,
                  nowMs: Long = System.currentTimeMillis(),
-                 sinceSnapshot: Option[Set[String]] = None): Unit = {
+                 sinceSnapshot: Option[Set[String]] = None,
+                 newGeneration: Option[String] = None): Unit = {
     val before = sinceSnapshot.getOrElse(flatDirNames(s, storeDir, partCols))
     Sinks.writeSwapWith(s, storeDir) { tmp =>
       writePartitioned(newData, tmp, partCols, maxRecordsPerFile)
@@ -311,6 +538,8 @@ object KeyedStore {
           s"replaceAll: ingest batches landed during the re-index " +
             s"(${landed.mkString(", ")}) — stop the ingest stream across " +
             "a rotation, then re-run it")
+      writeMarker(s, tmp, GenerationFile,
+        newGeneration.getOrElse(s"gen_$nowMs"))
       carryTombstones(s, storeDir, tmp, keyCol, retireHorizonMs, nowMs)
     }
   }

@@ -76,6 +76,20 @@ object Sinks {
         if e.getErrorClass == "PATH_NOT_FOUND" => None
     }
 
+  /** [[readExisting]] without a column contract — for callers that must
+    * inspect what columns an existing table HAS before deciding how to
+    * read it (the KeyedStore legacy-tombstone migration: a pre-stamp
+    * layout lacks `forgotten_at_ms`, and a column-selecting read would
+    * fail with an unresolved-column error instead of None).
+    */
+  private[graft] def readExistingAny(spark: SparkSession,
+                                     path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getErrorClass == "PATH_NOT_FOUND" => None
+    }
+
   /** S5-upsert: idempotent latest-wins upsert by key — the Mongo
     * `UpdateOne(upsert=True)` analogue. Re-running with the same batch
     * changes nothing.
@@ -192,7 +206,11 @@ object Sinks {
     */
   private[graft] def readPartitionedTreeParts(
       spark: SparkSession, path: String, partCols: Seq[String],
-      schema: org.apache.spark.sql.types.StructType)
+      schema: org.apache.spark.sql.types.StructType,
+      // which flat dirs to read (by name) — KeyedStore.serve narrows to
+      // its admitted set (committed, above the compaction watermark,
+      // generation-stamped); the default reads them all
+      flatAdmit: String => Boolean = _ => true)
       : (Option[DataFrame], Option[DataFrame]) = {
     import org.apache.spark.sql.functions.col
     val p = new org.apache.hadoop.fs.Path(path)
@@ -201,8 +219,9 @@ object Sinks {
       val n = e.getPath.getName
       !n.startsWith("_") && !n.startsWith(".")
     }
-    val (hive, flat) = entries.partition(e =>
+    val (hive, flatAll) = entries.partition(e =>
       e.isDirectory && partCols.exists(c => e.getPath.getName.startsWith(c + "=")))
+    val flat = flatAll.filter(e => flatAdmit(e.getPath.getName))
     val cols = schema.fieldNames.map(col).toIndexedSeq
     (if (hive.isEmpty) None
      else Some(spark.read.schema(schema).option("basePath", path)

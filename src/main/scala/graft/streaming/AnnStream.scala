@@ -113,9 +113,25 @@ object AnnStream {
                         baseBound: Long, codesOutDir: String,
                         maxFilesPerTrigger: Option[Int] = None,
                         checkpointDir: Option[String] = None): StreamingQuery = {
+    // this wrapper BOOTSTRAPS a store with base-index quantizers; a
+    // store that has been through a rotation carries a `_generation`
+    // marker and its data is encoded under DIFFERENT quantizers — this
+    // stream would overwrite `base/` with stale rows and land
+    // stale-encoded batches (exactly what the generation stamp exists
+    // to catch), so it refuses at definition instead of at first serve
+    graft.sources.KeyedStore.generation(s, codesOutDir).foreach { g =>
+      throw new IllegalStateException(
+        s"ivfpqIngestStream: store $codesOutDir was rotated (generation " +
+          s"'$g') — resume ingest with ivfpqResumeIngestStream(rotated " +
+          "quantizers, that generation) and a fresh checkpoint")
+    }
     val (coarse, rcent, baseCodes) =
       SimilarityQueries.ivfpqIndexOn(s, indexDir, Some(baseBound))
     baseCodes.write.mode("overwrite").parquet(s"$codesOutDir/base")
+    // batches stay UNSTAMPED here — an unrotated store has no
+    // generation to stamp against; the first rotation stamps the store,
+    // after which a replay of these batches is rejected as
+    // '<unstamped>' (pre-rotation content under retired quantizers)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val vecs = maxFilesPerTrigger
@@ -125,6 +141,53 @@ object AnnStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
           .write.mode("overwrite").parquet(s"$codesOutDir/batch_$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** Resume ingest into a ROTATED store — the post-[[rotateStore]]
+    * continuation of [[ivfpqIngestStream]]: encodes arriving vectors
+    * with the CALLER-SUPPLIED (rotated) quantizers, stamps every batch
+    * with their `generation` (the rotation's staging tag), and touches
+    * no `base/` (the rotated store's data already IS the re-encoded
+    * corpus — the bootstrap wrapper's base write would plant stale
+    * rows). Fails at DEFINITION time if the store's `_generation`
+    * differs from `generation`: restarting an old stream definition
+    * against a rotated store is exactly the stale-quantizer hazard the
+    * stamp exists to catch, and failing before any batch lands beats
+    * failing at the first serve. Use a FRESH `checkpointDir`: the
+    * pre-rotation checkpoint's offsets describe batches the rotation
+    * already folded in, and its ids would collide with the new
+    * sequence.
+    */
+  def ivfpqResumeIngestStream(s: SparkSession, vecDir: String,
+                              storeDir: String,
+                              coarse: DataFrame, rcent: DataFrame,
+                              generation: String,
+                              maxFilesPerTrigger: Option[Int] = None,
+                              checkpointDir: Option[String] = None)
+      : StreamingQuery = {
+    val storeGen = graft.sources.KeyedStore.generation(s, storeDir)
+    if (!storeGen.contains(generation))
+      throw new IllegalStateException(
+        s"ivfpqResumeIngestStream: store $storeDir is at generation " +
+          s"'${storeGen.getOrElse("<unstamped>")}' but this stream would " +
+          s"encode under '$generation' — redefine the ingest with the " +
+          "store's current quantizers (rotateStore's staging tag) and a " +
+          "fresh checkpoint")
+    val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("recursiveFileLookup", "true")
+    val vecs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(vecDir)
+    val writer = vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+        graft.sources.KeyedStore
+          .stampBatch(s, storeDir, s"batch_$batchId", generation)
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

@@ -138,6 +138,16 @@ object DocStream {
                             maxFilesPerTrigger: Option[Int] = None,
                             checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // bootstrap-only, the AnnStream.ivfpqIngestStream contract: a
+    // rotated store's rows live under a NEW hash family — this stream
+    // would overwrite `base/` and land old-family batches, so it
+    // refuses at definition; resume with [[bandIndexResumeIngestStream]]
+    graft.sources.KeyedStore.generation(s, outDir).foreach { g =>
+      throw new IllegalStateException(
+        s"bandIndexIngestStream: store $outDir was rotated (generation " +
+          s"'$g') — resume ingest with bandIndexResumeIngestStream under " +
+          "the rotated family and a fresh checkpoint")
+    }
     val base = graft.Tables.documents(s, corpusDir)
       .filter(col("doc_id") < baseBound).select("doc_id", "text")
     TextDedup.minhashBandIndex(base, shingleN, bands, rowsPerBand)
@@ -151,6 +161,48 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** Resume ingest into a ROTATED band store — the post-
+    * [[rotateBandStore]] continuation of [[bandIndexIngestStream]]:
+    * signs arriving documents under the ROTATED family (whose parameter
+    * string must equal the store's `_generation` — checked at
+    * definition, failing before any batch lands) and stamps every batch
+    * with it, so [[graft.sources.KeyedStore.serve]] can tell this
+    * generation's batches from a pre-rotation replay. No `base/` write:
+    * the rotated store's data already is the re-indexed corpus. Use a
+    * FRESH `checkpointDir` (the rotation folded the old sequence in).
+    */
+  def bandIndexResumeIngestStream(s: org.apache.spark.sql.SparkSession,
+                                  docDir: String, storeDir: String,
+                                  shingleN: Int, bands: Int,
+                                  rowsPerBand: Int,
+                                  maxFilesPerTrigger: Option[Int] = None,
+                                  checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gen = s"band_${shingleN}_${bands}x$rowsPerBand"
+    val storeGen = graft.sources.KeyedStore.generation(s, storeDir)
+    if (!storeGen.contains(gen))
+      throw new IllegalStateException(
+        s"bandIndexResumeIngestStream: store $storeDir is at generation " +
+          s"'${storeGen.getOrElse("<unstamped>")}' but this stream would " +
+          s"sign under '$gen' — resume with the store's rotated family " +
+          "and a fresh checkpoint")
+    val reader = s.readStream.schema("doc_id BIGINT, text STRING")
+      .option("recursiveFileLookup", "true")
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(docDir)
+    val writer = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
+        graft.sources.KeyedStore
+          .stampBatch(s, storeDir, s"batch_$batchId", gen)
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
@@ -222,6 +274,10 @@ object DocStream {
     graft.sources.KeyedStore.replaceAll(s, storeDir, Seq("band"),
       TextDedup.minhashBandIndex(docs, shingleN, bands, rowsPerBand),
       "doc_id", retireHorizonMs = retireHorizonMs, nowMs = nowMs,
-      sinceSnapshot = Some(snap))
+      sinceSnapshot = Some(snap),
+      // the banding parameters ARE the generation identity: a
+      // pre-rotation batch replayed after the swap (hashed under the
+      // old family, stamped with it or not at all) fails serve loudly
+      newGeneration = Some(s"band_${shingleN}_${bands}x$rowsPerBand"))
   }
 }

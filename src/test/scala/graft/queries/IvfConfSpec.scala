@@ -234,6 +234,65 @@ class IvfConfSpec extends SparkSuite {
     }
   }
 
+  test("a NON-quiesced maintained store (one pending batch, one LIVE " +
+    "tombstone) still prunes the compacted hive half: the cell-pruned " +
+    "serve reads <=nprobe of 64 hive cell files, no cost-model knobs") {
+    // The round-11 residual: serve()'s union+anti-join reconcile blocks
+    // DPP, so a store with ANY churn — its production steady state,
+    // there is always a pending batch — full-scanned the compacted
+    // 99.9% on every probe (64/64 cell files). The cell-pruned path
+    // (`partPrune`: the probe's cells semi-joined onto each leg BEFORE
+    // the union) puts the join back directly over the hive scan, where
+    // dynamic partition pruning engages exactly as it does for the
+    // staged index and the quiesced store above.
+    import spark.implicits._
+    val d01 = "/root/testdata/sf0.01"
+    withConf("spark.graft.ivf.cells", Some("64")) {
+      val (coarse, rcent, codes) = SimilarityQueries.ivfpqIndex(spark, d01)
+      val dir = java.nio.file.Files.createTempDirectory("busystore")
+        .toString + "/store"
+      // bulk compacted into cid=*/ dirs; a tail batch stays PENDING and
+      // one key is freshly forgotten — the store never quiesces here
+      codes.filter(col("vec_id") % 97 =!= 0)
+        .write.mode("overwrite").parquet(s"$dir/base")
+      graft.sources.KeyedStore.compact(spark, dir, Seq("cid"), codes.schema,
+        "vec_id")
+      codes.filter(col("vec_id") % 97 === 0)
+        .write.mode("overwrite").parquet(s"$dir/batch_1")
+      graft.sources.KeyedStore.forget(spark, dir, "vec_id",
+        Seq(123L).toDF("vec_id"))
+      val df = SimilarityQueries.ivfpqProbeFrom(
+        SimilarityQueries.queryBatch(spark, d01, 1L), coarse, rcent,
+        cells => graft.sources.KeyedStore.serve(spark, dir, Seq("cid"),
+          codes.schema, "vec_id", partPrune = Some(cells)))
+      assert(df.collect().length == 5)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[(String, Long)] = {
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        val here = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.metadata.get("Location").exists(_.contains("busystore")) =>
+            Seq((f.metadata("Location"), f.metrics("numFiles").value))
+          case _ => Nil
+        }
+        here ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan).filter(_._2 > 0)
+      val hive = scans.filter(_._1.contains("cid=")).map(_._2)
+      val flat = scans.filter(_._1.contains("batch_1")).map(_._2)
+      assert(flat.nonEmpty,
+        "the pending batch must be read — a quiesced-path shortcut here " +
+          "would mean the test lost its premise")
+      assert(hive.nonEmpty, "executed hive-half scan not found")
+      // same cost-model caveat as the staged-index test above
+      assert(hive.forall(_ <= 2),
+        s"non-quiesced store probe should read <=nprobe=2 of 64 hive " +
+          s"cell files, read: $hive (flat: $flat)")
+    }
+  }
+
   test("out-of-range knobs are rejected") {
     intercept[IllegalArgumentException] {
       withNprobe(0)(SimilarityQueries.simIvfpq(spark, sf))

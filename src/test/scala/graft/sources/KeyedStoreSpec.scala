@@ -183,4 +183,126 @@ class KeyedStoreSpec extends SparkSuite {
     assert(new java.io.File(dir, "batch_9").isDirectory,
       "the carried batch dir must be physically present in the new tree")
   }
+
+  test("a replayed PRE-fold batch cannot outrank a folded re-send: the " +
+    "compaction watermark excludes it wholesale (newest-wins holds " +
+    "ACROSS a fold, not just before it)") {
+    val dir = newStore()
+    // key 1 sent as v=10 (batch_0), re-sent as v=20 (batch_1); both fold
+    rows(Seq(1L, 2L), v = 10).write.parquet(s"$dir/batch_0")
+    rows(Seq(1L), v = 20).write.parquet(s"$dir/batch_1")
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    // the hazard (admissible under checkpoint-retention replay): the
+    // OLDER batch replays after the fold — before the watermark, the
+    // flat-shadows-hive reconcile would remove the folded v=20 and
+    // serve the stale v=10
+    rows(Seq(1L, 2L), v = 10).write.parquet(s"$dir/batch_0")
+    val got = serve(dir).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 20L, 2L -> 10L),
+      s"the folded re-send must win over the pre-fold replay: $got")
+    // a batch ABOVE the watermark still wins normally
+    rows(Seq(1L), v = 30).write.parquet(s"$dir/batch_2")
+    assert(serve(dir).filter(col("id") === 1L).select("v")
+      .collect()(0).getLong(0) == 30L)
+    // the next compact cleans the stale replayed dir off disk
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    assert(!new java.io.File(dir, "batch_0").exists(),
+      "compaction must remove the stale replayed dir")
+    assert(serve(dir).filter(col("id") === 1L).select("v")
+      .collect()(0).getLong(0) == 30L)
+  }
+
+  test("a pre-rotation batch replayed after the rotation fails serve " +
+    "LOUDLY (generation stamp — the checkpoint-reset contract in code, " +
+    "not convention)") {
+    val dir = newStore()
+    rows(0L to 4L, 1).write.parquet(s"$dir/base")
+    // the rotation: wholesale re-index, store stamped generation g2
+    KeyedStore.replaceAll(spark, dir, Seq("part"), rows(0L to 4L, 2),
+      "id", newGeneration = Some("g2"))
+    assert(KeyedStore.generation(spark, dir).contains("g2"))
+    assert(servedIds(dir) == (0L to 4L).toSet)
+    // the replay: a pre-rotation batch re-lands, UNSTAMPED (it was
+    // written before stamps) — before this round its stale-parameter
+    // rows silently won the newest-wins reconcile
+    rows(Seq(0L), v = 1).write.parquet(s"$dir/batch_3")
+    val e1 = intercept[IllegalStateException](serve(dir))
+    assert(e1.getMessage.contains("<unstamped>"))
+    // stamped with the RETIRED generation: still rejected
+    KeyedStore.stampBatch(spark, dir, "batch_3", "g1")
+    val e2 = intercept[IllegalStateException](serve(dir))
+    assert(e2.getMessage.contains("'g1'") && e2.getMessage.contains("'g2'"))
+    // compact must refuse the same way — folding stale rows into the
+    // hive half would launder them past every future check
+    intercept[IllegalStateException] {
+      KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    }
+    // a batch encoded under the CURRENT generation serves normally
+    KeyedStore.stampBatch(spark, dir, "batch_3", "g2")
+    val got = serve(dir).filter(col("id") === 0L).select("v")
+      .collect()(0).getLong(0)
+    assert(got == 1L, "a current-generation batch wins newest-wins as usual")
+  }
+
+  test("compaction carries the generation marker and stamps survive the " +
+    "fold (a rotated store stays guarded through its next compact)") {
+    val dir = newStore()
+    rows(0L to 4L, 1).write.parquet(s"$dir/base")
+    KeyedStore.replaceAll(spark, dir, Seq("part"), rows(0L to 4L, 2),
+      "id", newGeneration = Some("g2"))
+    rows(5L to 6L, 3).write.parquet(s"$dir/batch_0")
+    KeyedStore.stampBatch(spark, dir, "batch_0", "g2")
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    assert(KeyedStore.generation(spark, dir).contains("g2"),
+      "compact must carry the generation marker into the new tree")
+    assert(servedIds(dir) == (0L to 6L).toSet)
+    // and the carried marker still rejects a stale replay
+    rows(Seq(5L), v = 1).write.parquet(s"$dir/batch_1")
+    KeyedStore.stampBatch(spark, dir, "batch_1", "g1")
+    intercept[IllegalStateException](serve(dir))
+  }
+
+  test("a torn (uncommitted) batch dir is neither served nor carried: " +
+    "no _SUCCESS means in-flight, and its offsets replay it whole") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    // a torn dir present at SERVE time: partial part-files, no marker
+    rows(10L to 12L, 2).write.parquet(s"$dir/batch_0")
+    assert(new java.io.File(s"$dir/batch_0", "_SUCCESS").delete())
+    assert(servedIds(dir) == (0L to 9L).toSet,
+      "a dir without its writer's commit marker must not be served")
+    // a torn dir landing MID-COMPACTION: not carried into the new tree
+    KeyedStore.compactWithHook(spark, dir, Seq("part"), schema, "id",
+      None, None, 0L,
+      () => {
+        rows(20L to 22L, 3).write.parquet(s"$dir/batch_5")
+        assert(new java.io.File(s"$dir/batch_5", "_SUCCESS").delete())
+      })
+    assert(!new java.io.File(dir, "batch_5").exists(),
+      "carrying a torn batch would serve a partial micro-batch as complete")
+    assert(servedIds(dir) == (0L to 9L).toSet)
+  }
+
+  test("a legacy tombstone dir (no retirement stamp) is backfilled, " +
+    "filters serve, and NEVER retires silently") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    // a store written before forgotten_at_ms existed: key-only layout
+    Seq(3L).toDF("id").write.parquet(s"$dir/_tombstones")
+    assert(!servedIds(dir).contains(3L),
+      "legacy tombstones must still guard serve")
+    // forget() on the legacy layout migrates in place instead of dying
+    // on an unresolved column, and merges the new stamped row
+    KeyedStore.forget(spark, dir, "id", Seq(4L).toDF("id"), atMs = 1000L)
+    assert(tombCount(dir) == 2)
+    assert(servedIds(dir) == ((0L to 9L).toSet -- Set(3L, 4L)))
+    // compact far past the horizon: the stamped tombstone retires, the
+    // legacy one (backfilled Long.MaxValue) is carried — retiring it
+    // would unguard replays the operator believed guarded
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id",
+      retireHorizonMs = Some(5000L), nowMs = 1000000L)
+    assert(tombCount(dir) == 1,
+      "stamped tombstone retires; the legacy backfill must not")
+    assert(servedIds(dir) == ((0L to 9L).toSet -- Set(3L, 4L)))
+  }
 }

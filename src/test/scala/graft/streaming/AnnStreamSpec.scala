@@ -207,4 +207,75 @@ class AnnStreamSpec extends SparkSuite {
     assert(neighbors(AnnStream.storeCodes(spark, storeDir, schema)) == rebuilt,
       "probe parity must survive the second compaction")
   }
+
+  test("rotation drill: the swap refuses while ingest is live, the " +
+    "bootstrap stream refuses a rotated store, and the RESUME stream " +
+    "(fresh checkpoint, stamped batches) serves ≡ batch rebuild-on-live") {
+    import graft.queries.SimilarityQueries
+    val vecDir = Files.createTempDirectory("rot_drill_v").toString
+    val storeDir = Files.createTempDirectory("rot_drill_s").toString + "/codes"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val base = 400L
+    val q = AnnStream.ivfpqIngestStream(spark, vecDir, sf, base, storeDir,
+      maxFilesPerTrigger = Some(1))
+    // (a) the rotation window opens while the stream is LIVE: snapshot
+    // taken, then a micro-batch lands before the swap — replaceAll must
+    // refuse (exercised from the stream side; the spec-side twin stages
+    // the batch by hand)
+    val snap = graft.sources.KeyedStore.flatSnapshot(spark, storeDir,
+      Seq("cid"))
+    emb.filter(col("vec_id") >= base && col("vec_id") < 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b0.parquet")
+    try q.processAllAvailable() finally q.stop()
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(storeDir).schema
+    val (_, _, baseCodes) =
+      SimilarityQueries.ivfpqIndexOn(spark, sf, Some(base))
+    intercept[IllegalStateException] {
+      graft.sources.KeyedStore.replaceAll(spark, storeDir, Seq("cid"),
+        baseCodes, "vec_id", sinceSnapshot = Some(snap),
+        newGeneration = Some("never"))
+    }
+    assert(graft.sources.KeyedStore.generation(spark, storeDir).isEmpty,
+      "the refused swap must leave the store unstamped and intact")
+
+    // (b) the real rotation, on the STOPPED stream
+    val tag = "rot_drill"
+    val (coarse1, rcent1) = AnnStream.rotateStore(spark, storeDir, sf,
+      schema, tag)
+    assert(graft.sources.KeyedStore.generation(spark, storeDir)
+      .contains(tag))
+    // the old bootstrap definition cannot be pointed at the rotated
+    // store: it would rewrite base/ and land stale-quantizer batches
+    intercept[IllegalStateException] {
+      AnnStream.ivfpqIngestStream(spark, vecDir, sf, base, storeDir)
+    }
+    // and the resume wrapper cross-checks its generation
+    intercept[IllegalStateException] {
+      AnnStream.ivfpqResumeIngestStream(spark, vecDir, storeDir,
+        coarse1, rcent1, generation = "some_other_rotation")
+    }
+
+    // (c) RESUME: fresh checkpoint (re-processes vecDir under the NEW
+    // quantizers — re-encoded replays are value-correct by purity),
+    // batches stamped with the rotation's generation
+    emb.filter(col("vec_id") >= 450)
+      .write.mode("overwrite").parquet(s"$vecDir/b1.parquet")
+    val q2 = AnnStream.ivfpqResumeIngestStream(spark, vecDir, storeDir,
+      coarse1, rcent1, generation = tag, maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(Files.createTempDirectory("rot_ckpt2").toString))
+    try q2.processAllAvailable() finally q2.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cid", "m", "code").collect().map(_.toSeq).toSet
+    val served = rows(AnnStream.storeCodes(spark, storeDir, schema))
+    assert(served == rows(SimilarityQueries.ivfpqEncode(emb, coarse1, rcent1)),
+      "post-rotation streamed serve must equal the one-pass rebuild on " +
+        "the live corpus under the rotated quantizers")
+    // the stamps are really on disk, and the guarded serve read them
+    val stamped = new java.io.File(storeDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(stamped.nonEmpty &&
+      stamped.forall(d => new java.io.File(d, "_gen").isFile),
+      "every resumed batch dir must carry its generation stamp")
+  }
 }
