@@ -1445,11 +1445,13 @@ object SimilarityQueries {
     * maintained-store serving shape: the store queries pass
     * `cells => KeyedStore.serve(..., partPrune = Some(cells))`, which
     * semi-joins each leg of the store reconcile to the probed cells
-    * BEFORE the union so the compacted hive half keeps a
-    * DPP-prunable scan even while the store has churn (a pending batch
-    * or live tombstone — its steady state; through the union the DPP
-    * rule cannot reach the scan and every probe between compactions
-    * would read all 64 of 64 cell dirs instead of nprobe of them).
+    * BEFORE the union so the compacted hive half prunes BY
+    * CONSTRUCTION even while the store has churn (a pending batch or
+    * live tombstone — its steady state). Measured honestly
+    * (StoreDppCheck): this Spark's DPP often reaches the scan through
+    * the plain reconcile too; the explicit geometry is what makes the
+    * prune guaranteeable and spec-lockable (IvfConfSpec non-quiesced
+    * scan-metrics test) rather than a cost-model outcome.
     * Result-identical to probing the full serve: the ADC join below
     * only ever touches the probed cells' rows anyway.
     */

@@ -236,15 +236,19 @@ object KeyedStore {
     * the staged index (spec-locked in IvfConfSpec at the scan-metrics
     * level). The reconcile machinery prices only the store's churn.
     *
-    * `partPrune` keeps the hive half prunable through a NON-quiesced
-    * reconcile — the store's steady-state read cost, since a production
-    * store always has a pending batch or a live tombstone: pass a small
-    * frame of partition-column values (the probe's cells) and each LEG
-    * is semi-joined to it BEFORE the union, so the join over the hive
-    * scan sits directly above it and dynamic partition pruning engages
-    * (through the union of the full reconcile the DPP rule cannot reach
-    * the scan, and every probe between compactions would full-scan the
-    * compacted 99.9%). Result ≡ `serve(None)` semi-joined to the same
+    * `partPrune` GUARANTEES the hive half prunes through a
+    * NON-quiesced reconcile — the store's steady-state read, since a
+    * production store always has a pending batch or a live tombstone:
+    * pass a small frame of partition-column values (the probe's cells)
+    * and each LEG is semi-joined to it BEFORE the union, so a join
+    * sits directly over the hive scan and dynamic partition pruning
+    * applies by construction. Honest scope (StoreDppCheck, BENCH_NOTES
+    * r12): this Spark's DPP can ALSO reach the scan through the plain
+    * union+anti-join reconcile, and its cost model chose correctly in
+    * every measured shape — partPrune's value is that the prune is
+    * spec-lockable at the scan-metrics level regardless of cost-model
+    * estimates or reconcile shape, at the price of one broadcast
+    * semi-join per leg. Result ≡ `serve(None)` semi-joined to the same
     * values: the key-level reconciles stay GLOBAL — the anti-join keys
     * come from the unpruned flat read and the newest-wins rank runs
     * before the restriction — so a key whose newest version moved

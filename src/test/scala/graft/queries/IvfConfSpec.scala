@@ -237,14 +237,17 @@ class IvfConfSpec extends SparkSuite {
   test("a NON-quiesced maintained store (one pending batch, one LIVE " +
     "tombstone) still prunes the compacted hive half: the cell-pruned " +
     "serve reads <=nprobe of 64 hive cell files, no cost-model knobs") {
-    // The round-11 residual: serve()'s union+anti-join reconcile blocks
-    // DPP, so a store with ANY churn — its production steady state,
-    // there is always a pending batch — full-scanned the compacted
-    // 99.9% on every probe (64/64 cell files). The cell-pruned path
-    // (`partPrune`: the probe's cells semi-joined onto each leg BEFORE
-    // the union) puts the join back directly over the hive scan, where
-    // dynamic partition pruning engages exactly as it does for the
-    // staged index and the quiesced store above.
+    // The round-11 residual, closed with an honest twist. Feared: the
+    // union+anti-join reconcile hides the hive scan from DPP, so a
+    // store with ANY churn (its steady state) full-scans the compacted
+    // 99.9% on every probe. Measured (StoreDppCheck, BENCH_NOTES r12):
+    // this Spark's DPP reaches the scan through the plain reconcile in
+    // most shapes — but whether it ENGAGES is a cost-model estimate.
+    // The cell-pruned path (`partPrune`: the probe's cells semi-joined
+    // onto each leg BEFORE the union) puts a join directly over the
+    // hive scan, making the prune hold by construction — which is what
+    // lets THIS test lock it at the scan-metrics level without the
+    // cost-model caveat owning the store's steady-state read cost.
     import spark.implicits._
     val d01 = "/root/testdata/sf0.01"
     withConf("spark.graft.ivf.cells", Some("64")) {
