@@ -109,6 +109,41 @@ class DocStreamSpec extends SparkSuite {
     assert(!verdicts.exists(r => !r.isNullAt(r.fieldIndex("match_id"))
         && dels.contains(r.getLong(r.fieldIndex("match_id")))),
       s"forgotten docs must never match post-rotation: ${verdicts.mkString(", ")}")
+
+    // ---- the rotation drill, band-store side (AnnStreamSpec twin) ----
+    // the rotated store is generation-stamped: the old bootstrap
+    // definition (old family, rewrites base/) must refuse outright
+    val docDir = Files.createTempDirectory("band_resume_d").toString
+    intercept[IllegalStateException] {
+      DocStream.bandIndexIngestStream(spark, docDir, sf, base, storeDir,
+        shingleN = 2, bands = 4, rowsPerBand = 4)
+    }
+    // and a resume under the WRONG family cross-checks its generation
+    intercept[IllegalStateException] {
+      DocStream.bandIndexResumeIngestStream(spark, docDir, storeDir,
+        shingleN = 2, bands = 4, rowsPerBand = 4)
+    }
+    // RESUME under the rotated family: new documents arrive, batches
+    // land stamped, and the served store equals the one-pass index of
+    // live ∪ new under the rotated parameters
+    val fresh = docs.filter(col("doc_id") >= 450L)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    fresh.write.mode("overwrite").parquet(s"$docDir/b0.parquet")
+    val q2 = DocStream.bandIndexResumeIngestStream(spark, docDir, storeDir,
+      shingleN = 2, bands = 8, rowsPerBand = 2,
+      maxFilesPerTrigger = Some(1),
+      checkpointDir = Some(Files.createTempDirectory("band_ckpt2").toString))
+    try q2.processAllAvailable() finally q2.stop()
+    val served2 = DocStream.storeBandIndex(spark, storeDir, schema)
+    assert(rows(served2) ==
+      rows(TextDedup.minhashBandIndex(truthDocs.unionByName(fresh), 2, 8, 2)),
+      "post-rotation streamed serve must equal the one-pass index of " +
+        "live ∪ resumed docs under the rotated family")
+    val stamped = new java.io.File(storeDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+    assert(stamped.nonEmpty &&
+      stamped.forall(d => new java.io.File(d, "_gen").isFile),
+      "every resumed batch dir must carry its generation stamp")
   }
 
   private val TextA =
