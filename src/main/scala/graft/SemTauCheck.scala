@@ -30,15 +30,21 @@ object SemTauCheck {
   final case class Stats(nPairs: Long, minD2: Long, q0001: Double,
                          q001: Double, median: Double, underPinned: Long) {
     /** q0.001 rounded UP to 2 significant digits — the recommended conf
-      * value; None when the quantile is degenerate (>=0.1% of pairs are
-      * exact duplicates — no distance threshold separates that tail).
+      * value; None when the quantile is degenerate: <= 0 (>=0.1% of
+      * pairs are exact duplicates — no distance threshold separates
+      * that tail), OR rounding to a value below 1, which truncation
+      * would silently turn into tau = 0 — d2 is integer-valued, so an
+      * interpolated sub-1 quantile (reachable when the tail is nearly
+      * all exact duplicates) is the same degenerate tail in disguise.
       */
-    def recommended: Option[Long] =
+    def recommended: Option[Long] = {
       if (q0001 <= 0) None
       else {
         val mag = math.pow(10, math.floor(math.log10(q0001)) - 1)
-        Some((math.ceil(q0001 / mag) * mag).toLong)
+        val rec = (math.ceil(q0001 / mag) * mag).toLong
+        if (rec < 1) None else Some(rec)
       }
+    }
 
     /** The drift gate: a pinned tau is IN BAND while it still admits
       * the tail the recipe targets — at or above the q0.001 it was
@@ -114,11 +120,12 @@ object SemTauCheck {
             println(s"[semtau] recommended spark.graft.sem.tau=$rec " +
               "(q0.001 rounded up to 2 significant digits)")
           case None =>
-            // log10(0) would NaN the rounding into a silent tau=0 — and a
-            // zero quantile is itself the signal: >=0.1% of pairs are EXACT
-            // duplicates, so the tail is degenerate and no distance
-            // threshold separates contamination from it
-            println("[semtau] q0.001 = 0: >=0.1% of eval-to-corpus pairs " +
+            // log10(0) would NaN the rounding into a silent tau=0 (and a
+            // sub-1 interpolated quantile would truncate to it) — a
+            // ~zero quantile is itself the signal: >=0.1% of pairs are
+            // (essentially) EXACT duplicates, so the tail is degenerate
+            // and no distance threshold separates contamination from it
+            println("[semtau] q0.001 ~= 0: >=0.1% of eval-to-corpus pairs " +
               "are EXACT duplicates — run exact dedup/decontamination " +
               "first, then re-derive tau on the cleaned corpus (no " +
               "automatic recommendation)")

@@ -71,9 +71,25 @@ object KeyedStore {
 
   private val ForgottenAt = "forgotten_at_ms"
   private val WatermarkFile = "_watermark"
+  private val WatermarkCkptFile = "_watermark_ckpt"
   private val GenerationFile = "_generation"
   private val BatchGenFile = "_gen"
+  private val BatchCkptFile = "_ckpt"
   private val CommitMarker = "_SUCCESS"
+
+  /** Conf: byte bound on the flat half above which [[serve]] drops its
+    * compacted-vs-recent broadcast hint and lets the planner choose the
+    * join strategy. The hint is safe under the documented compaction
+    * cadence ("bounded by batches since the last compaction"), but a
+    * MISSED cadence at 100 TB would turn it into a driver OOM — above
+    * the bound the reconcile degrades to a planner-chosen (possibly
+    * shuffled) anti-join instead. Sized on the flat dirs' on-disk bytes
+    * (cheap to list, and an over-estimate of the distinct-key frame the
+    * hint actually wraps — conservative in the safe direction).
+    */
+  private[graft] val FlatBroadcastMaxBytes =
+    "spark.graft.store.flatBroadcastMaxBytes"
+  private val FlatBroadcastMaxBytesDefault = 256L * 1024 * 1024
 
   private def tombstonePath(storeDir: String): String =
     s"$storeDir/_tombstones"
@@ -135,30 +151,62 @@ object KeyedStore {
                                storeDir: String): Option[Long] =
     readMarker(s, storeDir, WatermarkFile).map(_.toLong)
 
-  /** The store's parameter-generation id, if it has been stamped (by a
-    * [[replaceAll]] rotation or [[setGeneration]] at bootstrap).
+  /** The store's parameter-generation id, if it has been stamped. Only
+    * a [[replaceAll]] rotation stamps it: bootstrap stores deliberately
+    * stay UNSTAMPED (and bootstrap wrappers refuse already-stamped
+    * stores), so the first rotation is the moment batches start needing
+    * a `_gen` to be admitted — a pre-rotation batch replayed afterwards
+    * is then rejected as `<unstamped>` by construction.
     */
   private[graft] def generation(s: SparkSession,
                                 storeDir: String): Option[String] =
     readMarker(s, storeDir, GenerationFile)
-
-  /** Stamp a bare store with its initial parameter generation — ingest
-    * bootstrap wrappers call this once so that every later rotation can
-    * tell this generation's batches from the next one's.
-    */
-  private[graft] def setGeneration(s: SparkSession, storeDir: String,
-                                   gen: String): Unit =
-    writeMarker(s, storeDir, GenerationFile, gen)
 
   /** Stamp a landed flat dir with the generation its rows were ENCODED
     * under — the ingest wrapper's generation captured at stream
     * definition (when it captured the quantizers/hash family), never
     * the store's current one: a replay stamped with whatever the store
     * says NOW would defeat the very mismatch the stamp exists to catch.
+    * Prefer [[landBatch]], which makes the stamp atomic with the batch
+    * commit; this entry point remains for tests that need to construct
+    * the torn states landBatch exists to prevent.
     */
   private[graft] def stampBatch(s: SparkSession, storeDir: String,
                                 dirName: String, gen: String): Unit =
     writeMarker(s, s"$storeDir/$dirName", BatchGenFile, gen)
+
+  /** Land one micro-batch with its markers ATOMICALLY: `write` runs
+    * against a hidden staging dir (dot-prefixed — invisible to the
+    * flat-dir listing), the `_gen` stamp (when the ingest runs under a
+    * rotated generation) and the `_ckpt` checkpoint-identity stamp are
+    * written INSIDE it, and the staged dir then renames to `batch_<id>`
+    * in one FS operation. The separate write-then-stamp sequence the
+    * ingest wrappers previously ran left a window where a committed
+    * (`_SUCCESS` present) but not-yet-stamped dir made every concurrent
+    * [[serve]]/[[compact]] on a generation-stamped store throw — and a
+    * crash in that window left the store throwing until the checkpoint
+    * re-ran the batch. Replay idempotency is preserved: a re-run deletes
+    * its own previous `batch_<id>` before the rename (a crash between
+    * the delete and the rename just replays again — the batch's offsets
+    * are still uncommitted while this runs inside foreachBatch).
+    */
+  private[graft] def landBatch(s: SparkSession, storeDir: String,
+                               batchId: Long, gen: Option[String],
+                               ckpt: String)(write: String => Unit): Unit = {
+    val (fs, _) = hadoopFs(s, storeDir)
+    val stage = new org.apache.hadoop.fs.Path(
+      storeDir, s".batch_${batchId}__land__")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    write(stage.toString)
+    gen.foreach(g => writeMarker(s, stage.toString, BatchGenFile, g))
+    writeMarker(s, stage.toString, BatchCkptFile, ckpt)
+    val dst = new org.apache.hadoop.fs.Path(storeDir, s"batch_$batchId")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    if (!fs.rename(stage, dst))
+      throw new java.io.IOException(
+        s"landBatch: rename $stage -> $dst failed; batch left staged, " +
+          "its uncommitted offsets will replay it")
+  }
 
   /** `batch_<id>` dir-name rank — the same ordering [[serve]]'s
     * newest-wins reconcile derives from file paths (`base/` and any
@@ -189,7 +237,15 @@ object KeyedStore {
     *  2. above the compaction watermark: a dir at or below it is a
     *     replayed pre-fold batch whose content the hive half + live
     *     tombstones provably subsume — excluded wholesale, so an older
-    *     replay can never outrank a folded re-send;
+    *     replay can never outrank a folded re-send. The exclusion is
+    *     only safe under the "monotone ids within one generation"
+    *     contract, so it is ENFORCED where the stamps allow: a
+    *     below-watermark dir whose `_ckpt` identity differs from the
+    *     `_watermark_ckpt` the fold recorded is NOT a replay — it is a
+    *     fresh-checkpoint ingest restarting batch ids at 0 on a
+    *     compacted store, and silently swallowing it would lose new
+    *     data, so the read FAILS instead (unstamped legacy dirs keep
+    *     the documented silent-exclusion behavior);
     *  3. generation-stamped, when the store is: a surviving dir whose
     *     `_gen` is missing or differs from the store's `_generation`
     *     holds rows encoded under retired parameters — the read FAILS
@@ -204,6 +260,29 @@ object KeyedStore {
     }
     val wm = watermark(s, storeDir)
     val fresh = wm.fold(committed)(w => committed.filter(d => flatRank(d) > w))
+    // the loud-loss gate on the watermark exclusion: when both the fold
+    // and the excluded dir carry checkpoint identities, a mismatch means
+    // batch ids restarted under a NEW checkpoint on a compacted store —
+    // fresh data about to be silently swallowed (and deleted by the next
+    // compact). The generation mismatch below already fails loudly; this
+    // makes the unrotated case fail loudly too.
+    if (wm.isDefined) {
+      readMarker(s, storeDir, WatermarkCkptFile).foreach { wc =>
+        (committed -- fresh).foreach { d =>
+          readMarker(s, s"$storeDir/$d", BatchCkptFile).foreach { c =>
+            if (c != wc)
+              throw new IllegalStateException(
+                s"KeyedStore: flat dir '$d' under $storeDir sits at or " +
+                  s"below the compaction watermark (${wm.get}) but was " +
+                  s"written by checkpoint '$c', not the folded sequence's " +
+                  s"'$wc' — a fresh-checkpoint ingest restarted batch ids " +
+                  "on a compacted store and its NEW data would be " +
+                  "silently excluded. Rotate the store (replaceAll) or " +
+                  "resume the original checkpoint.")
+          }
+        }
+      }
+    }
     generation(s, storeDir).foreach { g =>
       fresh.foreach { d =>
         val bg = readMarker(s, s"$storeDir/$d", BatchGenFile)
@@ -305,12 +384,21 @@ object KeyedStore {
         // Keys come from the RAW flat read (same key set as the
         // reconciled frame, one scan cheaper); bounded by batches since
         // the last compaction, so the hint is safe (unlike the
-        // tombstone side). Null-key hive rows never match an anti-join
-        // key and correctly pass through. The semi join sits INSIDE the
-        // anti (directly over the scan) so DPP still reaches it.
+        // tombstone side) — but only while the cadence HOLDS, so the
+        // hint is size-guarded: above FlatBroadcastMaxBytes of flat
+        // on-disk bytes the planner chooses freely (a missed cadence
+        // degrades to a shuffle join, not a driver OOM). Null-key hive
+        // rows never match an anti-join key and correctly pass through.
+        // The semi join sits INSIDE the anti (directly over the scan)
+        // so DPP still reaches it.
+        val cap = s.conf.get(FlatBroadcastMaxBytes,
+          FlatBroadcastMaxBytesDefault.toString).toLong
+        val keys = flat.get.select(keyCol).distinct()
+        val keysHinted =
+          if (flatBytes(s, storeDir, admitted) <= cap) broadcast(keys)
+          else keys
         prune(h)
-          .join(broadcast(flat.get.select(keyCol).distinct()),
-            Seq(keyCol), "left_anti")
+          .join(keysHinted, Seq(keyCol), "left_anti")
           .unionByName(prune(f))
       case (Some(h), None) => prune(h)
       case (None, Some(f)) => prune(f)
@@ -379,6 +467,17 @@ object KeyedStore {
         keep.write.mode("overwrite").parquet(tombstonePath(tmpDir))
     }
 
+  /** On-disk bytes of the admitted flat dirs (incl. `base/`) — the cheap
+    * driver-side size estimate behind the serve() broadcast-hint guard.
+    */
+  private def flatBytes(s: SparkSession, storeDir: String,
+                        dirs: Set[String]): Long = {
+    val (fs, p) = hadoopFs(s, storeDir)
+    dirs.iterator.map { d =>
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p, d)).getLength
+    }.sum
+  }
+
   private def countDataFiles(s: SparkSession, storeDir: String): Long = {
     val (fs, p) = hadoopFs(s, storeDir)
     var n = 0L
@@ -410,9 +509,11 @@ object KeyedStore {
     * driver), so its micro-batch is not deleted with the old tree; a
     * batch landing in the hairline between that re-list and the rename
     * is still lost, and a crash between the carry-rename and the swap
-    * leaves the carried dir recoverable under `.__swap__` — pause
-    * ingest across compactions (or accept replay-from-checkpoint
-    * re-landing it) if those windows matter. Returns
+    * leaves the carried dir under `.__swap__`, from where the next
+    * swap's entry SALVAGES it back into the live tree instead of
+    * deleting the only copy (`Sinks.writeSwapWith`) — pause ingest
+    * across compactions (or accept replay-from-checkpoint re-landing
+    * it) if the hairline matters. Returns
     * (dataFilesBefore, dataFilesAfter), tombstone files excluded from
     * both counts.
     */
@@ -446,6 +547,16 @@ object KeyedStore {
       val cands = folded.map(flatRank) ++ watermark(s, storeDir)
       if (cands.isEmpty) None else Some(cands.max)
     }
+    // the folded sequence's checkpoint identity, recorded next to the
+    // watermark so serve() can tell a genuine pre-fold replay (same
+    // identity — silently subsumed) from a fresh-checkpoint ingest
+    // restarting ids at 0 (different identity — fails loudly). The
+    // newest stamped batch speaks for the sequence; with none, any
+    // previously recorded identity carries forward with the watermark.
+    val wmCkptNew = folded.toSeq.sortBy(flatRank).reverse.iterator
+      .map(d => readMarker(s, s"$storeDir/$d", BatchCkptFile))
+      .collectFirst { case Some(c) => c }
+      .orElse(readMarker(s, storeDir, WatermarkCkptFile))
     // the writer runs while the old tree still exists; the swap happens
     // only after the write, so lineage reading storeDir is safe
     val df = serve(s, storeDir, partCols, schema, keyCol)
@@ -454,6 +565,8 @@ object KeyedStore {
       afterWrite()
       gen.foreach(g => writeMarker(s, tmp, GenerationFile, g))
       wmNew.foreach(w => writeMarker(s, tmp, WatermarkFile, w.toString))
+      if (wmNew.isDefined)
+        wmCkptNew.foreach(c => writeMarker(s, tmp, WatermarkCkptFile, c))
       // tombstones are carried near-LAST — a late read before the swap —
       // so a forget() committed at any point during the long data
       // rewrite is still in the carried set ("durable from this point"

@@ -34,6 +34,20 @@ object Sinks {
 
   /** The swap dance with a caller-supplied writer (flat, partitioned,
     * bucketed — anything that materializes a directory at the tmp path).
+    *
+    * Crash recovery on entry, BEFORE any delete: (a) a previous run that
+    * died between its two renames left the live table only at `.__old__`
+    * — restore it first (the writer's lineage may read `path`, and the
+    * salvage below needs a live tree to land in); (b) a leftover
+    * `.__swap__` from a crashed `KeyedStore.compact` may hold carried
+    * `batch_<id>` dirs that are the ONLY copy of a checkpoint-
+    * acknowledged micro-batch (the carry-over RENAMES them out of the
+    * live tree before the swap) — those are renamed back into the live
+    * tree instead of deleted with the rest of the failed fold (the live
+    * tree still holds everything the fold itself read, so only the
+    * carried batches need rescue; a dir the live tree re-acquired via
+    * replay is skipped, its rows are identical by the pure-function
+    * contract).
     */
   private[graft] def writeSwapWith(spark: SparkSession, path: String)
                                   (doWrite: String => Unit): Unit = {
@@ -41,20 +55,30 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(path + ".__swap__")
     val old = new org.apache.hadoop.fs.Path(path + ".__old__")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    doWrite(tmp.toString)
-    // two renames, never delete-before-replace: a crash between them
-    // leaves the previous table recoverable at `.__old__` instead of
-    // gone — data is only deleted after the new table is in place.
     // Hadoop rename signals failure by RETURNING false, not throwing
     // (cross-device local renames, dst-parent anomalies): every return
-    // must be checked, or a failed swap would fall through to the delete
-    // below and remove the only remaining copy of the table.
+    // must be checked, or a failed swap would fall through to a delete
+    // and remove the only remaining copy of the table.
     def renameOrDie(src: org.apache.hadoop.fs.Path,
                     dst: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dst))
         throw new java.io.IOException(
           s"rename $src -> $dst failed; previous table left intact at $old")
+    if (fs.exists(old) && !fs.exists(target)) renameOrDie(old, target)
+    if (fs.exists(tmp)) {
+      if (fs.exists(target)) fs.listStatus(tmp).foreach { e =>
+        val n = e.getPath.getName
+        if (e.isDirectory && n.matches("batch_\\d+") &&
+            fs.exists(new org.apache.hadoop.fs.Path(e.getPath, "_SUCCESS")) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(target, n)))
+          renameOrDie(e.getPath, new org.apache.hadoop.fs.Path(target, n))
+      }
+      fs.delete(tmp, true)
+    }
+    doWrite(tmp.toString)
+    // two renames, never delete-before-replace: a crash between them
+    // leaves the previous table recoverable at `.__old__` instead of
+    // gone — data is only deleted after the new table is in place.
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(target)) renameOrDie(target, old)
     renameOrDie(tmp, target)

@@ -128,10 +128,14 @@ object AnnStream {
     val (coarse, rcent, baseCodes) =
       SimilarityQueries.ivfpqIndexOn(s, indexDir, Some(baseBound))
     baseCodes.write.mode("overwrite").parquet(s"$codesOutDir/base")
-    // batches stay UNSTAMPED here — an unrotated store has no
+    // batches stay generation-UNSTAMPED here — an unrotated store has no
     // generation to stamp against; the first rotation stamps the store,
     // after which a replay of these batches is rejected as
-    // '<unstamped>' (pre-rotation content under retired quantizers)
+    // '<unstamped>' (pre-rotation content under retired quantizers).
+    // The checkpoint identity IS stamped (landBatch `_ckpt`), so a
+    // fresh-checkpoint restart on a compacted store fails serve loudly
+    // instead of having its restarted ids swallowed by the watermark.
+    val ckptId = ckptIdentity(checkpointDir)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val vecs = maxFilesPerTrigger
@@ -139,13 +143,27 @@ object AnnStream {
       .parquet(vecDir)
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
-          .write.mode("overwrite").parquet(s"$codesOutDir/batch_$batchId")
+        graft.sources.KeyedStore.landBatch(s, codesOutDir, batchId,
+          None, ckptId) { dst =>
+          SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
+            .write.mode("overwrite").parquet(dst)
+        }
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
   }
+
+  /** The identity a landed batch's `_ckpt` stamp records: the checkpoint
+    * location when the stream has one (stable across restarts of the
+    * SAME checkpoint, different for a fresh one — exactly the
+    * distinction the watermark's loud-loss gate needs), or a unique
+    * per-definition token for ephemeral-checkpoint streams (which never
+    * resume, so every definition genuinely is a new sequence).
+    */
+  private[streaming] def ckptIdentity(checkpointDir: Option[String]): String =
+    checkpointDir.getOrElse(
+      "ephemeral_" + java.util.UUID.randomUUID().toString.take(12))
 
   /** Resume ingest into a ROTATED store — the post-[[rotateStore]]
     * continuation of [[ivfpqIngestStream]]: encodes arriving vectors
@@ -177,6 +195,7 @@ object AnnStream {
           s"encode under '$generation' — redefine the ingest with the " +
           "store's current quantizers (rotateStore's staging tag) and a " +
           "fresh checkpoint")
+    val ckptId = ckptIdentity(checkpointDir)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val vecs = maxFilesPerTrigger
@@ -184,10 +203,15 @@ object AnnStream {
       .parquet(vecDir)
     val writer = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
-          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
-        graft.sources.KeyedStore
-          .stampBatch(s, storeDir, s"batch_$batchId", generation)
+        // landBatch makes commit + `_gen` stamp ONE rename: the old
+        // write-then-stamp sequence left a committed-but-unstamped
+        // window where every concurrent serve/compact threw spuriously
+        // (and a crash in it left the store throwing until replay)
+        graft.sources.KeyedStore.landBatch(s, storeDir, batchId,
+          Some(generation), ckptId) { dst =>
+          SimilarityQueries.ivfpqEncode(batch, coarse, rcent)
+            .write.mode("overwrite").parquet(dst)
+        }
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

@@ -152,6 +152,10 @@ object DocStream {
       .filter(col("doc_id") < baseBound).select("doc_id", "text")
     TextDedup.minhashBandIndex(base, shingleN, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$outDir/base")
+    // batches stay generation-unstamped pre-rotation, but carry their
+    // checkpoint identity (`_ckpt`) so a fresh-checkpoint restart on a
+    // compacted store fails serve loudly instead of being swallowed
+    val ckptId = AnnStream.ckptIdentity(checkpointDir)
     val reader = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("recursiveFileLookup", "true")
     val docs = maxFilesPerTrigger
@@ -159,8 +163,11 @@ object DocStream {
       .parquet(docDir)
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
-          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        graft.sources.KeyedStore.landBatch(s, outDir, batchId,
+          None, ckptId) { dst =>
+          TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(dst)
+        }
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
@@ -192,6 +199,7 @@ object DocStream {
           s"'${storeGen.getOrElse("<unstamped>")}' but this stream would " +
           s"sign under '$gen' — resume with the store's rotated family " +
           "and a fresh checkpoint")
+    val ckptId = AnnStream.ckptIdentity(checkpointDir)
     val reader = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("recursiveFileLookup", "true")
     val docs = maxFilesPerTrigger
@@ -199,10 +207,13 @@ object DocStream {
       .parquet(docDir)
     val writer = docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
-          .write.mode("overwrite").parquet(s"$storeDir/batch_$batchId")
-        graft.sources.KeyedStore
-          .stampBatch(s, storeDir, s"batch_$batchId", gen)
+        // atomic commit+stamp (KeyedStore.landBatch): no window where a
+        // committed-but-unstamped dir makes concurrent serves throw
+        graft.sources.KeyedStore.landBatch(s, storeDir, batchId,
+          Some(gen), ckptId) { dst =>
+          TextDedup.minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+            .write.mode("overwrite").parquet(dst)
+        }
         ()
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

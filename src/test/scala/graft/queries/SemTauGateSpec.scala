@@ -51,6 +51,19 @@ class SemTauGateSpec extends SparkSuite {
         "this holds, the gate above can never fire and certifies nothing")
   }
 
+  test("a sub-1 interpolated quantile recommends None, never a " +
+    "truncated tau = 0 (d2 is integer-valued, so 0 < q0.001 < 1 is " +
+    "reachable when the tail is nearly all exact duplicates)") {
+    val nearDegenerate = SemTauCheck.Stats(nPairs = 1000, minD2 = 0,
+      q0001 = 0.5, q001 = 10.0, median = 100.0, underPinned = 0)
+    assert(nearDegenerate.recommended.isEmpty,
+      "0.5 rounds to mag 0.01 and truncates to 0 — the degenerate " +
+        "outcome the <=0 branch exists to prevent")
+    val healthy = SemTauCheck.Stats(1000, 0, 1.23e12, 2e12, 3e12, 0)
+    assert(healthy.recommended.contains(1.3e12.toLong),
+      "a healthy quantile still rounds up to 2 significant digits")
+  }
+
   test("an empty pair set derives None instead of an NPE (evalN past " +
     "the table, empty table)") {
     val emb = Tables.embeddings(spark, sf)

@@ -283,6 +283,96 @@ class KeyedStoreSpec extends SparkSuite {
     assert(servedIds(dir) == (0L to 9L).toSet)
   }
 
+  test("a carried batch stranded under .__swap__ by a mid-swap crash is " +
+    "salvaged back into the live tree, never deleted as the only copy") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    // the crash state: a compact renamed a concurrently-landed committed
+    // batch into its swap tree and died before the swap — the live tree
+    // no longer holds batch_5, only .__swap__ does
+    rows(10L to 14L, 2).write.parquet(s"$dir.__swap__/batch_5")
+    // plus a torn (uncommitted) dir in the same wreck: NOT salvaged
+    rows(20L to 22L, 3).write.parquet(s"$dir.__swap__/batch_6")
+    assert(new java.io.File(s"$dir.__swap__/batch_6", "_SUCCESS").delete())
+    // the next lifecycle op's swap entry must rescue batch_5 first
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    assert(servedIds(dir) == (0L to 14L).toSet,
+      "the stranded committed batch must survive the retried compact")
+    assert(!servedIds(dir).exists(id => id >= 20L),
+      "a torn dir in the wreck must not be salvaged as if complete")
+    assert(!new java.io.File(s"$dir.__swap__").exists())
+  }
+
+  test("landBatch lands data + stamps as ONE rename (no committed-but-" +
+    "unstamped window) and a replay overwrites itself") {
+    val dir = newStore()
+    rows(0L to 4L, 1).write.parquet(s"$dir/base")
+    KeyedStore.replaceAll(spark, dir, Seq("part"), rows(0L to 4L, 2),
+      "id", newGeneration = Some("g2"))
+    KeyedStore.landBatch(spark, dir, 0L, Some("g2"), "ck") { dst =>
+      rows(Seq(9L), 3).write.parquet(dst)
+    }
+    assert(servedIds(dir) == (0L to 4L).toSet + 9L,
+      "a landBatch-landed batch must serve under the store's generation")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("__land__")), "no staging dir may remain")
+    // the replay: same id, re-landed — replaces itself wholesale
+    KeyedStore.landBatch(spark, dir, 0L, Some("g2"), "ck") { dst =>
+      rows(Seq(9L, 10L), 4).write.parquet(dst)
+    }
+    assert(serve(dir).filter(col("id") === 9L).select("v")
+      .collect()(0).getLong(0) == 4L)
+    assert(servedIds(dir) == (0L to 4L).toSet ++ Set(9L, 10L))
+  }
+
+  test("a fresh-checkpoint ingest restarting batch ids below the " +
+    "compaction watermark fails serve LOUDLY; a same-checkpoint replay " +
+    "stays silently subsumed") {
+    val dir = newStore()
+    rows(0L to 4L, 1).write.parquet(s"$dir/base")
+    KeyedStore.landBatch(spark, dir, 0L, None, "ckptA") { dst =>
+      rows(Seq(5L, 6L), 1).write.parquet(dst)
+    }
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    // genuine replay under the SAME checkpoint: watermark exclusion is
+    // the correct, silent answer (its rows are already folded)
+    KeyedStore.landBatch(spark, dir, 0L, None, "ckptA") { dst =>
+      rows(Seq(5L, 6L), 1).write.parquet(dst)
+    }
+    assert(servedIds(dir) == (0L to 6L).toSet)
+    // a FRESH checkpoint restarts ids at 0 with NEW data — before this
+    // round the watermark swallowed it wholesale (silent data loss)
+    KeyedStore.landBatch(spark, dir, 0L, None, "ckptB") { dst =>
+      rows(Seq(7L), 2).write.parquet(dst)
+    }
+    val e = intercept[IllegalStateException](serve(dir))
+    assert(e.getMessage.contains("ckptB") && e.getMessage.contains("ckptA"))
+    // legacy unstamped dirs keep the documented silent behavior
+    val fs = new java.io.File(s"$dir/batch_0")
+    assert(new java.io.File(fs, "_ckpt").delete())
+    assert(servedIds(dir) == (0L to 6L).toSet)
+  }
+
+  test("serve's flat-key broadcast hint is size-guarded: above the byte " +
+    "bound the planner chooses freely and the result is unchanged") {
+    val dir = newStore()
+    rows(0L to 9L, 1).write.parquet(s"$dir/base")
+    KeyedStore.compact(spark, dir, Seq("part"), schema, "id")
+    rows(5L to 14L, 2).write.parquet(s"$dir/batch_1")
+    def analyzed() = serve(dir).queryExecution.analyzed.toString()
+    val hinted = serve(dir).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(analyzed().contains("ResolvedHint"),
+      "under the cadence contract the hint must be present")
+    spark.conf.set(KeyedStore.FlatBroadcastMaxBytes, "1")
+    try {
+      assert(!analyzed().contains("ResolvedHint"),
+        "above the byte bound the hint must be dropped")
+      val unhinted = serve(dir).select("id", "v").as[(Long, Long)]
+        .collect().toMap
+      assert(unhinted == hinted, "the guard may change strategy, not rows")
+    } finally spark.conf.unset(KeyedStore.FlatBroadcastMaxBytes)
+  }
+
   test("a legacy tombstone dir (no retirement stamp) is backfilled, " +
     "filters serve, and NEVER retires silently") {
     val dir = newStore()
