@@ -1920,7 +1920,7 @@ object SimilarityQueries {
     * later call silently serves); a markerless leftover is wiped and
     * rebuilt instead.
     */
-  private def buildOnce(s: SparkSession, dir: String)(build: => Unit): Unit = {
+  private[graft] def buildOnce(s: SparkSession, dir: String)(build: => Unit): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(dir, "_built")

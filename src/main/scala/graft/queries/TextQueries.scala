@@ -611,6 +611,140 @@ object TextQueries {
       |LEFT JOIN best ON d.doc_id = best.b_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- maintained band-index store: the oracle-gated lifecycle ----
+  // The lexical twin of `sim_ivfpq_store`/`sim_ivfpq_rot`: the SAME
+  // KeyedStore machinery DocStream's streaming ingest maintains in
+  // production (mixed-tree read, watermark exclusion, durable
+  // tombstones, hash-family rotation), exercised end to end INSIDE an
+  // oracle-checked row. The store lives ingest → compact → ingest →
+  // forget → replay (and, in the rot variant, a full hash-family
+  // rotation) before the probe; the DuckDB oracle is the one-pass band
+  // index of live ∖ forgotten corpus docs — a bug anywhere in the
+  // lifecycle (a replay outranking a fold, a tombstone dropped across a
+  // swap, rotation re-indexing the wrong live set) hash-mismatches the
+  // row. Store rows are keyed per doc_id (the forget grain), so no
+  // fingerprint collapse here — collapse-first is certified separately
+  // in dd_incremental, and the oracle chain is collapse-free anyway
+  // (provably result-preserving either way).
+
+  /** Near-dup verdicts for the last-20% "batch" docs against the
+    * maintained band store of the first-80% corpus, after the store's
+    * full life. Built once per (session, dataset) — a production store
+    * is a persisted artifact serving many probes — so bench repeats
+    * time the serve+probe (the `sim_ivfpq_store` doctrine).
+    */
+  def ddBandStore(s: SparkSession, d: String): DataFrame =
+    bandStoreServe(s, d, rotated = false)
+
+  /** [[ddBandStore]] plus a hash-family ROTATION before the probe:
+    * `DocStream.rotateBandStore` re-indexes the live docs under a new
+    * banding (4x4 → 8x2 over the same 16 hashes) and atomically swaps
+    * the store; the probe then signs the batch under the ROTATED family.
+    * The oracle runs the one-pass 8x2 index over live ∖ forgotten —
+    * rotation ≡ rebuild-on-live, gated end to end.
+    */
+  def ddBandRot(s: SparkSession, d: String): DataFrame =
+    bandStoreServe(s, d, rotated = true)
+
+  private def bandStoreServe(s: SparkSession, d: String,
+                             rotated: Boolean): DataFrame = {
+    import graft.sources.KeyedStore
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val dd = docs.crossJoin(broadcast(mx))
+    val corpus = dd.filter(col("doc_id") * 5 < (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    val batch = dd.filter(col("doc_id") * 5 >= (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    def idx(pred: org.apache.spark.sql.Column) =
+      TextDedup.minhashBandIndex(corpus.filter(pred),
+        shingleN = 2, bands = 4, rowsPerBand = 4)
+    val schema = idx(lit(true)).schema
+    val dir = graft.Scratch.dirFor(s,
+      (if (rotated) "band_rotstore_" else "band_store_")
+        + graft.Scratch.digest(d)) + "/store"
+    SimilarityQueries.buildOnce(s, dir) {
+      // the drill: halves/quarters of the corpus arrive as base + two
+      // batches with a compaction in between, a deterministic id slice
+      // is forgotten, and the PRE-fold batch then replays — physically
+      // resurrecting folded (and partly forgotten) rows the serve-side
+      // watermark + tombstones must keep invisible
+      idx(col("doc_id") % 2 === 0).write.mode("overwrite")
+        .parquet(s"$dir/base")
+      idx(col("doc_id") % 4 === 1).write.mode("overwrite")
+        .parquet(s"$dir/batch_0")
+      KeyedStore.compact(s, dir, Seq("band"), schema, "doc_id")
+      idx(col("doc_id") % 4 === 3).write.mode("overwrite")
+        .parquet(s"$dir/batch_1")
+      KeyedStore.forget(s, dir, "doc_id",
+        docs.select("doc_id").filter(col("doc_id") % 7 === 3))
+      idx(col("doc_id") % 4 === 1).write.mode("overwrite")
+        .parquet(s"$dir/batch_0")
+      if (rotated)
+        graft.streaming.DocStream.rotateBandStore(s, dir, d, schema,
+          shingleN = 2, bands = 8, rowsPerBand = 2)
+    }
+    val (bands, rpb) = if (rotated) (8, 2) else (4, 4)
+    val served = KeyedStore.serve(s, dir, Seq("band"), schema, "doc_id")
+    TextDedup.incrementalNearDups(served, batch,
+        shingleN = 2, bands = bands, rowsPerBand = rpb, minEst = 0.25)
+      .orderBy("doc_id")
+  }
+
+  /** The one-pass oracle chain for the maintained-store rows: the
+    * dd_incremental chain with the corpus side restricted to live ∖
+    * forgotten docs, parameterized over the banding family so the
+    * rotation variant certifies the ROTATED index (8 bands × 2 rows —
+    * est still over all 16 hashes, only candidate generation changes).
+    */
+  private def bandStoreSql(bands: Int, rowsPerBand: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 2
+       |           THEN list_transform(range(1, len(tk)),
+       |                               i -> array_to_string(tk[i:i+1], ' '))
+       |           ELSE [array_to_string(tk, ' ')] END AS s
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS tk
+       |        FROM documents)
+       |), sig AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16),
+       |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+       |  FROM sh
+       |), banded AS (
+       |  SELECT doc_id, sg, b AS band,
+       |         md5(array_to_string(
+       |           sg[b*$rowsPerBand+1 : b*$rowsPerBand+$rowsPerBand],
+       |           ',')) AS band_hash
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS b)
+       |), mx AS (SELECT max(doc_id) AS mx FROM documents
+       |), bb AS (SELECT banded.* FROM banded, mx WHERE doc_id * 5 >= (mx + 1) * 4
+       |), cb AS (SELECT banded.* FROM banded, mx
+       |          WHERE doc_id * 5 < (mx + 1) * 4 AND NOT (doc_id % 7 = 3)
+       |), matches AS (
+       |  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id,
+       |         list_sum(list_transform(range(1, 17),
+       |           i -> CASE WHEN b.sg[i] = c.sg[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+       |  FROM bb b JOIN cb c ON b.band = c.band AND b.band_hash = c.band_hash
+       |), best AS (
+       |  SELECT b_id, c_id, est FROM (
+       |    SELECT b_id, c_id, est,
+       |           row_number() OVER (PARTITION BY b_id
+       |                              ORDER BY est DESC, c_id) AS rn
+       |    FROM matches WHERE est >= 0.25
+       |  ) WHERE rn = 1
+       |)
+       |SELECT d.doc_id, best.c_id IS NULL AS novel,
+       |       best.c_id AS match_id, round(best.est, 4) AS match_est
+       |FROM (SELECT doc_id FROM documents, mx WHERE doc_id * 5 >= (mx + 1) * 4) d
+       |LEFT JOIN best ON d.doc_id = best.b_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  val ddBandStoreSql: String = bandStoreSql(bands = 4, rowsPerBand = 4)
+  val ddBandRotSql: String = bandStoreSql(bands = 8, rowsPerBand = 2)
+
   // ---- near-dup: simhash signature groups ----
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     TextDedup.simhashGroups(Tables.documents(s, d)).orderBy("simhash")
@@ -1618,6 +1752,8 @@ object TextQueries {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_scaled" -> (ddMinhashScaled _),
     "dd_incremental" -> (ddIncremental _),
+    "dd_band_store" -> (ddBandStore _),
+    "dd_band_rot" -> (ddBandRot _),
     "dd_simhash" -> (ddSimhash _)
   )
 
@@ -1650,6 +1786,8 @@ object TextQueries {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_scaled" -> ddMinhashScaledSql,
     "dd_incremental" -> ddIncrementalSql,
+    "dd_band_store" -> ddBandStoreSql,
+    "dd_band_rot" -> ddBandRotSql,
     "dd_simhash" -> ddSimhashSql
   )
 }
