@@ -777,6 +777,80 @@ object TextDedup {
     spark.read.parquet(labelsPath)
   }
 
+  /** Fold a NEW batch of near-dup pairs into PERSISTED component labels
+    * without re-running [[connectedComponents]] over the historical
+    * edge set — the `a14_incremental_agg` fold ≡ recompute doctrine
+    * applied to clustering. At 100 TB the daily ingest's most expensive
+    * recurring dedup cost is re-running O(log d) global CC rounds over
+    * the full corpus edge list to absorb a batch of fresh pairs; this
+    * absorbs them at O(batch) instead.
+    *
+    * Correctness rests on component contraction: each persisted label
+    * IS its component's min, so contracting every labeled node to its
+    * label preserves the merged graph's component structure, and the
+    * CONDENSED graph — nodes are touched components' labels plus the
+    * batch's novel ids, edges are the batch pairs with endpoints mapped
+    * through their labels — has the same component mins as the full
+    * union. Folding is therefore exact: CC over the condensed graph
+    * (bounded by BATCH size, never corpus edge count), one relabel
+    * projection over the label table, novel nodes labeled from the same
+    * condensed fixpoint. Fold ≡ full recompute on the union is
+    * spec-asserted bit-equal (TextDedupSpec) and oracle-gated
+    * (`dd_cluster_incr` vs the recursive-CTE full recompute).
+    *
+    * Scale shape: `labels` is read twice — one semi-join producing the
+    * touched slice (output bounded by 2·batch) and one final relabel
+    * projection (linear scan, map-side join against the condensed
+    * fixpoint) — and never shuffled on its own key; no hint is forced,
+    * so AQE broadcasts the batch-bounded sides while they are small and
+    * degrades to shuffles if a pathological batch outgrows them.
+    */
+  def foldIntoComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val spark = labels.sparkSession
+    val scratch = graft.Scratch.dir(spark, "graft_ccfold_")
+    // stage the batch once: three derivations consume it, and staged
+    // parquet gives AQE exact sizes for its broadcast decisions
+    newPairs.select(col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$scratch/pairs")
+    val p = spark.read.parquet(s"$scratch/pairs")
+    val ends = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    // the touched slice of the persisted labels — the only label read
+    // besides the final projection, output bounded by the batch's
+    // endpoint count
+    labels.join(ends, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$scratch/touched")
+    val touched = spark.read.parquet(s"$scratch/touched")
+    val la = touched.select(col("doc_id").as("doc_a"),
+      col("cluster_id").as("la"))
+    val lb = touched.select(col("doc_id").as("doc_b"),
+      col("cluster_id").as("lb"))
+    // contract: an edge between two members becomes an edge between
+    // their component labels (novel endpoints stay themselves)
+    val cond = p.join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
+        coalesce(col("lb"), col("doc_b")).as("doc_b"))
+    val condLabels = connectedComponents(cond)
+      .select(col("doc_id").as("node"), col("cluster_id").as("new_cid"))
+    // relabel: a touched component's min can only DROP (to the merged
+    // condensed component's min); untouched labels pass through the
+    // left join unchanged
+    val relabeled = labels
+      .join(condLabels.withColumnRenamed("node", "cluster_id"),
+        Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+    // novel nodes (batch endpoints with no persisted label) take their
+    // condensed component's label; an endpoint the condensed CC dropped
+    // (pure self-pair) is its own singleton
+    val novel = ends.join(touched.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(condLabels.withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("doc_id")).as("cluster_id"))
+    relabeled.unionByName(novel)
+  }
+
   /** SimHash grouping: docs sharing a 16-bit simhash signature.
     * The token-md5 array is projected in its own step so the 16 bit
     * extractors reference one computed column instead of re-hashing the

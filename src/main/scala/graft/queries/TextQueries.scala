@@ -794,7 +794,9 @@ object TextQueries {
   // STAR pair generation, not all-pairs: connectivity only needs each
   // group member linked to the group's min id — g-1 edges per group.
   private[graft] def clusterDerived(s: SparkSession, d: String,
-                                    salt: Option[org.apache.spark.sql.Column]): DataFrame = {
+                                    salt: Option[org.apache.spark.sql.Column],
+                                    cc: DataFrame => DataFrame =
+                                      TextDedup.connectedComponents(_)): DataFrame = {
     val docs = Tables.documents(s, d)
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
@@ -827,7 +829,7 @@ object TextQueries {
     val participants = gFp.select(explode(col("ids")).as("doc_id"))
       .union(gSh.select(explode(col("ids")).as("doc_id"))).distinct()
     val labels = participants
-      .join(TextDedup.connectedComponents(pairs), Seq("doc_id"), "left")
+      .join(cc(pairs), Seq("doc_id"), "left")
       .select(col("doc_id").as("rep_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
     members
@@ -835,6 +837,36 @@ object TextQueries {
       .join(labels, "rep_id")
       .select(col("doc_id"), col("cluster_id"))
   }
+
+  /** INCREMENTAL clustering — `dd_cluster` served without ever re-running
+    * connected components over the historical edge set: pairs entirely
+    * among the first-80% docs are the "historical" graph whose labels
+    * are the PERSISTED artifact (staged once per session/dataset, the
+    * `dd_incremental` index doctrine — repeats measure the FOLD); the
+    * pairs touching last-20% docs arrive as the batch and fold into
+    * those labels via [[TextDedup.foldIntoComponents]] at O(batch).
+    * The oracle is the full recompute over ALL pairs (the dd_cluster
+    * recursive CTE verbatim): fold ≡ recompute, gated end to end.
+    */
+  def ddClusterIncr(s: SparkSession, d: String): DataFrame =
+    clusterDerived(s, d, salt = None, cc = pairs => {
+      // stage the derived pair list once — the old/new split reads it
+      // twice, and the historical-CC branch must hash the same rows
+      // across sessions
+      val staged = graft.Scratch.stagedFrame(s,
+        "graft_ccincr_pairs_" + graft.Scratch.digest(d))(pairs)
+      val mx = Tables.documents(s, d).agg(max("doc_id").as("mx"))
+      val pb = staged.crossJoin(broadcast(mx))
+      val isOld = col("doc_a") * 5 < (col("mx") + 1) * 4 &&
+        col("doc_b") * 5 < (col("mx") + 1) * 4
+      val hist = graft.Scratch.stagedFrame(s,
+        "graft_ccincr_labels_" + graft.Scratch.digest(d)) {
+        TextDedup.connectedComponents(
+          pb.filter(isOld).select("doc_a", "doc_b"))
+      }
+      TextDedup.foldIntoComponents(hist,
+        pb.filter(!isOld).select("doc_a", "doc_b"))
+    }).sortWithinPartitions("doc_id")
 
   val ddClusterSql: String =
     """WITH RECURSIVE hs AS (
@@ -1734,6 +1766,7 @@ object TextQueries {
     "txt_chunks" -> (txtChunks _),
     "txt_scrub" -> (txtScrub _),
     "dd_cluster" -> (ddCluster _),
+    "dd_cluster_incr" -> (ddClusterIncr _),
     "dd_keep_best" -> (ddKeepBest _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
@@ -1768,6 +1801,7 @@ object TextQueries {
     "txt_chunks" -> txtChunksSql,
     "txt_scrub" -> txtScrubSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_cluster_incr" -> ddClusterSql,
     "dd_keep_best" -> ddKeepBestSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,

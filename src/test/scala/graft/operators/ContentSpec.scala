@@ -47,7 +47,8 @@ class ContentSpec extends SparkSuite {
       TextDedup.simhashGroups(Tables.documents(s, d), salt)),
     "dd_keep_best" -> (TextQueries.keepBestDerived _),
     // content-level connected components, members attach afterwards
-    "dd_cluster" -> (TextQueries.clusterDerived _),
+    "dd_cluster" -> ((s: SparkSession, d: String, salt: Option[org.apache.spark.sql.Column]) =>
+      TextQueries.clusterDerived(s, d, salt)),
     "dd_semdedup" -> (graft.queries.SimilarityQueries.semdedupDerived _),
     // vector collapse: per-distinct-vector quantize; weighted exact Lloyd's
     "emb_quantize" -> (graft.queries.SimilarityQueries.quantizeDerived _),

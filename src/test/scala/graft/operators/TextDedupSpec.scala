@@ -136,6 +136,47 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Set((5L, 5L), (7L, 7L), (8L, 7L)))
   }
 
+  test("foldIntoComponents: fold == recompute, bit-equal, across merge " +
+    "shapes (old-old bridge, novel chain, mixed, self-pairs, empty batch)") {
+    def cc(pairs: Seq[(Long, Long)]) =
+      TextDedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+    def fold(labels: org.apache.spark.sql.DataFrame,
+             batch: Seq[(Long, Long)]) =
+      TextDedup.foldIntoComponents(labels, batch.toDF("doc_a", "doc_b"))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    val hist = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 30L))
+    val labels = cc(hist)
+    // every shape in one batch: a bridge merging two old components
+    // (3-10), a novel-only chain (100-101-102), a novel node attaching
+    // to an old component (21-103), a self-pair novel singleton, and a
+    // pair re-stating an existing edge (idempotent)
+    val batch = Seq((3L, 10L), (100L, 101L), (101L, 102L), (21L, 103L),
+      (200L, 200L), (1L, 2L))
+    val folded = asMap(fold(labels, batch))
+    val recomputed = asMap(cc(hist ++ batch))
+    assert(folded == recomputed,
+      s"fold must equal full recompute: $folded vs $recomputed")
+    // empty batch: labels pass through unchanged
+    assert(asMap(fold(labels, Seq.empty[(Long, Long)])) == asMap(labels))
+    // a second fold on the folded labels (the daily cadence) still
+    // equals the recompute over all three edge sets
+    val batch2 = Seq((102L, 20L), (5L, 6L))
+    assert(asMap(fold(fold(labels, batch), batch2))
+      == asMap(cc(hist ++ batch ++ batch2)),
+      "folding must compose across batches")
+  }
+
+  test("foldIntoComponents: a batch whose novel ids are SMALLER than " +
+    "the touched components' labels drops those labels (min moves down)") {
+    val labels = TextDedup.connectedComponents(
+      Seq((50L, 60L)).toDF("doc_a", "doc_b"))
+    val folded = TextDedup.foldIntoComponents(labels,
+        Seq((5L, 60L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(folded == Map(50L -> 5L, 60L -> 5L, 5L -> 5L))
+  }
+
   test("dedup and similarity operators leave no persisted RDDs behind") {
     val d = docs(Seq(
       (1L, "en", 30L, "one two three four five six"),
