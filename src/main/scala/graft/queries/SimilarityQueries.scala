@@ -922,7 +922,7 @@ object SimilarityQueries {
   // Q×PqR rows. Scale shape: the shortlist (with its query vectors)
   // broadcasts; the corpus-side quantized vectors join on vec_id and
   // never shuffle; ranks come from a per-query window over ≤PqR rows.
-  private val PqR = 50
+  private[graft] val PqR = 50
 
   def simPqRerank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1459,6 +1459,20 @@ object SimilarityQueries {
                                     rcent: DataFrame,
                                     codesFor: DataFrame => DataFrame,
                                     topK: Int = PqTopK): DataFrame = {
+    val (cells, dt) = ivfpqQueryFrames(queries, coarse, rcent)
+    adcTopK(adcCandidates(codesFor(cells), dt), topK)
+  }
+
+  /** The query-side frames of an IVF-PQ probe, computed once per query
+    * batch: the probed cells (one `cid` frame, nprobe rows per query —
+    * the partPrune hand-off) and the per-(query, cell, subspace, code)
+    * ADC distance table. Pure functions of (queries, quantizers) — the
+    * streaming decontamination twin stages `dt` at stream definition
+    * and reuses it every micro-batch ([[graft.streaming.DeconStream]]).
+    */
+  private[graft] def ivfpqQueryFrames(queries: DataFrame, coarse: DataFrame,
+                                      rcent: DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val qq = pqQuantize(queries)
     val probes = qq.crossJoin(broadcast(coarse))
@@ -1476,11 +1490,29 @@ object SimilarityQueries {
     val dt = qcells.join(broadcast(rcent), "m")
       .select(col("query_id"), col("cid"), col("m"), col("code"),
         distL2(col("sub"), col("cvec")).as("dcode"))
-    val codes = codesFor(probes.select("cid"))
+    (probes.select("cid"), dt)
+  }
+
+  /** Integer ADC distances of a code-table slice against a probe's
+    * distance tables — one row per (query, candidate vector) whose cell
+    * the query probed. Each candidate's sum is complete within the code
+    * rows of that vector, so per-micro-batch candidate sets union to
+    * the full batch probe's exactly (the streaming-twin contract).
+    */
+  private[graft] def adcCandidates(codes: DataFrame, dt: DataFrame): DataFrame =
     codes.join(broadcast(dt), Seq("cid", "m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum("dcode").as("adc_dist"))
+
+  /** Top-k per query over ADC candidates, the probe's deterministic tail
+    * (ties to the smaller vector id). Distributive over candidate-set
+    * union: top-k of unioned per-batch candidates ≡ top-k of the one-shot
+    * probe.
+    */
+  private[graft] def adcTopK(cands: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cands
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("vec_id")))
         .cast("long"))
@@ -2088,11 +2120,24 @@ object SimilarityQueries {
   def ddContaminateSem(s: SparkSession, d: String): DataFrame = {
     val (coarse, rcent, codes) = ivfpqIndex(s, d)
     val evalN = semEvalN(s)
-    val qv = pqQuantize(Tables.embeddings(s, d))
     val short = ivfpqProbe(queryBatch(s, d, evalN),
         coarse, rcent, codes, PqR)
       .filter(col("neighbor_id") >= evalN) // corpus side only
       .select(col("query_id").as("eval_id"), col("neighbor_id").as("vec_id"))
+    semVerifyFlags(s, d, short).orderBy("vec_id")
+  }
+
+  /** The exact-verification tail of semantic decontamination, factored
+    * so the batch query and its streaming twin
+    * ([[graft.streaming.DeconStream.fusedVerdicts]]) share it verbatim:
+    * the ANN shortlist's (eval, corpus vector) pairs are re-scored with
+    * EXACT integer L2 (eval side broadcast — E·PqR rows), thresholded
+    * at tau, and each flagged vector keeps its closest eval (ties to
+    * the smaller eval id).
+    */
+  private[graft] def semVerifyFlags(s: SparkSession, d: String,
+                                    short: DataFrame): DataFrame = {
+    val qv = pqQuantize(Tables.embeddings(s, d))
     qv.select(col("vec_id"), col("q").as("cq"))
       .join(broadcast(short.join(
         qv.select(col("vec_id").as("eval_id"), col("q").as("qq")),
@@ -2104,7 +2149,6 @@ object SimilarityQueries {
       .agg(min(struct(col("d2"), col("eval_id"))).as("mm"))
       .select(col("vec_id"), col("mm.eval_id").as("eval_id"),
         col("mm.d2").as("d2"))
-      .orderBy("vec_id")
   }
 
   /** The shipped decontamination chain as CTEs ending in `sem_flags` —
@@ -2199,17 +2243,31 @@ object SimilarityQueries {
     * match per doc — max shared n-grams, ties to min eval id — the
     * same rule the semantic family already applies to d2).
     */
-  def ddDeconFused(s: SparkSession, d: String): DataFrame = {
-    val lexBest = TextQueries.contaminateDerived(s, d, salt = None)
-      .groupBy("doc_id")
+  def ddDeconFused(s: SparkSession, d: String): DataFrame =
+    fuseDecon(lexBestOf(TextQueries.contaminateDerived(s, d, salt = None)),
+      ddContaminateSem(s, d))
+
+  /** Per-doc best lexical match (max shared n-grams, ties to min eval
+    * id — the rule the semantic family applies to d2), factored for the
+    * streaming twin.
+    */
+  private[graft] def lexBestOf(lexPairs: DataFrame): DataFrame =
+    lexPairs.groupBy("doc_id")
       .agg(min(struct((-col("shared_ngrams")).as("ns"), col("eval_id")))
         .as("mm"))
       .select(col("doc_id"), col("mm.eval_id").as("lex_eval_id"),
         (-col("mm.ns")).as("lex_shared"))
-    val sem = ddContaminateSem(s, d)
-      .select(col("vec_id"), col("eval_id").as("sem_eval_id"),
-        col("d2").as("sem_d2"))
-    lexBest.join(sem, lexBest("doc_id") === sem("vec_id"), "full_outer")
+
+  /** The union-with-provenance combiner — ONE code path for the batch
+    * row and the streaming twin, so the fusion semantics cannot drift
+    * between them: full-outer join of the two families' per-doc
+    * verdicts, `src` records which fired, per-family evidence NULL
+    * where it did not.
+    */
+  private[graft] def fuseDecon(lexBest: DataFrame, sem: DataFrame): DataFrame = {
+    val semP = sem.select(col("vec_id"), col("eval_id").as("sem_eval_id"),
+      col("d2").as("sem_d2"))
+    lexBest.join(semP, col("doc_id") === col("vec_id"), "full_outer")
       .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
         when(col("doc_id").isNotNull && col("vec_id").isNotNull, "both")
           .when(col("doc_id").isNotNull, "lexical")
