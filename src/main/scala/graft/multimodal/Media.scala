@@ -291,14 +291,30 @@ object Media {
     * verify — see [[imageNearDups]]'s scaladoc for the argument. Input
     * (media_id, h64); output (id_a, id_b, hamming).
     */
-  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
-    require(maxHamming < 16, "pigeonhole over 4 bands covers hamming <= 15")
-    val banded = hashes.select(col("media_id"), col("h64"),
+  def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame =
+    pairsFromBanded(band64(hashes), maxHamming)
+
+  /** The 16-bit band projection of a 64-bit perceptual hash table —
+    * (media_id, h64, band, band_val), one row per (print, band). This is
+    * the PERSISTABLE multimodal dedup artifact (the `minhashBandIndex`
+    * shape for fingerprints): a pure per-print function of the fixed
+    * banding, so streamed appends ≡ one-pass rebuild and the
+    * [[MediaStore]] lifecycle (ingest/forget/compact/rotate) applies.
+    */
+  def band64(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("h64"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("h64"), b * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")
+
+  /** The candidate-expand + popcount-verify tail over an already-banded
+    * print table ([[band64]] rows, possibly served from a maintained
+    * [[MediaStore]]): in-bucket i<j expansion, exact Hamming verify.
+    */
+  def pairsFromBanded(banded: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming < 16, "pigeonhole over 4 bands covers hamming <= 15")
     banded
       .groupBy("band", "band_val")
       .agg(sort_array(collect_list(struct(col("media_id"), col("h64"))))
