@@ -2078,9 +2078,16 @@ object SimilarityQueries {
     val (coarse, rcent, _) = ivfpqBuild(s,
       emb.join(live.select("vec_id").distinct(), Seq("vec_id"), "left_semi"),
       tag)
-    ivfpqProbeFrom(queryBatch(s, d, PqNQ), coarse, rcent,
-      cells => KeyedStore.serve(s, dir, Seq("cid"), schema, "vec_id",
-        partPrune = Some(cells)))
+    // probe through the ONE live serve frame, NOT a second cell-pruned
+    // serve (the r12 shape): the rotated store is quiesced-plus-
+    // tombstones at probe time — no flat legs, so the busy-store
+    // partPrune guarantee isn't load-bearing here (sim_ivfpq_store owns
+    // that drill) and DPP reaches this reconcile on its own
+    // (StoreDppCheck's measured result). The r13 A/B (BENCH_NOTES)
+    // measured the second-serve+prune shape at ~2.4 s vs ~1.9 s for
+    // this one on the same machine hour — the r12 regression was that
+    // shape, not machine band alone.
+    ivfpqProbe(queryBatch(s, d, PqNQ), coarse, rcent, live)
       .orderBy("query_id", "rank")
   }
 
