@@ -686,8 +686,27 @@ object TextQueries {
     }
     val (bands, rpb) = if (rotated) (8, 2) else (4, 4)
     val served = KeyedStore.serve(s, dir, Seq("band"), schema, "doc_id")
-    TextDedup.incrementalNearDups(served, batch,
+    // Probe-side collapse (the dd_incremental doctrine, result-preserving
+    // and oracle-proven there): batch replicas share the signature, so
+    // every replica inherits its representative's verdict verbatim.
+    // Without it the bucket join is (batch copies × corpus copies) per
+    // text — on the 1000×-replicated scaling rung that quadratic filled
+    // the disk with sig-array shuffle before failing (BENCH_NOTES r13).
+    // The STORE side deliberately stays per-doc (forget's grain), so the
+    // join stays linear in corpus replicas — the store drill's price.
+    val batchFp = batch.select(col("doc_id"), col("text"),
+      TextFns.fingerprint(col("text")).as("fp"))
+    val reps = batchFp.groupBy("fp")
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    val verdicts = TextDedup.incrementalNearDups(served,
+        reps.select("doc_id", "text"),
         shingleN = 2, bands = bands, rowsPerBand = rpb, minEst = 0.25)
+      .withColumnRenamed("doc_id", "rep_id")
+    batchFp.select(col("doc_id"), col("fp"))
+      .join(reps.select(col("fp"), col("doc_id").as("rep_id")), "fp")
+      .join(verdicts, "rep_id")
+      .select("doc_id", "novel", "match_id", "match_est")
       .orderBy("doc_id")
   }
 
