@@ -851,6 +851,132 @@ object TextDedup {
     relabeled.unionByName(novel)
   }
 
+  /** Shared staging for the right-to-forget pass: split the persisted
+    * label table around a forget set. Returns (passthrough, members,
+    * scratch) where `passthrough` is the labels of UNTOUCHED clusters
+    * (no forgotten member — their components, and therefore their min
+    * labels, cannot change) and `members` is the staged live membership
+    * of AFFECTED clusters (bounded by the affected clusters' total size,
+    * which a delete-set of size f bounds by f × max cluster size — the
+    * recurring GDPR batch, never the corpus).
+    *
+    * Scale shape: the label table is scanned three times (forgotten →
+    * affected ids, affected → live members, and the passthrough
+    * projection), each a linear scan through a broadcast-size semi/anti
+    * join — it is never shuffled on its own key, the foldIntoComponents
+    * doctrine. The forget and affected sets are staged to scratch so AQE
+    * sees exact (small) sizes for its broadcast decisions.
+    */
+  private def splitAffected(labels: DataFrame, forget: DataFrame)
+      : (DataFrame, DataFrame, String) = {
+    val spark = labels.sparkSession
+    val scratch = graft.Scratch.dir(spark, "graft_ccdel_")
+    forget.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$scratch/forget")
+    val f = spark.read.parquet(s"$scratch/forget")
+    labels.join(f, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+      .write.mode("overwrite").parquet(s"$scratch/affected")
+    val affected = spark.read.parquet(s"$scratch/affected")
+    labels.join(affected, Seq("cluster_id"), "left_semi")
+      .join(f, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$scratch/members")
+    val members = spark.read.parquet(s"$scratch/members")
+    val passthrough = labels.join(affected, Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    (passthrough, members, scratch)
+  }
+
+  /** Right-to-forget through persisted component labels, for graphs
+    * whose edges are INTRINSIC pairwise relations (a banded near-dup
+    * match between two specific documents stays true when a third is
+    * deleted) — the delete twin of [[foldIntoComponents]]. Deleting a
+    * doc can SPLIT its component (its edges may have been the only
+    * bridge), so no per-row relabel is correct; instead components are
+    * recomputed ONLY for affected clusters: retained edges are the pair
+    * rows with both endpoints live (an edge never crosses clusters, so
+    * membership of one endpoint in the affected live set already implies
+    * the edge belongs to an affected cluster), a mini-CC over that
+    * batch-bounded edge set re-derives the live structure, and untouched
+    * clusters pass through untouched. A live member left with no edge
+    * keeps its own id as a singleton (every node in the label table is a
+    * node of the graph).
+    *
+    * Cost ∝ affected clusters, never corpus: the pair list is scanned
+    * once through two broadcast semi-joins (persist it partitioned by
+    * cluster and the scan itself prunes), the label table three linear
+    * passes ([[splitAffected]]), and the CC rounds run over the affected
+    * clusters' edges only. Exactness vs a full recompute over live pairs
+    * is spec-asserted including the bridge-split case (CcDeleteSpec).
+    */
+  def deleteFromComponentsPairs(labels: DataFrame, pairs: DataFrame,
+                                forget: DataFrame): DataFrame = {
+    val (passthrough, members, _) = splitAffected(labels, forget)
+    val m = members.select("doc_id")
+    val live = pairs
+      .join(m.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(m.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .select("doc_a", "doc_b")
+    val mini = connectedComponents(live)
+      .withColumnRenamed("cluster_id", "new_cid")
+    val relabeled = members.select("doc_id")
+      .join(mini, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("doc_id")).as("cluster_id"))
+    passthrough.unionByName(relabeled)
+  }
+
+  /** Right-to-forget for KEY-GENERATED graphs (`dd_cluster`'s shape:
+    * docs sharing a fingerprint or simhash key are a clique). A sparse
+    * connectivity WITNESS of such a graph — star pairs, chains — is not
+    * deletion-stable: forgetting a star's hub disconnects members that
+    * are still same-key connected, and the only deletion-stable pair
+    * list is the full clique (quadratic). So the persisted artifact here
+    * is the edge GENERATOR itself — the (doc_id, k) key table, linear in
+    * the corpus and trivially deletion-stable because a doc's keys are
+    * intrinsic — and the delete pass re-derives the affected clusters'
+    * live edges from their restricted key groups.
+    *
+    * The restricted groups are COMPLETE: any doc sharing a key with an
+    * affected-cluster member is in that same cluster (a key is an edge),
+    * so the semi-join slice of the key table loses no group member.
+    * Star pairs are re-anchored per restricted group by a window MIN —
+    * no member array is ever collected (flood-safe), and the window
+    * partitions are delete-batch-bounded. Participation follows the
+    * live graph: a doc whose every restricted group has one member has
+    * no live edge and drops from the output, matching the full-recompute
+    * convention (participants = docs in ≥ 1 pair).
+    */
+  def deleteFromComponentsKeyed(labels: DataFrame, keyed: DataFrame,
+                                forget: DataFrame): DataFrame = {
+    val (passthrough, members, scratch) = splitAffected(labels, forget)
+    val spark = labels.sparkSession
+    // the generator slice: key rows of live affected members only — on a
+    // persisted key table partitioned by id range this read prunes to
+    // the affected slice; staged so the window and the participant
+    // filter read one compact file
+    keyed.join(members.select("doc_id"), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$scratch/keyed")
+    val km = spark.read.parquet(s"$scratch/keyed")
+    val w = Window.partitionBy("k")
+    val starred = km
+      .withColumn("mn", min("doc_id").over(w))
+      .withColumn("gn", count(lit(1)).over(w))
+    val liveEdges = starred.filter(col("doc_id") > col("mn"))
+      .select(col("mn").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    val participants = starred.filter(col("gn") >= 2)
+      .select("doc_id").distinct()
+    val mini = connectedComponents(liveEdges)
+      .withColumnRenamed("cluster_id", "new_cid")
+    // every participant is an edge endpoint (its group has ≥ 2 members),
+    // so the coalesce is an invariant guard, not a semantic branch
+    val relabeled = participants
+      .join(mini, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_cid"), col("doc_id")).as("cluster_id"))
+    passthrough.unionByName(relabeled)
+  }
+
   /** SimHash grouping: docs sharing a 16-bit simhash signature.
     * The token-md5 array is projected in its own step so the 16 bit
     * extractors reference one computed column instead of re-hashing the

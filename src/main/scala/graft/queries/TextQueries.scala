@@ -887,16 +887,69 @@ object TextQueries {
         pb.filter(!isOld).select("doc_a", "doc_b"))
     }).sortWithinPartitions("doc_id")
 
-  val ddClusterSql: String =
-    """WITH RECURSIVE hs AS (
+  /** RIGHT-TO-FORGET through persisted cluster labels — the lifecycle
+    * step [[ddClusterIncr]] left open: `dd_cluster_incr` absorbs ADDED
+    * pairs at O(batch), both index stores forget keys durably, but a
+    * GDPR delete against the LABEL table was unhandled (a forgotten
+    * cluster-min stales every member's label; a forgotten bridge doc
+    * must SPLIT its component). Persisted artifacts, staged once per
+    * (session, dataset) like dd_cluster_incr's: the full label table
+    * and the edge GENERATOR (the doc-level (doc_id, key) table — see
+    * [[TextDedup.deleteFromComponentsKeyed]] for why a sparse pair
+    * WITNESS is not deletion-stable and the generator is the honest
+    * linear-size artifact). The measured pass tombstones `doc_id % 7 =
+    * 3`, recomputes components ONLY over the affected clusters'
+    * restricted key groups, and passes every untouched cluster through.
+    * Oracle: the dd_cluster recursive CTE run as a FULL RECOMPUTE over
+    * live ∖ forgotten — delete ≡ recompute, gated end to end.
+    */
+  def ddClusterDel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val labels = graft.Scratch.stagedFrame(s,
+      "graft_ccdel_labels_" + graft.Scratch.digest(d)) {
+      clusterDerived(s, d, salt = None)
+    }
+    val keyed = graft.Scratch.stagedFrame(s,
+      "graft_ccdel_keyed_" + graft.Scratch.digest(d)) {
+      // content-addressed artifact BUILD (keys are content-pure: compute
+      // once per distinct text, attach members through the membership
+      // frame); the TABLE is doc-level because deletes arrive per doc.
+      // Key spaces are prefixed so the union can never alias a
+      // fingerprint group into a simhash group.
+      val H = graft.operators.Content.H
+      val members = docs.select(col("doc_id"),
+        graft.operators.Content.memberKey(docs, Seq("text")).as(H))
+      val contents = graft.operators.Content.repsById(docs, Seq("text"))
+        .select(col(H), col("text"))
+      val fp = contents.select(col(H),
+        concat(lit("fp|"), TextFns.fingerprint(col("text"))).as("k"))
+      val sh = contents
+        .select(col(H), transform(TextFns.tokens(col("text")), t => md5(t)).as("h"))
+        .select(col(H), concat(lit("sh|"),
+          TextFns.simhash16FromHashes(col("h")).cast("string")).as("k"))
+      members.join(fp.unionByName(sh), H).select("doc_id", "k")
+    }
+    val forget = docs.select("doc_id").filter(col("doc_id") % 7 === 3)
+    TextDedup.deleteFromComponentsKeyed(labels, keyed, forget)
+      .sortWithinPartitions("doc_id")
+  }
+
+  /** The dd_cluster recursive-CTE oracle parameterized over the source
+    * predicate — `""` is the full corpus (dd_cluster / dd_cluster_incr),
+    * and the right-to-forget row runs it over live ∖ forgotten, so the
+    * delete pass is gated against a genuine FULL RECOMPUTE on the
+    * surviving documents (the dd_cluster_incr doctrine inverted).
+    */
+  private def clusterSqlOver(where: String): String =
+    s"""WITH RECURSIVE hs AS (
       |  SELECT doc_id, text, list_transform(tk, t -> md5(t)) AS h, len(tk) AS n
       |  FROM (SELECT doc_id, text,
-      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
       |                      t -> len(t) > 0) AS tk
-      |        FROM documents)
+      |        FROM documents$where)
       |), keyed AS (
       |  SELECT doc_id,
-      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
       |    CAST(CAST(list_sum(list_transform(range(0, 16), i ->
       |      CASE WHEN 2 * len(list_filter(h,
       |             x -> x[i+1:i+1] IN ('8','9','a','b','c','d','e','f'))) >= n
@@ -925,6 +978,9 @@ object TextQueries {
       |)
       |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
+  val ddClusterSql: String = clusterSqlOver("")
+  val ddClusterDelSql: String = clusterSqlOver(" WHERE doc_id % 7 <> 3")
 
   // ---- keeper policy: best-quality doc per exact-dup group ----
   // the decision step after detection: within each fingerprint group keep
@@ -1786,6 +1842,7 @@ object TextQueries {
     "txt_scrub" -> (txtScrub _),
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incr" -> (ddClusterIncr _),
+    "dd_cluster_del" -> (ddClusterDel _),
     "dd_keep_best" -> (ddKeepBest _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
@@ -1821,6 +1878,7 @@ object TextQueries {
     "txt_scrub" -> txtScrubSql,
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incr" -> ddClusterSql,
+    "dd_cluster_del" -> ddClusterDelSql,
     "dd_keep_best" -> ddKeepBestSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,
