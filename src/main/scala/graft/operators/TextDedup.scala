@@ -245,18 +245,8 @@ object TextDedup {
   def incrementalNearDups(corpusIndex: DataFrame, batch: DataFrame,
                           shingleN: Int, bands: Int, rowsPerBand: Int,
                           minEst: Double): DataFrame = {
-    val k = bands * rowsPerBand
-    val bIdx = minhashBandIndex(batch, shingleN, bands, rowsPerBand)
-      .select(col("band"), col("band_hash"),
-        col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    val cIdx = corpusIndex.select(col("band"), col("band_hash"),
-      col("doc_id").as("c_id"), col("sig").as("c_sig"))
-    val matches = bIdx.join(cIdx, Seq("band", "band_hash"))
-      .select(col("b_id"), col("c_id"),
-        (size(filter(zip_with(col("b_sig"), col("c_sig"), (p, q) => p === q),
-          eq => eq)).cast("double") / k).as("est"))
-      .distinct() // same pair can collide in several bands
-      .filter(col("est") >= minEst)
+    val matches = incrementalMatchPairs(corpusIndex, batch,
+      shingleN, bands, rowsPerBand, minEst)
     val w = Window.partitionBy("b_id").orderBy(desc("est"), col("c_id"))
     val best = matches
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -265,6 +255,36 @@ object TextDedup {
     batch.select("doc_id").join(best, Seq("doc_id"), "left")
       .withColumn("novel", col("match_id").isNull)
       .select("doc_id", "novel", "match_id", "match_est")
+  }
+
+  /** ALL probe matches of a batch against a persisted
+    * [[minhashBandIndex]] — the pair-level primitive
+    * [[incrementalNearDups]] reduces to a best-match verdict, exposed
+    * because the incremental CLUSTERING pipeline needs every fresh edge
+    * (a batch doc can bridge two existing clusters; keeping only its
+    * best match would silently drop the merge). Returns (b_id, c_id,
+    * est) with est ≥ minEst over the index's k = bands × rowsPerBand
+    * minhashes; row set is EXACTLY the batch↔corpus slice of the full
+    * banded self-join over corpus ∪ batch (same buckets, same
+    * signatures), which is what lets a fold over these pairs match a
+    * one-shot recompute bit for bit. Same cost contract as the verdict
+    * form: O(batch + matched buckets), corpus text never touched.
+    */
+  def incrementalMatchPairs(corpusIndex: DataFrame, batch: DataFrame,
+                            shingleN: Int, bands: Int, rowsPerBand: Int,
+                            minEst: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val bIdx = minhashBandIndex(batch, shingleN, bands, rowsPerBand)
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    val cIdx = corpusIndex.select(col("band"), col("band_hash"),
+      col("doc_id").as("c_id"), col("sig").as("c_sig"))
+    bIdx.join(cIdx, Seq("band", "band_hash"))
+      .select(col("b_id"), col("c_id"),
+        (size(filter(zip_with(col("b_sig"), col("c_sig"), (p, q) => p === q),
+          eq => eq)).cast("double") / k).as("est"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est") >= minEst)
   }
 
   /** Collapse-first MinHash LSH: exact duplicates (same normalized text)

@@ -934,6 +934,190 @@ object TextQueries {
       .sortWithinPartitions("doc_id")
   }
 
+  /** Per-document quality sidecar (the txt_stats quality column alone),
+    * content-addressed: the tokenize + sub-score stack runs once per
+    * distinct text. At corpus scale this is the stats table every
+    * pipeline already materializes — pipe_dedup_incr stages it as one
+    * of its persisted artifacts.
+    */
+  private def docQuality(docs: DataFrame): DataFrame =
+    graft.operators.Content.perContent(docs, Seq("text")) { reps =>
+      val H = graft.operators.Content.H
+      reps.select(col(H), col("text"), TextFns.tokens(col("text")).as("tk"))
+        .select(col(H),
+          TextFns.qualityScoreFromTokens(col("tk"), col("text"), Stopwords)
+            .as("quality"))
+    }.select("doc_id", "quality")
+
+  /** Per-cluster keeper decision over a (doc_id, cluster_id) membership
+    * frame and a (doc_id, quality) sidecar: highest quality wins, ties
+    * to the lowest doc_id — the dd_keep_best policy lifted from
+    * fingerprint groups to near-dup clusters. One groupBy, no window:
+    * the (quality, -doc_id) struct-max is an ordinary partial-aggregable
+    * function, so the keeper of a 10⁸-member cluster costs a map-side
+    * combine, never a single-task sort.
+    */
+  private def clusterKeepers(members: DataFrame, quality: DataFrame): DataFrame =
+    members.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), col("n_docs"),
+        (-col("b.nid")).cast("long").as("keep_doc_id"),
+        round(col("b.q"), 2).as("keep_quality"))
+
+  /** THE DAILY ROW: the end-to-end incremental dedup pipeline a
+    * production corpus runs per ingest batch, composed from the
+    * separately-certified pieces as ONE lazy DAG inside one
+    * oracle-checked query (the pipe_curate treatment). Persisted
+    * artifacts — staged once per (session, dataset), the
+    * dd_incremental/dd_cluster_incr doctrine: the corpus band index,
+    * the corpus cluster labels, the per-doc quality sidecar, and the
+    * per-cluster keeper table. The measured pass is the batch fold:
+    *
+    *   new batch (last-20% docs)
+    *     → band-store probe  (ALL fresh batch↔corpus pairs —
+    *       [[TextDedup.incrementalMatchPairs]]; best-match-only would
+    *       silently drop cluster merges a batch doc bridges)
+    *     → batch-internal LSH pairs (the probe's documented blind spot)
+    *     → [[TextDedup.foldIntoComponents]] at O(batch)
+    *     → keeper update for TOUCHED clusters only (hist keepers of
+    *       untouched clusters pass through byte-identical)
+    *
+    * Oracle: ONE-SHOT recompute — banded LSH pairs over the full
+    * corpus∪batch, recursive-CTE connected components, keeper per
+    * cluster — so fold-plus-keeper-update ≡ rebuild is gated end to
+    * end. Exactness of the pair split: the probe emits exactly the
+    * batch↔corpus slice of the full banded self-join, minhashLshPairs
+    * emits exactly the within-side slices, so hist ∪ fresh IS the full
+    * pair set and the fold contract does the rest.
+    */
+  def pipeDedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val dd = docs.crossJoin(broadcast(mx))
+    val corpus = dd.filter(col("doc_id") * 5 < (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    val batch = dd.filter(col("doc_id") * 5 >= (col("mx") + 1) * 4)
+      .select("doc_id", "text")
+    val key = graft.Scratch.digest(d)
+    val idx = graft.Scratch.stagedFrame(s, "graft_pipedd_idx_" + key) {
+      TextDedup.minhashBandIndex(corpus, shingleN = 2, bands = 4, rowsPerBand = 4)
+    }
+    val histLabels = graft.Scratch.stagedFrame(s, "graft_pipedd_labels_" + key) {
+      TextDedup.connectedComponents(
+        TextDedup.minhashLshPairs(corpus, 2, 4, 4, minEst = 0.25)
+          .select("doc_a", "doc_b"))
+    }
+    val histQuality = graft.Scratch.stagedFrame(s, "graft_pipedd_q_" + key) {
+      docQuality(corpus)
+    }
+    val histKeepers = graft.Scratch.stagedFrame(s, "graft_pipedd_keep_" + key) {
+      clusterKeepers(histLabels, histQuality)
+    }
+    // ---- the daily pass ----
+    val scratch = graft.Scratch.dir(s, "graft_pipedd_run_")
+    // fresh pairs staged once: the fold, the endpoint set, and the
+    // touched-cluster derivation all read this small batch-bounded file
+    TextDedup.incrementalMatchPairs(idx, batch,
+        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
+      .select(col("b_id").as("doc_a"), col("c_id").as("doc_b"))
+      .unionByName(TextDedup.minhashLshPairs(batch, 2, 4, 4, minEst = 0.25)
+        .select("doc_a", "doc_b"))
+      .write.mode("overwrite").parquet(s"$scratch/fresh")
+    val fresh = s.read.parquet(s"$scratch/fresh")
+    graft.operators.TextDedup.foldIntoComponents(histLabels, fresh)
+      .write.mode("overwrite").parquet(s"$scratch/folded")
+    val folded = s.read.parquet(s"$scratch/folded")
+    val ends = fresh.select(col("doc_a").as("doc_id"))
+      .unionByName(fresh.select(col("doc_b").as("doc_id"))).distinct()
+    // touched = clusters holding a fresh endpoint: their NEW labels name
+    // the recompute set, their OLD labels name the keeper rows to retire
+    val touchedNew = folded.join(ends, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val touchedOld = histLabels.join(ends, Seq("doc_id"), "left_semi")
+      .select("cluster_id").distinct()
+    val untouched = histKeepers.join(touchedOld, Seq("cluster_id"), "left_anti")
+    val touchedMembers = folded.join(touchedNew, Seq("cluster_id"), "left_semi")
+    // batch docs score fresh (batch-bounded); corpus members read the
+    // staged sidecar — quality is never recomputed for old documents
+    val qual = histQuality.unionByName(docQuality(batch))
+    untouched.unionByName(clusterKeepers(touchedMembers, qual))
+      .sortWithinPartitions("cluster_id")
+  }
+
+  val pipeDedupIncrSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(tk) >= 2
+      |           THEN list_transform(range(1, len(tk)),
+      |                               i -> array_to_string(tk[i:i+1], ' '))
+      |           ELSE [array_to_string(tk, ' ')] END AS s
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                      t -> len(t) > 0) AS tk
+      |        FROM documents)
+      |), sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16),
+      |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+      |  FROM sh
+      |), banded AS (
+      |  SELECT doc_id, sg, b AS band,
+      |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         list_sum(list_transform(range(1, 17),
+      |           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 AS est
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_hash = b.band_hash
+      |   AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT doc_a, doc_b FROM cand WHERE est >= 0.25
+      |), nodes AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_a AS doc_id FROM pairs
+      |        UNION ALL SELECT doc_b FROM pairs)
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+      |), labels AS (
+      |  SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node
+      |), toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |                     t -> len(t) > 0) AS tk
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id,
+      |         round((CASE WHEN len(tk) BETWEEN 10 AND 100000 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN len(tk) > 0 AND
+      |                  len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+      |                    / len(tk) > 0.01 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN (CASE WHEN len(text) > 0 THEN
+      |                  (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+      |                    / len(text) ELSE 0.0 END) < 0.2 THEN 0.25 ELSE 0.0 END) +
+      |               (CASE WHEN len(tk) > 0 AND
+      |                  CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+      |                    BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END), 2) AS quality
+      |  FROM toks
+      |), ranked AS (
+      |  SELECT l.cluster_id, l.doc_id, s.quality,
+      |         row_number() OVER (PARTITION BY l.cluster_id
+      |                            ORDER BY s.quality DESC, l.doc_id) AS rk
+      |  FROM labels l JOIN scored s ON l.doc_id = s.doc_id
+      |)
+      |SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_doc_id,
+      |       max(CASE WHEN rk = 1 THEN quality END) AS keep_quality
+      |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   /** The dd_cluster recursive-CTE oracle parameterized over the source
     * predicate — `""` is the full corpus (dd_cluster / dd_cluster_incr),
     * and the right-to-forget row runs it over live ∖ forgotten, so the
@@ -1843,6 +2027,7 @@ object TextQueries {
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incr" -> (ddClusterIncr _),
     "dd_cluster_del" -> (ddClusterDel _),
+    "pipe_dedup_incr" -> (pipeDedupIncr _),
     "dd_keep_best" -> (ddKeepBest _),
     "ds_sample" -> (dsSample _),
     "ds_stratified" -> (dsStratified _),
@@ -1879,6 +2064,7 @@ object TextQueries {
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incr" -> ddClusterSql,
     "dd_cluster_del" -> ddClusterDelSql,
+    "pipe_dedup_incr" -> pipeDedupIncrSql,
     "dd_keep_best" -> ddKeepBestSql,
     "ds_sample" -> dsSampleSql,
     "ds_stratified" -> dsStratifiedSql,

@@ -332,4 +332,27 @@ class TextDedupSpec extends SparkSuite {
     // 61 replicas collapse into doc 2's rep: still exactly one pair
     assert(got == Seq((1L, 2L, 1.0, 7L)))
   }
+
+  test("incrementalMatchPairs is the exact cross slice of the full banded join") {
+    // pipe_dedup_incr's exactness claim: probing a corpus index with a
+    // batch yields EXACTLY the batch↔corpus pairs of a one-shot LSH run
+    // over corpus ∪ batch (same buckets, same signatures, same est)
+    val corpus = docs(Seq(
+      (1L, "en", 40L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "en", 40L, "alpha beta gamma delta epsilon eta"),
+      (3L, "en", 30L, "one two three four five six")))
+    val batch = docs(Seq(
+      (10L, "en", 40L, "alpha beta gamma delta epsilon zeta"),
+      (11L, "en", 30L, "one two three four five seven"),
+      (12L, "en", 20L, "unrelated text entirely different")))
+    val idx = TextDedup.minhashBandIndex(corpus, 2, 4, 4)
+    val probe = TextDedup.incrementalMatchPairs(idx, batch, 2, 4, 4, 0.25)
+      .select(col("c_id").as("doc_a"), col("b_id").as("doc_b"),
+        round(col("est"), 4).as("est_jaccard"))
+    val full = TextDedup.minhashLshPairs(
+        corpus.unionByName(batch), 2, 4, 4, 0.25)
+      .filter(col("doc_a") < 10 && col("doc_b") >= 10) // the cross slice
+    assert(probe.except(full).isEmpty && full.except(probe).isEmpty)
+    assert(probe.count() > 0)
+  }
 }
