@@ -436,6 +436,147 @@ object TextQueries {
        |FROM t LEFT JOIN f ON t.jband = f.jband
        |ORDER BY t.jband""".stripMargin
 
+  // ---- dedup-quality evaluation: recall matrix over BANDING FAMILIES ----
+  // The data the rotation decision was missing (dd_band_rot ships a
+  // 4×4 → 8×2 rotation, but only 4×4 had a certified recall number, and
+  // the 1000× rung showed 8×2's cost degrading 90.8× under replica
+  // floods): one row per (banding family × jaccard band) with the
+  // family's recall of the exact near-dup truth — 4×4 and 8×2 over the
+  // same 16 hashes (pure banding trade at equal signing cost: S-curve
+  // threshold (1/b)^(1/r) ≈ 0.71 vs 0.59), plus 8×4 over 32 hashes (the
+  // more-hashes escape when neither 16-hash shape satisfies). All three
+  // run the SHIPPED pipeline (minhashLshPairs, est ≥ 0.25), so the
+  // matrix certifies the system a deployment would actually rotate to;
+  // the replica-flood COST curve lives in BENCH_NOTES next to it.
+  def ddBandRecall(s: SparkSession, d: String): DataFrame = {
+    val scratch = graft.Scratch.dir(s, "graft_bandrec_")
+    val bandOf = when(col("jaccard") >= 1.0, "c_exact_1.0")
+      .when(col("jaccard") >= 0.9, "b_[0.9,1.0)")
+      .otherwise("a_[0.8,0.9)")
+    // truth staged ONCE — all three family joins read this small file
+    // instead of replaying the exact-Jaccard pipeline per family
+    ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
+      .withColumn("jband", bandOf)
+      .select("doc_a", "doc_b", "jband")
+      .write.mode("overwrite").parquet(s"$scratch/truth")
+    val truth = s.read.parquet(s"$scratch/truth")
+    Seq(("4x4", 4, 4), ("8x2", 8, 2), ("8x4", 8, 4)).map { case (nm, b, r) =>
+      // minEst = 0 keeps every bucket-colliding candidate: one family
+      // run feeds BOTH the cost columns (n_cand = bucket collisions the
+      // join pays, n_pairs = emitted pairs downstream verification
+      // pays) and the recall join (the shipped est ≥ 0.25 subset).
+      // The 0.25 re-filter on the rounded est is exact: est is m/k with
+      // k ∈ {16, 32}, so no value rounds across the 8/32 boundary.
+      TextDedup.minhashLshPairs(Tables.documents(s, d),
+          shingleN = 2, bands = b, rowsPerBand = r, minEst = 0.0)
+        .write.mode("overwrite").parquet(s"$scratch/fam_$nm")
+      val allp = s.read.parquet(s"$scratch/fam_$nm")
+      val cost = allp.agg(count(lit(1)).as("n_cand"),
+        sum(when(col("est_jaccard") >= 0.25, 1L).otherwise(0L)).as("n_pairs"))
+      val lsh = allp.filter(col("est_jaccard") >= 0.25)
+        .select("doc_a", "doc_b").withColumn("f", lit(1L))
+      // marker left join, not semi: LSH pairs are distinct so there is
+      // no fan-out, and one aggregation feeds both counts (the
+      // dd_lsh_recall move)
+      truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .groupBy("jband")
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("f"), lit(0L))).as("n_found"))
+        .withColumn("family", lit(nm))
+        .crossJoin(broadcast(cost)) // 1-row aggregate
+    }.reduce(_.unionByName(_))
+      .withColumn("recall_bp", expr("(n_found * 10000) div n_true"))
+      .select("family", "jband", "n_true", "n_found", "recall_bp",
+        "n_cand", "n_pairs")
+      .orderBy("family", "jband")
+  }
+
+  /** One family's candidate block for the recall-matrix oracle: every
+    * bucket-colliding pair with its estimate — the dd_minhash_lsh pairs
+    * CTE parameterized over a banded CTE name and its k. est is always
+    * over the family's full k hashes, candidate generation over its
+    * (bands × rowsPerBand) shape.
+    */
+  private def famCandSql(bnd: String, k: Int): String =
+    s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         list_sum(list_transform(range(1, ${k + 1}),
+       |           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / $k.0 AS est
+       |  FROM $bnd a JOIN $bnd b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id""".stripMargin
+
+  lazy val ddBandRecallSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= 2
+       |           THEN list_transform(range(1, len(tk)),
+       |                               i -> array_to_string(tk[i:i+1], ' '))
+       |           ELSE [array_to_string(tk, ' ')] END AS s
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |                      t -> len(t) > 0) AS tk
+       |        FROM documents)
+       |), sig16 AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 16),
+       |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+       |  FROM sh
+       |), sig32 AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 32),
+       |           j -> list_min(list_transform(s, x -> md5(j || ':' || x)))) AS sg
+       |  FROM sh
+       |), b44 AS (
+       |  SELECT doc_id, sg, b AS band,
+       |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+       |  FROM sig16, (SELECT unnest(range(0, 4)) AS b)
+       |), b82 AS (
+       |  SELECT doc_id, sg, b AS band,
+       |         md5(array_to_string(sg[b*2+1 : b*2+2], ',')) AS band_hash
+       |  FROM sig16, (SELECT unnest(range(0, 8)) AS b)
+       |), b84 AS (
+       |  SELECT doc_id, sg, b AS band,
+       |         md5(array_to_string(sg[b*4+1 : b*4+4], ',')) AS band_hash
+       |  FROM sig32, (SELECT unnest(range(0, 8)) AS b)
+       |), fam AS (
+       |  SELECT '4x4' AS family, * FROM (${famCandSql("b44", 16)})
+       |  UNION ALL
+       |  SELECT '8x2' AS family, * FROM (${famCandSql("b82", 16)})
+       |  UNION ALL
+       |  SELECT '8x4' AS family, * FROM (${famCandSql("b84", 32)})
+       |), cost AS (
+       |  SELECT family, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(sum(CASE WHEN est >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_pairs
+       |  FROM fam GROUP BY 1
+       |), truth AS (
+       |  SELECT doc_a, doc_b,
+       |         CASE WHEN jaccard >= 1.0 THEN 'c_exact_1.0'
+       |              WHEN jaccard >= 0.9 THEN 'b_[0.9,1.0)'
+       |              ELSE 'a_[0.8,0.9)' END AS jband
+       |  FROM (
+       |$ddNgramJaccardSql
+       |  ) WHERE jaccard >= 0.8
+       |), t AS (
+       |  SELECT jband, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM truth GROUP BY 1
+       |), f AS (
+       |  SELECT fm.family, tr.jband, CAST(count(*) AS BIGINT) AS n_found
+       |  FROM truth tr JOIN fam fm
+       |    ON fm.doc_a = tr.doc_a AND fm.doc_b = tr.doc_b
+       |  WHERE fm.est >= 0.25
+       |  GROUP BY 1, 2
+       |)
+       |SELECT cost.family AS family, t.jband AS jband, t.n_true AS n_true,
+       |       CAST(coalesce(f.n_found, 0) AS BIGINT) AS n_found,
+       |       CAST((coalesce(f.n_found, 0) * 10000
+       |              - mod(coalesce(f.n_found, 0) * 10000, t.n_true))
+       |            / t.n_true AS BIGINT) AS recall_bp,
+       |       cost.n_cand, cost.n_pairs
+       |FROM cost CROSS JOIN t
+       |LEFT JOIN f ON f.family = cost.family AND f.jband = t.jband
+       |ORDER BY family, jband""".stripMargin
+
   // ---- near-dup: MinHash + LSH banding ----
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
     TextDedup.minhashLshPairs(Tables.documents(s, d),
@@ -2043,6 +2184,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> (ddContainment _),
     "dd_lsh_recall" -> (ddLshRecall _),
+    "dd_band_recall" -> (ddBandRecall _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_scaled" -> (ddMinhashScaled _),
     "dd_incremental" -> (ddIncremental _),
@@ -2080,6 +2222,7 @@ object TextQueries {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_lsh_recall" -> ddLshRecallSql,
+    "dd_band_recall" -> ddBandRecallSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_scaled" -> ddMinhashScaledSql,
     "dd_incremental" -> ddIncrementalSql,
