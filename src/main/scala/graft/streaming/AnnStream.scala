@@ -135,7 +135,7 @@ object AnnStream {
     // The checkpoint identity IS stamped (landBatch `_ckpt`), so a
     // fresh-checkpoint restart on a compacted store fails serve loudly
     // instead of having its restarted ids swallowed by the watermark.
-    val ckptId = ckptIdentity(checkpointDir)
+    val ckptId = ckptIdentity(s, checkpointDir)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val vecs = maxFilesPerTrigger
@@ -154,16 +154,41 @@ object AnnStream {
       .start()
   }
 
-  /** The identity a landed batch's `_ckpt` stamp records: the checkpoint
-    * location when the stream has one (stable across restarts of the
-    * SAME checkpoint, different for a fresh one — exactly the
-    * distinction the watermark's loud-loss gate needs), or a unique
-    * per-definition token for ephemeral-checkpoint streams (which never
-    * resume, so every definition genuinely is a new sequence).
+  /** The identity a landed batch's `_ckpt` stamp records. For a stream
+    * WITH a checkpoint the identity must follow the checkpoint's
+    * CONTENT, not its path: the common "fresh checkpoint" in practice
+    * is wiping and reusing the same directory, where batch ids restart
+    * at 0 — a path-derived identity would stay unchanged and serve's
+    * loud-loss gate would silently swallow the restarted batches, the
+    * exact loss mode the gate exists to catch. So the identity is a
+    * UUID marker (`_graft_identity`) written into the checkpoint
+    * directory on first use: restarts of the SAME checkpoint read the
+    * same marker back, and a wiped-and-recreated directory mints a new
+    * one (the wipe deletes the marker along with the offsets). Spark
+    * ignores foreign files at the checkpoint root, so the marker rides
+    * in the one location whose lifetime IS the batch sequence's.
+    * Ephemeral-checkpoint streams never resume, so every definition is
+    * genuinely a new sequence and gets a fresh token.
     */
-  private[streaming] def ckptIdentity(checkpointDir: Option[String]): String =
-    checkpointDir.getOrElse(
-      "ephemeral_" + java.util.UUID.randomUUID().toString.take(12))
+  private[streaming] def ckptIdentity(s: SparkSession,
+                                      checkpointDir: Option[String]): String =
+    checkpointDir match {
+      case None =>
+        "ephemeral_" + java.util.UUID.randomUUID().toString.take(12)
+      case Some(dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir, "_graft_identity")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } else {
+          val id = "ckpt_" + java.util.UUID.randomUUID().toString.take(12)
+          val out = fs.create(p, false) // no overwrite: lose the race loudly
+          try out.write(id.getBytes("UTF-8")) finally out.close()
+          id
+        }
+    }
 
   /** Resume ingest into a ROTATED store — the post-[[rotateStore]]
     * continuation of [[ivfpqIngestStream]]: encodes arriving vectors
@@ -195,7 +220,7 @@ object AnnStream {
           s"encode under '$generation' — redefine the ingest with the " +
           "store's current quantizers (rotateStore's staging tag) and a " +
           "fresh checkpoint")
-    val ckptId = ckptIdentity(checkpointDir)
+    val ckptId = ckptIdentity(s, checkpointDir)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val vecs = maxFilesPerTrigger

@@ -134,6 +134,18 @@ object DeconStream {
     * best reduction, and the SAME union-with-provenance combiner.
     * Row-equal to `dd_decon_fused` once every corpus row has streamed
     * through (DeconStreamSpec's assertion).
+    *
+    * Duplicate arrivals are reduced defensively: the batch-equality
+    * contract wants each vec_id streamed in exactly one micro-batch,
+    * but a vector landing in TWO source files yields two identical
+    * (query_id, vec_id) candidate rows — ranked naively they would
+    * occupy two shortlist slots where the one-shot probe (which sums a
+    * vector's code rows once) holds one, silently breaking the
+    * row-equality. A min-reduce per (query_id, vec_id) before the
+    * top-k restores the one-shot shape for re-sent identical content;
+    * note it is NOT an upsert — two arrivals carrying DIFFERENT
+    * embeddings under one vec_id keep the closer one, so re-ingest a
+    * changed vector through the store path, not this sink.
     */
   def fusedVerdicts(s: SparkSession, d: String,
                     lexDir: String, semDir: String): DataFrame = {
@@ -144,6 +156,8 @@ object DeconStream {
     val semCands = s.read
       .schema("query_id BIGINT, vec_id BIGINT, adc_dist BIGINT")
       .option("recursiveFileLookup", "true").parquet(semDir)
+      .groupBy("query_id", "vec_id")
+      .agg(min("adc_dist").as("adc_dist"))
     val short = SimilarityQueries
       .adcTopK(semCands, SimilarityQueries.PqR)
       .filter(col("neighbor_id") >= evalN)

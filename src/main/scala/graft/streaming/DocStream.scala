@@ -155,7 +155,7 @@ object DocStream {
     // batches stay generation-unstamped pre-rotation, but carry their
     // checkpoint identity (`_ckpt`) so a fresh-checkpoint restart on a
     // compacted store fails serve loudly instead of being swallowed
-    val ckptId = AnnStream.ckptIdentity(checkpointDir)
+    val ckptId = AnnStream.ckptIdentity(s, checkpointDir)
     val reader = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("recursiveFileLookup", "true")
     val docs = maxFilesPerTrigger
@@ -199,7 +199,7 @@ object DocStream {
           s"'${storeGen.getOrElse("<unstamped>")}' but this stream would " +
           s"sign under '$gen' — resume with the store's rotated family " +
           "and a fresh checkpoint")
-    val ckptId = AnnStream.ckptIdentity(checkpointDir)
+    val ckptId = AnnStream.ckptIdentity(s, checkpointDir)
     val reader = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("recursiveFileLookup", "true")
     val docs = maxFilesPerTrigger

@@ -83,13 +83,14 @@ class MediaStoreSpec extends SparkSuite {
     "over live media") {
     val dir = java.nio.file.Files.createTempDirectory("mediastore")
       .toString + "/prints"
-    MediaStore.ingest(spark, dir, hashesOf(Seq(1L, 2L, 3L, 4L)), "base")
-    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), "batch_0")
+    MediaStore.bootstrap(spark, dir, hashesOf(Seq(1L, 2L, 3L, 4L)))
+    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), 0L, "spec_seq")
     MediaStore.compact(spark, dir)
-    MediaStore.ingest(spark, dir, hashesOf(Seq(7L, 8L)), "batch_1")
+    MediaStore.ingest(spark, dir, hashesOf(Seq(7L, 8L)), 1L, "spec_seq")
     MediaStore.forget(spark, dir, Seq(3L).toDF("media_id"))
-    // the replay: batch_0 re-lands after the fold (watermark excludes it)
-    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), "batch_0")
+    // the replay: batch_0 re-lands after the fold (watermark excludes it
+    // silently — same sequence identity, so it IS a replay)
+    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), 0L, "spec_seq")
 
     val live = Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L)
     assert(pairSet(MediaStore.nearDups(spark, dir, maxHamming = 6))
@@ -118,8 +119,8 @@ class MediaStoreSpec extends SparkSuite {
     "replays loudly") {
     val dir = java.nio.file.Files.createTempDirectory("mediastore_rot")
       .toString + "/prints"
-    MediaStore.ingest(spark, dir, hashesOf(Seq(1L, 2L, 3L, 4L)), "base")
-    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), "batch_0")
+    MediaStore.bootstrap(spark, dir, hashesOf(Seq(1L, 2L, 3L, 4L)))
+    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), 0L, "spec_seq")
     MediaStore.forget(spark, dir, Seq(4L).toDF("media_id"))
 
     // the new family: aHash over 32x32-normalized pixels — a genuinely
@@ -138,8 +139,47 @@ class MediaStoreSpec extends SparkSuite {
       .contains("ahash_norm32"))
     // a pre-rotation batch replayed after the swap: prints from the OLD
     // family would share the Hamming space meaninglessly — serve fails
-    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), "batch_0")
+    MediaStore.ingest(spark, dir, hashesOf(Seq(5L, 6L)), 0L, "spec_seq")
     intercept[IllegalStateException](MediaStore.nearDups(spark, dir, 6))
+  }
+
+  test("streamed print ingest (MediaStream) equals batch ingest, and a " +
+    "wiped-checkpoint restart on the compacted store fails serve loudly") {
+    import java.nio.file.Files
+    val printDir = Files.createTempDirectory("mediastream_p").toString
+    val storeDir = Files.createTempDirectory("mediastream_s")
+      .toString + "/prints"
+    val ckpt = Files.createTempDirectory("mediastream_c").toString + "/ck"
+    MediaStore.bootstrap(spark, storeDir, hashesOf(Seq(1L, 2L)))
+    hashesOf(Seq(3L, 4L)).write.mode("overwrite")
+      .parquet(s"$printDir/p0.parquet")
+    hashesOf(Seq(5L, 6L)).write.mode("overwrite")
+      .parquet(s"$printDir/p1.parquet")
+    val q = graft.streaming.MediaStream.printIngestStream(spark, printDir,
+      storeDir, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    try q.processAllAvailable() finally q.stop()
+    val live = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    assert(pairSet(MediaStore.nearDups(spark, storeDir, maxHamming = 6))
+      == pairSet(Media.bandedHammingPairs(hashesOf(live), maxHamming = 6)),
+      "streamed store must equal the one-pass banded index")
+    MediaStore.compact(spark, storeDir)
+    assert(pairSet(MediaStore.nearDups(spark, storeDir, maxHamming = 6))
+      == pairSet(Media.bandedHammingPairs(hashesOf(live), maxHamming = 6)))
+
+    // WIPE the checkpoint directory and restart at the same path: batch
+    // ids restart at 0 under a NEW sequence identity (the marker died
+    // with the wipe), and the re-landed below-watermark batches must
+    // fail serve LOUDLY — the path-derived identity would have kept the
+    // old identity here and silently swallowed them
+    new scala.reflect.io.Directory(new java.io.File(ckpt))
+      .deleteRecursively()
+    hashesOf(Seq(7L, 8L)).write.mode("overwrite")
+      .parquet(s"$printDir/p2.parquet")
+    val q2 = graft.streaming.MediaStream.printIngestStream(spark, printDir,
+      storeDir, maxFilesPerTrigger = Some(1), checkpointDir = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+    intercept[IllegalStateException](
+      MediaStore.nearDups(spark, storeDir, 6).collect())
   }
 
   test("the audio print family shares the same store machinery") {
@@ -167,7 +207,7 @@ class MediaStoreSpec extends SparkSuite {
       .map { case (id, b) => Media.MediaRow(id, "audio", b, 0, 0) }.toDS()
     val dir = java.nio.file.Files.createTempDirectory("mediastore_audio")
       .toString + "/prints"
-    MediaStore.ingest(spark, dir, Media.audioFingerprints(clips), "base")
+    MediaStore.bootstrap(spark, dir, Media.audioFingerprints(clips))
     val pairs = MediaStore.nearDups(spark, dir, maxHamming = 0).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
       == Set((100L, 101L)),

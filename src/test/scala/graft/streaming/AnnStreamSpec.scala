@@ -278,4 +278,22 @@ class AnnStreamSpec extends SparkSuite {
       stamped.forall(d => new java.io.File(d, "_gen").isFile),
       "every resumed batch dir must carry its generation stamp")
   }
+
+  test("ckptIdentity follows checkpoint CONTENT, not path: a wiped-and-" +
+    "recreated checkpoint at the same path gets a new identity") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_id")
+      .toString + "/ck"
+    val a = AnnStream.ckptIdentity(spark, Some(dir))
+    assert(a == AnnStream.ckptIdentity(spark, Some(dir)),
+      "restarts of the SAME checkpoint must read the same identity back")
+    // the practical "fresh checkpoint": wipe and reuse the same path —
+    // batch ids restart at 0, so the identity MUST change or the serve
+    // gate would silently swallow the restarted batches
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    assert(AnnStream.ckptIdentity(spark, Some(dir)) != a,
+      "a wiped-and-recreated checkpoint is a new batch sequence")
+    assert(AnnStream.ckptIdentity(spark, None)
+      != AnnStream.ckptIdentity(spark, None),
+      "ephemeral-checkpoint definitions never resume: fresh token each")
+  }
 }

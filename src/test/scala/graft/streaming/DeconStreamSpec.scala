@@ -81,4 +81,35 @@ class DeconStreamSpec extends SparkSuite {
     assert(once == twice, "replay must replace, not append")
     assert(once.nonEmpty)
   }
+
+  test("a vector arriving in TWO source files still serves verdicts " +
+    "equal to batch (duplicate candidates min-reduced before the top-k)") {
+    import java.nio.file.Files
+    val vecDir = Files.createTempDirectory("decon_vecs3").toString
+    val lexDir = Files.createTempDirectory("decon_docs3").toString
+    val lexOut = Files.createTempDirectory("decon_lex3").toString + "/lex"
+    val semOut = Files.createTempDirectory("decon_sem3").toString + "/sem"
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+    val emb = graft.Tables.embeddings(spark, sf)
+    docs.write.mode("overwrite").parquet(s"$lexDir/b0.parquet")
+    emb.write.mode("overwrite").parquet(s"$vecDir/b0.parquet")
+    // the duplicate arrival: a corpus slice lands AGAIN in a second
+    // file — identical (query_id, vec_id) candidate rows in two batch
+    // dirs, which an unreduced top-k would rank as two shortlist slots
+    emb.filter(col("vec_id") % 5 === 0)
+      .write.mode("overwrite").parquet(s"$vecDir/b1.parquet")
+    val q1 = DeconStream.lexicalEvidenceStream(spark, lexDir, sf, lexOut)
+    try q1.processAllAvailable() finally q1.stop()
+    val q2 = DeconStream.semanticCandidatesStream(spark, vecDir, sf, semOut,
+      maxFilesPerTrigger = Some(1))
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = DeconStream.fusedVerdicts(spark, sf, lexOut, semOut)
+      .collect().map(_.toSeq).toSet
+    val batch = SimilarityQueries.ddDeconFused(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"duplicate arrivals must not displace shortlist rows; " +
+        s"only-streamed=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
 }
