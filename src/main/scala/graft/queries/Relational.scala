@@ -540,12 +540,17 @@ object Relational {
             .cast("string").as("checksum"))
         .select(lit(table).as("tbl"), col("n_rows"), col("checksum"))
 
-    // the complete relational star schema PLUS documents (all
-    // BIGINT/VARCHAR — nothing non-portable in it); a migration signs
-    // off on the whole warehouse, not a sample of it. Only events.value
-    // (free DOUBLE) and embeddings.embedding (FLOAT[]) stay out: their
-    // string rendering is NOT engine-portable, so their integrity checks
-    // are the oracle queries themselves.
+    // ALL ten tables — a migration signs off on the whole warehouse,
+    // not a sample of it. Free doubles (events.value) and float arrays
+    // (embeddings.embedding) render as µ-scaled integers via FLOOR
+    // (floor(x·10⁶) is pure IEEE arithmetic, identical in any engine,
+    // where a raw double→string rendering and even round() midpoint
+    // behavior are NOT portable — the emb_quantize move). The
+    // quantization is part of the fingerprint DEFINITION: two
+    // warehouses match iff every value agrees to 10⁻⁶, which is
+    // float32-exact for embeddings and beyond the money-grade precision
+    // events carry.
+    def q6(c: Column) = floor(c * 1000000L)
     row("customer", Tables.customer(s, d), Seq(col("c_custkey"), col("c_name"),
         col("c_nationkey"), money(col("c_acctbal")), col("c_mktsegment")))
       .unionByName(row("lineitem", Tables.lineitem(s, d), Seq(col("l_orderkey"),
@@ -556,6 +561,14 @@ object Relational {
       .unionByName(row("documents", Tables.documents(s, d),
         Seq(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))))
+      .unionByName(row("embeddings", Tables.embeddings(s, d),
+        Seq(col("vec_id"),
+          concat_ws(",", transform(col("embedding"),
+            x => q6(x.cast("double")).cast("string"))),
+          col("label"))))
+      .unionByName(row("events", Tables.events(s, d),
+        Seq(col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event_type"), q6(col("value")), col("props"))))
       .unionByName(row("nation", Tables.nation(s, d),
         Seq(col("n_nationkey"), col("n_name"), col("n_regionkey"))))
       .unionByName(row("orders", Tables.orders(s, d), Seq(col("o_orderkey"),
@@ -596,6 +609,14 @@ object Relational {
         money("l_discount"), money("l_tax"), "l_returnflag", "l_linestatus",
         "epoch_us(l_shipdate)")),
       tbl("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+      // µ-scaled FLOOR quantization for the free floats — see the query's
+      // comment: floor(x·10⁶) is engine-portable where round() is not
+      tbl("embeddings", Seq("vec_id",
+        "array_to_string(list_transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',')",
+        "label")),
+      tbl("events", Seq("event_id", "epoch_us(ts)", "user_id", "event_type",
+        "CAST(floor(\"value\" * 1000000) AS BIGINT)", "props")),
       tbl("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
       tbl("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus",
         money("o_totalprice"), "epoch_us(o_orderdate)", "o_orderpriority")),
