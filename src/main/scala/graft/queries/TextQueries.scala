@@ -460,20 +460,42 @@ object TextQueries {
       .select("doc_a", "doc_b", "jband")
       .write.mode("overwrite").parquet(s"$scratch/truth")
     val truth = s.read.parquet(s"$scratch/truth")
+    // The cost columns count DOC-level candidates WITHOUT materializing
+    // them: every doc-level candidate pair is either intra-group (g
+    // replicas of one text collide in every band: C(g,2) pairs, est
+    // 1.0) or the ga·gb expansion of a rep-level bucket collision —
+    // so n_cand = Σ C(g,2) + Σ_repCands ga·gb, exactly, from the
+    // rep-level frame. The first shipped version counted by expanding
+    // minEst = 0 candidates to doc grain, which is the replica-flood
+    // quadratic this suite's own doctrine forbids: at the 100× ladder
+    // rung the three families' sub-0.25 collisions × 100·100
+    // multiplicities made this one query 860 s — 62% of the whole rung
+    // (BENCH_NOTES r14). Weighted rep-level counting is bounded by
+    // distinct texts at any replication.
+    val intra = TextDedup.exactGroups(Tables.documents(s, d))
+      .agg(coalesce(sum(expr("dup_count * (dup_count - 1) div 2")),
+        lit(0L)).cast("long").as("n_intra")) // integer div: g(g-1) is even
     Seq(("4x4", 4, 4), ("8x2", 8, 2), ("8x4", 8, 4)).map { case (nm, b, r) =>
-      // minEst = 0 keeps every bucket-colliding candidate: one family
-      // run feeds BOTH the cost columns (n_cand = bucket collisions the
-      // join pays, n_pairs = emitted pairs downstream verification
-      // pays) and the recall join (the shipped est ≥ 0.25 subset).
-      // The 0.25 re-filter on the rounded est is exact: est is m/k with
-      // k ∈ {16, 32}, so no value rounds across the 8/32 boundary.
-      TextDedup.minhashLshPairs(Tables.documents(s, d),
+      // rep-level candidates with multiplicities (minEst = 0 keeps every
+      // bucket collision; bounded by distinct-text count). The 0.25
+      // re-filter on the rounded est is exact: est is m/k with k ∈
+      // {16, 32}, so no value rounds across the 8/32 boundary.
+      val cross = TextDedup.minhashLshScaledPairs(Tables.documents(s, d),
           shingleN = 2, bands = b, rowsPerBand = r, minEst = 0.0)
-        .write.mode("overwrite").parquet(s"$scratch/fam_$nm")
-      val allp = s.read.parquet(s"$scratch/fam_$nm")
-      val cost = allp.agg(count(lit(1)).as("n_cand"),
-        sum(when(col("est_jaccard") >= 0.25, 1L).otherwise(0L)).as("n_pairs"))
-      val lsh = allp.filter(col("est_jaccard") >= 0.25)
+        .agg(
+          coalesce(sum(col("dups_a") * col("dups_b")), lit(0L))
+            .cast("long").as("cand_cross"),
+          coalesce(sum(when(col("est_jaccard") >= 0.25,
+              col("dups_a") * col("dups_b")).otherwise(0L)), lit(0L))
+            .cast("long").as("pairs_cross"))
+      val cost = cross.crossJoin(broadcast(intra)) // two 1-row aggregates
+        .select((col("cand_cross") + col("n_intra")).as("n_cand"),
+          (col("pairs_cross") + col("n_intra")).as("n_pairs"))
+      // the recall join runs the SHIPPED est ≥ 0.25 pipeline at doc
+      // grain (its output is genuine near-dups — C(g,2)-bounded, the
+      // documented dd_minhash_lsh contract)
+      val lsh = TextDedup.minhashLshPairs(Tables.documents(s, d),
+          shingleN = 2, bands = b, rowsPerBand = r, minEst = 0.25)
         .select("doc_a", "doc_b").withColumn("f", lit(1L))
       // marker left join, not semi: LSH pairs are distinct so there is
       // no fan-out, and one aggregation feeds both counts (the
