@@ -687,7 +687,54 @@ object TextDedup {
     val path = scratch + "/pairs"
     pairs.write.mode("overwrite").parquet(path)
     val p = spark.read.parquet(path)
+    // node set from the RAW pairs: a self-pair (x, x) contributes no
+    // canonical edge but must still surface as a singleton label
+    val nodes = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    ccFromCanonical(spark, scratch,
+      p.select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      nodes, maxIter)
+  }
 
+  /** [[connectedComponents]] for pair lists with NO self-pairs — the
+    * common case (banded LSH and star pairs are strictly `doc_a <
+    * doc_b`). Skips the raw-pair staging write entirely: the node set
+    * equals the canonical edge file's endpoint set, so the input plan is
+    * evaluated exactly once (inside the canonical-edge write) and one
+    * whole write barrier per CC invocation disappears — measurable
+    * because the mini-CC consumers (fold, right-to-forget) are
+    * job-count-floor-bound, not data-bound (CcDelCheck's flat curve).
+    * A self-pair in the input is not silently mislabeled — it is
+    * DROPPED from the node set; every production call site re-attaches
+    * labels through `coalesce(label, doc_id)`, which restores exactly
+    * the singleton semantics, and the delete/fold specs gate that end
+    * to end.
+    */
+  private[graft] def ccOverEdges(pairs: DataFrame,
+                                 maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val scratch = graft.Scratch.dir(spark, "graft_cc_")
+    ccFromCanonical(spark, scratch,
+      pairs.select(
+          greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      null, maxIter)
+  }
+
+  /** The shared large-star/small-star fixpoint over an already-canonical
+    * (u > v, distinct, self-free) edge set. `nodes` null ⇒ derive the
+    * node set from the staged canonical edge file (every node an edge
+    * endpoint — the [[ccOverEdges]] contract).
+    */
+  private def ccFromCanonical(spark: org.apache.spark.sql.SparkSession,
+                              scratch: String, canonical: DataFrame,
+                              nodes: DataFrame, maxIter: Int): DataFrame = {
     // every staged edge file carries its convergence signature as
     // Observation metrics collected DURING the write — (row count,
     // decimal sum of row hashes; decimal: immune to overflow at any edge
@@ -714,14 +761,10 @@ object TextDedup {
     // input several times and the convergence check scans it again, so an
     // unstaged canonicalization would redo the distinct shuffle 3-4x per
     // round. Self-pairs drop here and are restored as singleton labels at
-    // the end.
-    var (edges, prevSig) = writeWithSig(
-      p.select(
-          greatest(col("doc_a"), col("doc_b")).as("u"),
-          least(col("doc_a"), col("doc_b")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct(),
-      s"$scratch/edges_0")
+    // the end (by the caller's node set, or the caller's own coalesce on
+    // the ccOverEdges path).
+    var (edges, prevSig) = writeWithSig(canonical, s"$scratch/edges_0")
+    val edges0 = edges
 
     // large-star: for every node c, attach each strictly-larger neighbor
     // to m(c) = min(neighborhood ∪ {c}). m comes from a groupBy MIN and a
@@ -778,10 +821,15 @@ object TextDedup {
     }
     // at the fixpoint every edge is (member, cluster-min): labels are a
     // projection, plus the min labeling itself and any node the canonical
-    // step dropped (self-pairs) labeled as its own singleton
-    val nodes = p.select(col("doc_a").as("doc_id"))
-      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
-    val labels = nodes
+    // step dropped (self-pairs) labeled as its own singleton. On the
+    // ccOverEdges path the node set comes from the staged canonical
+    // file — two pruned column scans of a small parquet, no second
+    // evaluation of the caller's pair plan.
+    val ns =
+      if (nodes != null) nodes
+      else edges0.select(col("u").as("doc_id"))
+        .unionByName(edges0.select(col("v").as("doc_id"))).distinct()
+    val labels = ns
       .join(edges.select(col("u").as("doc_id"), col("v").as("cid")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("cluster_id"))
@@ -850,7 +898,11 @@ object TextDedup {
     val cond = p.join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"),
         coalesce(col("lb"), col("doc_b")).as("doc_b"))
-    val condLabels = connectedComponents(cond)
+    // ccOverEdges: cond never holds a raw self-pair (probe pairs span
+    // batch↔corpus, LSH pairs are doc_a < doc_b), and a CONTRACTED
+    // self-pair (both endpoints already share a label) is exactly the
+    // no-op case the relabel/novel coalesces below restore
+    val condLabels = ccOverEdges(cond)
       .select(col("doc_id").as("node"), col("cluster_id").as("new_cid"))
     // relabel: a touched component's min can only DROP (to the merged
     // condensed component's min); untouched labels pass through the
@@ -884,16 +936,21 @@ object TextDedup {
     * affected ids, affected → live members, and the passthrough
     * projection), each a linear scan through a broadcast-size semi/anti
     * join — it is never shuffled on its own key, the foldIntoComponents
-    * doctrine. The forget and affected sets are staged to scratch so AQE
-    * sees exact (small) sizes for its broadcast decisions.
+    * doctrine. The affected set is staged to scratch (two consuming
+    * actions); the forget set rides as an explicit broadcast.
     */
   private def splitAffected(labels: DataFrame, forget: DataFrame)
       : (DataFrame, DataFrame, String) = {
     val spark = labels.sparkSession
     val scratch = graft.Scratch.dir(spark, "graft_ccdel_")
-    forget.select("doc_id").distinct()
-      .write.mode("overwrite").parquet(s"$scratch/forget")
-    val f = spark.read.parquet(s"$scratch/forget")
+    // the forget set rides as an explicit broadcast instead of a staged
+    // file (optimization r14, guide §1.2): it is consumed only as the
+    // build side of one semi and one anti join, both of which its
+    // delete-batch-bounded size contract already commits to broadcast —
+    // the staging write barrier bought nothing but a job (AQE sizing is
+    // moot under an explicit hint), and the rebuild per consuming action
+    // is a pruned single-column scan
+    val f = broadcast(forget.select("doc_id").distinct())
     labels.join(f, Seq("doc_id"), "left_semi")
       .select("cluster_id").distinct()
       .write.mode("overwrite").parquet(s"$scratch/affected")
@@ -937,7 +994,7 @@ object TextDedup {
       .join(m.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(m.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
       .select("doc_a", "doc_b")
-    val mini = connectedComponents(live)
+    val mini = ccOverEdges(live)
       .withColumnRenamed("cluster_id", "new_cid")
     val relabeled = members.select("doc_id")
       .join(mini, Seq("doc_id"), "left")
@@ -986,7 +1043,7 @@ object TextDedup {
       .select(col("mn").as("doc_a"), col("doc_id").as("doc_b")).distinct()
     val participants = starred.filter(col("gn") >= 2)
       .select("doc_id").distinct()
-    val mini = connectedComponents(liveEdges)
+    val mini = ccOverEdges(liveEdges)
       .withColumnRenamed("cluster_id", "new_cid")
     // every participant is an edge endpoint (its group has ≥ 2 members),
     // so the coalesce is an invariant guard, not a semantic branch

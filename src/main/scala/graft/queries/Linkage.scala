@@ -85,7 +85,10 @@ object Linkage {
       .filter(col("name_a") < col("name_b") &&
         levenshtein(col("name_a"), col("name_b")) <= 4)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    graft.operators.TextDedup.connectedComponents(edges)
+    // blocked edges are name_a < name_b over distinct name_ids (no
+    // self-pairs) and the inner name join below only ever reads
+    // edge-endpoint labels — the ccOverEdges contract
+    graft.operators.TextDedup.ccOverEdges(edges)
       .select(col("doc_id").as("name_id"), col("cluster_id").as("entity_id"))
       .join(names.select("name", "name_id", "cnt"), "name_id")
       .select(col("name"), col("entity_id"), col("cnt").as("n_parts"))

@@ -199,7 +199,9 @@ object SimilarityQueries {
       .cosineNearDupPairs(contents.select("vec_id", "embedding"),
         nBits = 8, minCos = 0.35)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val cc = graft.operators.TextDedup.connectedComponents(pairs)
+    // vec_a < vec_b pairs, and the membership join coalesces missing
+    // labels to rep_id — the ccOverEdges contract
+    val cc = graft.operators.TextDedup.ccOverEdges(pairs)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     // zero-norm guard: a zero vector's cosine is NULL against everything —
     // including its own replicas — so the naive shape never pairs it and
@@ -2203,6 +2205,14 @@ object SimilarityQueries {
         .select(col("vec_id").as("eval_id"), col("q").as("qq"))))
       .filter(distL2(col("qq"), col("cq")) <= semTau(s))
       .select("vec_id").distinct()
+    // NEGATIVE RESULT (optimization r14, measured): the shipped chain
+    // feeds two counting branches of this one action and is planned
+    // twice — but staging it to scratch first made the query SLOWER
+    // (1.27 → 1.74 s isolated min-of-3 at sf0.1): the duplicate probe
+    // subtrees read the STAGED ivfpq index and overlap on idle cores
+    // inside one action, while the staging write is a serial barrier.
+    // Left inline deliberately; the duplication is planned, not paid in
+    // wall time.
     val flags = ddContaminateSem(s, d).select("vec_id")
     truth.join(flags.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
       .agg(count(lit(1)).cast("long").as("n_true"),
@@ -2345,6 +2355,17 @@ object SimilarityQueries {
         .select(col("vec_id").as("eval_id"), col("q").as("qq"))))
       .filter(distL2(col("qq"), col("cq")) <= semTau(s))
       .select("vec_id").distinct()
+    // NEGATIVE RESULT (optimization r14, measured): this one action
+    // plans the lexical chain four times and the semantic chain three
+    // times (fused's two consumers, the truth union, the per-family
+    // counts) — but BOTH staging variants measured SLOWER than the
+    // inline plan at sf0.1 isolated min-of-3: full chain staging 3.60 →
+    // 4.74 s, staging only the fused flag set 3.60 → 4.61 s. The
+    // duplicate subtrees read staged artifacts (the ivfpq index, the
+    // content-collapse exchanges) and overlap on idle cores inside one
+    // action, while every staging write is a serial barrier. Left
+    // inline deliberately — at cluster saturation the trade flips, but
+    // that is a production-profile decision, not a bench win.
     val lexTruth = TextQueries.contaminateDerived(s, d, salt = None)
       .select(col("doc_id").as("vec_id")).distinct()
     val truth = lexTruth.unionByName(semTruth).distinct()

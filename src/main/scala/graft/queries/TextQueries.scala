@@ -472,41 +472,140 @@ object TextQueries {
     // multiplicities made this one query 860 s — 62% of the whole rung
     // (BENCH_NOTES r14). Weighted rep-level counting is bounded by
     // distinct texts at any replication.
-    val intra = TextDedup.exactGroups(Tables.documents(s, d))
-      .agg(coalesce(sum(expr("dup_count * (dup_count - 1) div 2")),
-        lit(0L)).cast("long").as("n_intra")) // integer div: g(g-1) is even
-    Seq(("4x4", 4, 4), ("8x2", 8, 2), ("8x4", 8, 4)).map { case (nm, b, r) =>
-      // rep-level candidates with multiplicities (minEst = 0 keeps every
-      // bucket collision; bounded by distinct-text count). The 0.25
-      // re-filter on the rounded est is exact: est is m/k with k ∈
-      // {16, 32}, so no value rounds across the 8/32 boundary.
-      val cross = TextDedup.minhashLshScaledPairs(Tables.documents(s, d),
-          shingleN = 2, bands = b, rowsPerBand = r, minEst = 0.0)
-        .agg(
-          coalesce(sum(col("dups_a") * col("dups_b")), lit(0L))
-            .cast("long").as("cand_cross"),
-          coalesce(sum(when(col("est_jaccard") >= 0.25,
-              col("dups_a") * col("dups_b")).otherwise(0L)), lit(0L))
-            .cast("long").as("pairs_cross"))
-      val cost = cross.crossJoin(broadcast(intra)) // two 1-row aggregates
-        .select((col("cand_cross") + col("n_intra")).as("n_cand"),
-          (col("pairs_cross") + col("n_intra")).as("n_pairs"))
-      // the recall join runs the SHIPPED est ≥ 0.25 pipeline at doc
-      // grain (its output is genuine near-dups — C(g,2)-bounded, the
-      // documented dd_minhash_lsh contract)
-      val lsh = TextDedup.minhashLshPairs(Tables.documents(s, d),
-          shingleN = 2, bands = b, rowsPerBand = r, minEst = 0.25)
-        .select("doc_a", "doc_b").withColumn("f", lit(1L))
-      // marker left join, not semi: LSH pairs are distinct so there is
-      // no fan-out, and one aggregation feeds both counts (the
-      // dd_lsh_recall move)
-      truth.join(lsh, Seq("doc_a", "doc_b"), "left")
-        .groupBy("jband")
-        .agg(count(lit(1)).as("n_true"),
-          sum(coalesce(col("f"), lit(0L))).as("n_found"))
-        .withColumn("family", lit(nm))
-        .crossJoin(broadcast(cost)) // 1-row aggregate
+    //
+    // SHARED-WORK shape (optimization r14, guide §1.2/§2.3): the first
+    // shipped version ran minhashLshScaledPairs + minhashLshPairs per
+    // family — SIX fingerprint collapses and SIX MinHash signings of the
+    // corpus (2×16 + 1×32 hashes, twice), plus three exactGroups
+    // collapses for the intra count. All six legs are functions of ONE
+    // collapsed group table and ONE 32-hash signature (minhashSignature
+    // seeds are 0..k-1, so the 16-hash families' signature is exactly
+    // slice(sig, 1, 16) — bit-identical prefix sharing), and each
+    // family's cost aggregate and recall pair set are two readers of ONE
+    // rep-level banded pair file (est at minEst = 0; the shipped 0.25
+    // threshold is a filter over it — est is m/k, so filtering the
+    // 4-decimal rounded est is exact). Three families band in ONE fused
+    // pass (union + one bucket shuffle). Measured 15.45 → 9.72 s at
+    // sf0.1 (isolated min-of-3, same subset, same session); output
+    // bit-identical (oracle re-gated at sf0.001 + sf0.01).
+    val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val groups = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("members"),
+        count(lit(1)).as("dup_count"))
+      // EXPLICIT-count repartition between the collapse and the signing:
+      // the collapsed reps are tiny in BYTES, so AQE coalesces the
+      // grouping exchange to one partition — and the 32-hash signing
+      // projection downstream of it then runs on ONE core (measured: a
+      // single-task 6.2 s stage at sf0.1, the Par.sortSpread trap). An
+      // explicit count is user-specified and AQE keeps it; the count is
+      // the session's shuffle parallelism, not a local constant.
+      .repartition(nPart, col("rep_id"))
+      // tk staged before shingles references it in a lambda, shingles
+      // before the signature — the minhashBandIndex no-CSE rule
+      .select(col("rep_id"), col("members"), col("dup_count"),
+        TextFns.tokens(col("text")).as("tk"))
+      .select(col("rep_id"), col("members"), col("dup_count"),
+        TextFns.shingles(col("tk"), 2).as("sh"))
+      .select(col("rep_id"), col("members"), col("dup_count"),
+        TextFns.minhashSignature(col("sh"), 32).as("sig"))
+    groups.write.mode("overwrite").parquet(s"$scratch/groups")
+    val g = s.read.parquet(s"$scratch/groups")
+
+    val nIntra = g.agg(coalesce(sum(expr("dup_count * (dup_count - 1) div 2")),
+      lit(0L)).cast("long").as("n_intra")) // integer div: g(g-1) is even
+    // intra-group doc pairs (est 1.0 — admitted by every family's 0.25
+    // threshold) are family-independent: staged once, read three times
+    g.filter(size(col("members")) >= 2)
+      .select(explode(TextDedup.expandSortedPairs(col("members"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .write.mode("overwrite").parquet(s"$scratch/intra")
+    val intraPairs = s.read.parquet(s"$scratch/intra")
+
+    // all three families' banded rep rows in ONE frame → one bucket
+    // shuffle; keys are (family, band, band_hash), est over the family's
+    // own k hashes — bandBucketPairs' algebra verbatim per family
+    val fams = Seq(("4x4", 4, 4, 16), ("8x2", 8, 2, 16), ("8x4", 8, 4, 32))
+    fams.map { case (nm, b, r, k) =>
+      val sigK = if (k == 32) col("sig") else slice(col("sig"), 1, k)
+      g.select(lit(nm).as("family"), lit(k).as("k"),
+          col("rep_id").as("doc_id"), sigK.as("fsig"),
+          posexplode(transform(sequence(lit(0), lit(b - 1)),
+            bb => md5(array_join(
+              slice(sigK, bb * lit(r) + 1, lit(r)), ",")))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash")
     }.reduce(_.unionByName(_))
+      .groupBy("family", "k", "band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fsig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(col("family"),
+        explode(TextDedup.expandSortedPairs(col("ms"), (x, y) =>
+          struct(
+            x("doc_id").as("doc_a"),
+            y("doc_id").as("doc_b"),
+            (size(filter(zip_with(x("fsig"), y("fsig"), (p, q) => p === q),
+              eq => eq)).cast("double") / col("k")).as("est_jaccard")))).as("pr"))
+      .select(col("family"), col("pr.doc_a").as("doc_a"),
+        col("pr.doc_b").as("doc_b"), col("pr.est_jaccard").as("est_jaccard"))
+      .distinct() // same pair can collide in several bands
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
+      .write.mode("overwrite").parquet(s"$scratch/reppairs")
+    val repPairs = s.read.parquet(s"$scratch/reppairs")
+
+    // ONE pass per leg for ALL THREE families (the family column rides
+    // the grouped keys), instead of three copies of each join/aggregate
+    // branch — the final action's stage count is what the query is
+    // bound by once the shared signing is in place.
+    val dups = g.select(col("rep_id"), col("dup_count"))
+    val m = g.select(col("rep_id"), col("members"))
+    val cost3 = repPairs
+      .join(dups.toDF("doc_a", "dups_a"), "doc_a")
+      .join(dups.toDF("doc_b", "dups_b"), "doc_b")
+      .groupBy("family")
+      .agg(
+        coalesce(sum(col("dups_a") * col("dups_b")), lit(0L))
+          .cast("long").as("cand_cross"),
+        coalesce(sum(when(col("est_jaccard") >= 0.25,
+            col("dups_a") * col("dups_b")).otherwise(0L)), lit(0L))
+          .cast("long").as("pairs_cross"))
+      .crossJoin(broadcast(nIntra)) // 3-row × 1-row
+      .select(col("family"), (col("cand_cross") + col("n_intra")).as("n_cand"),
+        (col("pairs_cross") + col("n_intra")).as("n_pairs"))
+    // the recall side reads the SHIPPED est ≥ 0.25 pair set at doc grain
+    // (minhashLshPairs' intra ∪ expanded-cross composition per family —
+    // genuine near-dups, C(g,2)-bounded). Intra pairs are identical for
+    // every family (est 1.0), so they fan to the three tags by literal.
+    val crossDocs = repPairs.filter(col("est_jaccard") >= 0.25)
+      .join(m.toDF("doc_a", "ma"), "doc_a")
+      .join(m.toDF("doc_b", "mb"), "doc_b")
+      .select(col("family"), explode(flatten(transform(col("ma"), x =>
+        transform(col("mb"), y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
+      .select(col("family"), col("p.doc_a").as("doc_a"),
+        col("p.doc_b").as("doc_b"))
+    val lshAll = fams.map { case (nm, _, _, _) =>
+      intraPairs.select(lit(nm).as("family"), col("doc_a"), col("doc_b"))
+    }.reduce(_.unionByName(_)).unionByName(crossDocs)
+    // ONE inner join attributes found truth rows to (family, jband);
+    // LSH pair sets are distinct per family so the count is exact, and
+    // n_true is family-independent (one tiny aggregate). The grid
+    // restores (family, jband) cells no family found.
+    val found = truth.join(lshAll, Seq("doc_a", "doc_b"))
+      .groupBy("family", "jband").agg(count(lit(1)).as("n_found"))
+    val base = truth.groupBy("jband").agg(count(lit(1)).as("n_true"))
+    fams.map { case (nm, _, _, _) =>
+      base.select(lit(nm).as("family"), col("jband"), col("n_true"))
+    }.reduce(_.unionByName(_))
+      .join(found, Seq("family", "jband"), "left")
+      .select(col("family"), col("jband"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"))
+      .join(broadcast(cost3), "family")
       .withColumn("recall_bp", expr("(n_found * 10000) div n_true"))
       .select("family", "jband", "n_true", "n_found", "recall_bp",
         "n_cand", "n_pairs")
@@ -978,7 +1077,10 @@ object TextQueries {
   private[graft] def clusterDerived(s: SparkSession, d: String,
                                     salt: Option[org.apache.spark.sql.Column],
                                     cc: DataFrame => DataFrame =
-                                      TextDedup.connectedComponents(_)): DataFrame = {
+                                      // star pairs are strictly a < b, and
+                                      // participants coalesce missing labels
+                                      // — the ccOverEdges contract
+                                      TextDedup.ccOverEdges(_)): DataFrame = {
     val docs = Tables.documents(s, d)
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
@@ -1043,7 +1145,7 @@ object TextQueries {
         col("doc_b") * 5 < (col("mx") + 1) * 4
       val hist = graft.Scratch.stagedFrame(s,
         "graft_ccincr_labels_" + graft.Scratch.digest(d)) {
-        TextDedup.connectedComponents(
+        TextDedup.ccOverEdges(
           pb.filter(isOld).select("doc_a", "doc_b"))
       }
       TextDedup.foldIntoComponents(hist,
@@ -1168,7 +1270,7 @@ object TextQueries {
       TextDedup.minhashBandIndex(corpus, shingleN = 2, bands = 4, rowsPerBand = 4)
     }
     val histLabels = graft.Scratch.stagedFrame(s, "graft_pipedd_labels_" + key) {
-      TextDedup.connectedComponents(
+      TextDedup.ccOverEdges(
         TextDedup.minhashLshPairs(corpus, 2, 4, 4, minEst = 0.25)
           .select("doc_a", "doc_b"))
     }
@@ -1180,13 +1282,92 @@ object TextQueries {
     }
     // ---- the daily pass ----
     val scratch = graft.Scratch.dir(s, "graft_pipedd_run_")
+    // ONE collapse + ONE signing of the batch serves BOTH fresh-pair
+    // legs (optimization r14, guide §1.2/§2.3): the first shipped
+    // version signed every batch doc for the corpus probe
+    // (incrementalMatchPairs) and then collapsed + re-signed the reps
+    // for the batch-internal LSH (minhashLshPairs). Signatures are
+    // functions of the normalized text, so replicas share their rep's
+    // signature verbatim: the probe's (b, c) verdicts are the rep
+    // verdicts expanded through membership (distinct at rep grain ⇒
+    // distinct at doc grain — each doc has exactly one rep), and the
+    // batch-internal pairs are the intra ∪ expanded-cross composition
+    // minhashLshPairs documents. Output row set is identical (oracle
+    // re-gated); the batch is tokenized/hashed once instead of twice.
+    batch
+      .select(col("doc_id"), col("text"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep_id"),
+        min_by(col("text"), col("doc_id")).as("text"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      // explicit-count respread before the signing projection — AQE
+      // coalesces the tiny collapse exchange to one partition and would
+      // serialize the per-rep hash work (see ddBandRecall's note)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("rep_id"))
+      .select(col("rep_id"), col("members"), TextFns.tokens(col("text")).as("tk"))
+      .select(col("rep_id"), col("members"), TextFns.shingles(col("tk"), 2).as("sh"))
+      .select(col("rep_id"), col("members"),
+        TextFns.minhashSignature(col("sh"), 16).as("sig"))
+      .write.mode("overwrite").parquet(s"$scratch/bgroups")
+    val bg = s.read.parquet(s"$scratch/bgroups")
+    // rep-grain band index — minhashBandIndex's (band, band_hash) shape
+    // over the staged signature
+    val bIdx = bg.select(col("rep_id").as("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          bb => md5(array_join(slice(col("sig"), bb * lit(4) + 1, lit(4)), ",")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val mm = bg.select(col("rep_id"), col("members"))
+    // corpus probe at rep grain (incrementalMatchPairs' join + est
+    // algebra verbatim), expanded through batch membership
+    val probePairs = bIdx
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("b_rep"), col("sig").as("b_sig"))
+      .join(idx.select(col("band"), col("band_hash"),
+        col("doc_id").as("c_id"), col("sig").as("c_sig")),
+        Seq("band", "band_hash"))
+      .select(col("b_rep"), col("c_id"),
+        (size(filter(zip_with(col("b_sig"), col("c_sig"), (p, q) => p === q),
+          eq => eq)).cast("double") / 16).as("est"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("est") >= 0.25)
+      .join(mm.toDF("b_rep", "members"), "b_rep")
+      .select(explode(col("members")).as("doc_a"), col("c_id").as("doc_b"))
+    // batch-internal pairs: bucket self-join over the same rep index
+    // (bandBucketPairs' algebra), intra + cross expanded — the
+    // minhashLshPairs composition over the shared signatures
+    val repPairs = bIdx
+      .groupBy("band", "band_hash")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(TextDedup.expandSortedPairs(col("ms"), (x, y) =>
+        struct(
+          x("doc_id").as("doc_a"),
+          y("doc_id").as("doc_b"),
+          (size(filter(zip_with(x("sig"), y("sig"), (p, q) => p === q),
+            eq => eq)).cast("double") / 16).as("est")))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.est").as("est"))
+      .distinct()
+      .filter(col("est") >= 0.25)
+    val crossPairs = repPairs
+      .join(mm.toDF("doc_a", "ma"), "doc_a")
+      .join(mm.toDF("doc_b", "mb"), "doc_b")
+      .select(explode(flatten(transform(col("ma"), x =>
+        transform(col("mb"), y =>
+          struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+    val intraPairs = bg.filter(size(col("members")) >= 2)
+      .select(explode(TextDedup.expandSortedPairs(col("members"), (x, y) =>
+        struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     // fresh pairs staged once: the fold, the endpoint set, and the
     // touched-cluster derivation all read this small batch-bounded file
-    TextDedup.incrementalMatchPairs(idx, batch,
-        shingleN = 2, bands = 4, rowsPerBand = 4, minEst = 0.25)
-      .select(col("b_id").as("doc_a"), col("c_id").as("doc_b"))
-      .unionByName(TextDedup.minhashLshPairs(batch, 2, 4, 4, minEst = 0.25)
-        .select("doc_a", "doc_b"))
+    probePairs
+      .unionByName(intraPairs)
+      .unionByName(crossPairs)
       .write.mode("overwrite").parquet(s"$scratch/fresh")
     val fresh = s.read.parquet(s"$scratch/fresh")
     graft.operators.TextDedup.foldIntoComponents(histLabels, fresh)

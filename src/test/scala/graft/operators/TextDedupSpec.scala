@@ -136,6 +136,31 @@ class TextDedupSpec extends SparkSuite {
     assert(got == Set((5L, 5L), (7L, 7L), (8L, 7L)))
   }
 
+  test("ccOverEdges ≡ connectedComponents on self-free graphs; " +
+    "self-pairs are dropped, not mislabeled") {
+    // a deterministic pseudo-random mixed graph: chains, a star, a
+    // triangle, reversed orientations, duplicate edges
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 2L), // triangle + tail, reversed
+      (10L, 11L), (11L, 12L), (12L, 13L),     // chain
+      (20L, 21L), (20L, 22L), (20L, 23L),     // star
+      (21L, 20L), (10L, 11L))                 // dup + reverse dup
+      .toDF("doc_a", "doc_b")
+    val full = TextDedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet
+    val slim = TextDedup.ccOverEdges(edges)
+      .as[(Long, Long)].collect().toSet
+    assert(slim == full)
+    // the documented contract: a self-pair contributes no canonical edge
+    // and ccOverEdges drops its node (callers coalesce it back); the
+    // full form keeps it as a singleton
+    val withSelf = edges.unionByName(Seq((50L, 50L)).toDF("doc_a", "doc_b"))
+    assert(TextDedup.ccOverEdges(withSelf)
+      .as[(Long, Long)].collect().toSet == full)
+    assert(TextDedup.connectedComponents(withSelf)
+      .as[(Long, Long)].collect().toSet == full + ((50L, 50L)))
+  }
+
   test("foldIntoComponents: fold == recompute, bit-equal, across merge " +
     "shapes (old-old bridge, novel chain, mixed, self-pairs, empty batch)") {
     def cc(pairs: Seq[(Long, Long)]) =
