@@ -454,7 +454,13 @@ object TextQueries {
       .when(col("jaccard") >= 0.9, "b_[0.9,1.0)")
       .otherwise("a_[0.8,0.9)")
     // truth staged ONCE — all three family joins read this small file
-    // instead of replaying the exact-Jaccard pipeline per family
+    // instead of replaying the exact-Jaccard pipeline per family.
+    // NEGATIVE RESULT (optimization r14): running this write on a second
+    // driver thread so it overlaps the group/signature staging (guide
+    // §2.6) measured NO gain at sf0.1 (10.27 vs 9.7-10.3 s across runs)
+    // — both pipelines are AQE mini-stage chains that bottleneck at the
+    // scheduler, not at executor occupancy, so there is no idle tail to
+    // back-fill. Kept serial for simplicity.
     ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
       .withColumn("jband", bandOf)
       .select("doc_a", "doc_b", "jband")
