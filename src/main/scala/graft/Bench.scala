@@ -38,9 +38,15 @@ object Bench {
     // measured (a row-preserving query like emb_quantize collapses to a
     // parquet row count) and EliminateSorts drop every final ORDER BY —
     // timing a different, cheaper plan than the one the oracle certified
+    // job description = query name (guide §1.5): pure scheduler metadata
+    // so event-log/UI attribution is per-query instead of time-sliced —
+    // the timed region and the plan are unchanged
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-            dir: String): Unit =
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+            dir: String, label: String = ""): Unit = {
+      if (label.nonEmpty) spark.sparkContext.setJobDescription(label)
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      finally if (label.nonEmpty) spark.sparkContext.setJobDescription(null)
+    }
 
     // Standard JVM benchmarking shape:
     //  1. one pass at the tiny SF initializes codegen, broadcast machinery
@@ -61,13 +67,13 @@ object Bench {
           SparkEntry.queries.filter { case (k, _) => keep(k) }
         case None => SparkEntry.queries
       }
-    selected.foreach { case (_, fn) =>
-      try run(fn, warmupDir) catch { case _: Throwable => () }
+    selected.foreach { case (name, fn) =>
+      try run(fn, warmupDir, s"warmup:$name") catch { case _: Throwable => () }
     }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
         val t0 = System.nanoTime()
-        val ok = try { run(fn, sfDir); true }
+        val ok = try { run(fn, sfDir, s"$name#$i"); true }
                  catch { case _: Throwable => false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
