@@ -122,6 +122,15 @@ object Scratch {
     * exchanges, not arbitrary subtrees), or when several queries derive
     * from one artifact. Real file statistics are a side benefit: joins
     * downstream plan from actual sizes.
+    *
+    * The build-time schema rides the memo value (the
+    * [[stagedFramePartitioned]] NUL encoding) and is re-applied on every
+    * read-back: a bare `spark.read.parquet` runs a footer
+    * schema-inference JOB per call (event-log measured, a `parquet at
+    * <site>` job of ~20-40 ms driver latency each), and stagedFrame is
+    * read once per consumer per invocation — the inference jobs were a
+    * fixed tax on every staged artifact in the suite. The writer's
+    * schema IS the flat file's schema, so the frame is identical.
     */
   def stagedFrame(spark: SparkSession, key: String)
                  (build: => org.apache.spark.sql.DataFrame)
@@ -134,12 +143,33 @@ object Scratch {
       }
       m
     }
-    val path = Memo.getOrPut(perSession, key) {
+    val entry = Memo.getOrPut(perSession, key) {
+      val df = build
       val p = dirFor(spark, key) + "/frame"
-      build.write.mode("overwrite").parquet(p)
-      p
+      df.write.mode("overwrite").parquet(p)
+      p + "\u0000" + df.schema.json
     }
-    spark.read.parquet(path)
+    val sep = entry.indexOf('\u0000')
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(entry.substring(sep + 1))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    spark.read.schema(schema).parquet(entry.substring(0, sep))
+  }
+
+  /** Write `df` to scratch parquet at `path` and hand back the
+    * parquet-backed read with the WRITER's schema applied — the
+    * write-barrier idiom (`X.write.parquet(p); spark.read.parquet(p)`)
+    * minus the footer schema-inference job the bare read runs per
+    * read-back (one `parquet at <site>` job each, event-log measured;
+    * per CC round and per staged artifact those were ~15% of a
+    * job-floor-bound query's job count). Flat layouts only: a
+    * partitionBy write needs [[stagedFramePartitioned]]'s column-order
+    * restore as well.
+    */
+  def writeRead(df: org.apache.spark.sql.DataFrame, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.schema(df.schema).parquet(path)
   }
 
   /** [[stagedFrame]] with a Hive-style partition layout: the artifact is

@@ -87,15 +87,13 @@ object TextDedup {
     // At scale this staged table IS the exact-dedup artifact pipelines
     // already materialize.
     val path = graft.Scratch.dir(spark, "graft_lsh_") + "/groups"
-    docs
+    val groups = graft.Scratch.writeRead(docs
       .select(col("doc_id"), col("text"), TextFns.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("rep_id"),
         min_by(col("text"), col("doc_id")).as("text"),
         sort_array(collect_list(col("doc_id"))).as("members"))
-      .select("rep_id", "text", "members")
-      .write.mode("overwrite").parquet(path)
-    val groups = spark.read.parquet(path)
+      .select("rep_id", "text", "members"), path)
 
     val repPairs = bandBucketPairs(
       groups.select(col("rep_id").as("doc_id"), col("text")),
@@ -319,15 +317,13 @@ object TextDedup {
     // sf0.1; Spark reuses exchanges, not arbitrary subtrees, and the
     // post-collapse projections differ per consumer).
     val path = graft.Scratch.dir(spark, "graft_lshsc_") + "/reps"
-    docs
+    val reps = graft.Scratch.writeRead(docs
       .select(col("doc_id"), col("text"), TextFns.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"),
         min_by(col("text"), col("doc_id")).as("text"),
         count(lit(1)).as("dup_count"))
-      .select("doc_id", "text", "dup_count")
-      .write.mode("overwrite").parquet(path)
-    val reps = spark.read.parquet(path)
+      .select("doc_id", "text", "dup_count"), path)
     val dups = reps.select(col("doc_id"), col("dup_count"))
     // reps are unique texts by construction — feed the raw engine directly
     // (minhashLshPairs would pay a second, no-op collapse shuffle)
@@ -412,7 +408,7 @@ object TextDedup {
         i => xxhash64((0 until shingleN).map(k =>
           element_at(col("th"), (i + k).cast("int"))): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", col("tk")))))
-    graft.Par.spread(docs)
+    val withSets = graft.Scratch.writeRead(graft.Par.spread(docs)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lenBand).cast("long").as("len_bucket"),
         col("text"), TextFns.fingerprint(col("text")).as("fp"))
@@ -427,9 +423,7 @@ object TextDedup {
         col("members"), col("tk"),
         transform(col("tk"), t => xxhash64(t)).as("th"))
       .select(col("doc_id"), col("lang"), col("len_bucket"), col("g"),
-        col("members"), array_distinct(winHash).as("sh"))
-      .write.mode("overwrite").parquet(path)
-    val withSets = spark.read.parquet(path)
+        col("members"), array_distinct(winHash).as("sh")), path)
     val blockKeys = Seq("lang", "len_bucket", "sh_h")
     val exploded = withSets
       .select(col("lang"), col("len_bucket"), col("doc_id"), col("g"),
@@ -685,8 +679,7 @@ object TextDedup {
     // round. scratch resolves to shared storage (see Scratch).
     val scratch = graft.Scratch.dir(spark, "graft_cc_")
     val path = scratch + "/pairs"
-    pairs.write.mode("overwrite").parquet(path)
-    val p = spark.read.parquet(path)
+    val p = graft.Scratch.writeRead(pairs, path)
     // node set from the RAW pairs: a self-pair (x, x) contributes no
     // canonical edge but must still surface as a singleton label
     val nodes = p.select(col("doc_a").as("doc_id"))
@@ -751,7 +744,10 @@ object TextDedup {
         case d: java.math.BigDecimal => d
         case d: scala.math.BigDecimal => d.bigDecimal
       }
-      (spark.read.parquet(dest), (m("n").asInstanceOf[Long], h))
+      // writer-schema read-back: skips the per-round footer-inference job
+      // (one per CC round — the hottest writeRead-shaped site in the repo)
+      (spark.read.schema(df.schema).parquet(dest),
+        (m("n").asInstanceOf[Long], h))
     }
     def sameSig(a: (Long, java.math.BigDecimal),
                 b: (Long, java.math.BigDecimal)): Boolean =
@@ -841,8 +837,7 @@ object TextDedup {
     // one file scan, and the fixpoint work is never replayed. `edges` is
     // itself a checkpoint scan, so this join reads two small files.
     val labelsPath = scratch + "/labels"
-    labels.write.mode("overwrite").parquet(labelsPath)
-    spark.read.parquet(labelsPath)
+    graft.Scratch.writeRead(labels, labelsPath)
   }
 
   /** Fold a NEW batch of near-dup pairs into PERSISTED component labels
@@ -878,17 +873,15 @@ object TextDedup {
     val scratch = graft.Scratch.dir(spark, "graft_ccfold_")
     // stage the batch once: three derivations consume it, and staged
     // parquet gives AQE exact sizes for its broadcast decisions
-    newPairs.select(col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$scratch/pairs")
-    val p = spark.read.parquet(s"$scratch/pairs")
+    val p = graft.Scratch.writeRead(
+      newPairs.select(col("doc_a"), col("doc_b")), s"$scratch/pairs")
     val ends = p.select(col("doc_a").as("doc_id"))
       .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
     // the touched slice of the persisted labels — the only label read
     // besides the final projection, output bounded by the batch's
     // endpoint count
-    labels.join(ends, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$scratch/touched")
-    val touched = spark.read.parquet(s"$scratch/touched")
+    val touched = graft.Scratch.writeRead(
+      labels.join(ends, Seq("doc_id"), "left_semi"), s"$scratch/touched")
     val la = touched.select(col("doc_id").as("doc_a"),
       col("cluster_id").as("la"))
     val lb = touched.select(col("doc_id").as("doc_b"),
@@ -951,14 +944,12 @@ object TextDedup {
     // moot under an explicit hint), and the rebuild per consuming action
     // is a pruned single-column scan
     val f = broadcast(forget.select("doc_id").distinct())
-    labels.join(f, Seq("doc_id"), "left_semi")
-      .select("cluster_id").distinct()
-      .write.mode("overwrite").parquet(s"$scratch/affected")
-    val affected = spark.read.parquet(s"$scratch/affected")
-    labels.join(affected, Seq("cluster_id"), "left_semi")
-      .join(f, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$scratch/members")
-    val members = spark.read.parquet(s"$scratch/members")
+    val affected = graft.Scratch.writeRead(
+      labels.join(f, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct(), s"$scratch/affected")
+    val members = graft.Scratch.writeRead(
+      labels.join(affected, Seq("cluster_id"), "left_semi")
+        .join(f, Seq("doc_id"), "left_anti"), s"$scratch/members")
     val passthrough = labels.join(affected, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id")
     (passthrough, members, scratch)
@@ -1032,9 +1023,9 @@ object TextDedup {
     // persisted key table partitioned by id range this read prunes to
     // the affected slice; staged so the window and the participant
     // filter read one compact file
-    keyed.join(members.select("doc_id"), Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$scratch/keyed")
-    val km = spark.read.parquet(s"$scratch/keyed")
+    val km = graft.Scratch.writeRead(
+      keyed.join(members.select("doc_id"), Seq("doc_id"), "left_semi"),
+      s"$scratch/keyed")
     val w = Window.partitionBy("k")
     val starred = km
       .withColumn("mn", min("doc_id").over(w))
@@ -1111,7 +1102,7 @@ object TextDedup {
         i => xxhash64((0 until shingleN).map(k =>
           element_at(col("th"), (i + k).cast("int"))): _*)))
       .otherwise(array(xxhash64(concat_ws(" ", col("tk")))))
-    graft.Par.spread(docs)
+    val sets = graft.Scratch.writeRead(graft.Par.spread(docs)
       .select(col("lang"), TextFns.fingerprint(col("text")).as("fp"),
         col("doc_id"), col("text"))
       .groupBy("fp", "lang")
@@ -1119,9 +1110,7 @@ object TextDedup {
       .select(col("doc_id"), col("lang"), TextFns.tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("lang"), col("tk"),
         transform(col("tk"), t => xxhash64(t)).as("th"))
-      .select(col("doc_id"), col("lang"), array_distinct(winHash).as("sh"))
-      .write.mode("overwrite").parquet(path)
-    val sets = spark.read.parquet(path)
+      .select(col("doc_id"), col("lang"), array_distinct(winHash).as("sh")), path)
     val exploded = sets.select(col("lang"), col("doc_id"),
       explode(col("sh")).as("sh_h"))
     val freq = exploded.groupBy("lang", "sh_h").agg(count(lit(1)).as("df"))

@@ -57,10 +57,9 @@ object Graph {
     // only dedupes within one action; see the write-barrier memo in
     // TextDedup.ngramJaccardPairs for the opposite verdict in-action)
     val degPath = scratch + "/deg"
-    sym.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-      .write.mode("overwrite").parquet(degPath)
-    val deg = s.read.parquet(degPath)
+    val deg = graft.Scratch.writeRead(
+      sym.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")), degPath)
 
     var state = deg.withColumn("pr", lit(1000000L))
     for (i <- 1 to Iters) {
@@ -72,9 +71,7 @@ object Graph {
         .select(col("node"), col("deg"),
           (lit(150000L) + expr("85 * coalesce(sc, 0L) div 100")).as("pr"))
       if (i % CkptEvery == 0 && i < Iters) {
-        val p = s"$scratch/state_$i"
-        state.write.mode("overwrite").parquet(p)
-        state = s.read.parquet(p)
+        state = graft.Scratch.writeRead(state, s"$scratch/state_$i")
       }
     }
     state

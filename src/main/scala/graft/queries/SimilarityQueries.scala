@@ -438,11 +438,8 @@ object SimilarityQueries {
     val H = graft.operators.Content.H
     val Gc = graft.operators.Content.G
     val scratch = graft.Scratch.dir(s, "graft_km_")
-    def stage(c: DataFrame, name: String): DataFrame = {
-      val p = s"$scratch/$name"
-      c.write.mode("overwrite").parquet(p)
-      s.read.parquet(p)
-    }
+    def stage(c: DataFrame, name: String): DataFrame =
+      graft.Scratch.writeRead(c, s"$scratch/$name")
 
     val emb = Tables.embeddings(s, d)
     val reps0 = graft.operators.Content

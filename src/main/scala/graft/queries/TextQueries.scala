@@ -461,11 +461,10 @@ object TextQueries {
     // — both pipelines are AQE mini-stage chains that bottleneck at the
     // scheduler, not at executor occupancy, so there is no idle tail to
     // back-fill. Kept serial for simplicity.
-    ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
-      .withColumn("jband", bandOf)
-      .select("doc_a", "doc_b", "jband")
-      .write.mode("overwrite").parquet(s"$scratch/truth")
-    val truth = s.read.parquet(s"$scratch/truth")
+    val truth = graft.Scratch.writeRead(
+      ddNgramJaccard(s, d).filter(col("jaccard") >= 0.8)
+        .withColumn("jband", bandOf)
+        .select("doc_a", "doc_b", "jband"), s"$scratch/truth")
     // The cost columns count DOC-level candidates WITHOUT materializing
     // them: every doc-level candidate pair is either intra-group (g
     // replicas of one text collide in every band: C(g,2) pairs, est
@@ -519,25 +518,24 @@ object TextQueries {
         TextFns.shingles(col("tk"), 2).as("sh"))
       .select(col("rep_id"), col("members"), col("dup_count"),
         TextFns.minhashSignature(col("sh"), 32).as("sig"))
-    groups.write.mode("overwrite").parquet(s"$scratch/groups")
-    val g = s.read.parquet(s"$scratch/groups")
+    val g = graft.Scratch.writeRead(groups, s"$scratch/groups")
 
     val nIntra = g.agg(coalesce(sum(expr("dup_count * (dup_count - 1) div 2")),
       lit(0L)).cast("long").as("n_intra")) // integer div: g(g-1) is even
     // intra-group doc pairs (est 1.0 — admitted by every family's 0.25
     // threshold) are family-independent: staged once, read three times
-    g.filter(size(col("members")) >= 2)
-      .select(explode(TextDedup.expandSortedPairs(col("members"), (x, y) =>
-        struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .write.mode("overwrite").parquet(s"$scratch/intra")
-    val intraPairs = s.read.parquet(s"$scratch/intra")
+    val intraPairs = graft.Scratch.writeRead(
+      g.filter(size(col("members")) >= 2)
+        .select(explode(TextDedup.expandSortedPairs(col("members"), (x, y) =>
+          struct(x.as("doc_a"), y.as("doc_b")))).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b")),
+      s"$scratch/intra")
 
     // all three families' banded rep rows in ONE frame → one bucket
     // shuffle; keys are (family, band, band_hash), est over the family's
     // own k hashes — bandBucketPairs' algebra verbatim per family
     val fams = Seq(("4x4", 4, 4, 16), ("8x2", 8, 2, 16), ("8x4", 8, 4, 32))
-    fams.map { case (nm, b, r, k) =>
+    val repPairs = graft.Scratch.writeRead(fams.map { case (nm, b, r, k) =>
       val sigK = if (k == 32) col("sig") else slice(col("sig"), 1, k)
       g.select(lit(nm).as("family"), lit(k).as("k"),
           col("rep_id").as("doc_id"), sigK.as("fsig"),
@@ -560,9 +558,8 @@ object TextQueries {
       .select(col("family"), col("pr.doc_a").as("doc_a"),
         col("pr.doc_b").as("doc_b"), col("pr.est_jaccard").as("est_jaccard"))
       .distinct() // same pair can collide in several bands
-      .withColumn("est_jaccard", round(col("est_jaccard"), 4))
-      .write.mode("overwrite").parquet(s"$scratch/reppairs")
-    val repPairs = s.read.parquet(s"$scratch/reppairs")
+      .withColumn("est_jaccard", round(col("est_jaccard"), 4)),
+      s"$scratch/reppairs")
 
     // ONE pass per leg for ALL THREE families (the family column rides
     // the grouped keys), instead of three copies of each join/aggregate
@@ -1300,7 +1297,7 @@ object TextQueries {
     // batch-internal pairs are the intra ∪ expanded-cross composition
     // minhashLshPairs documents. Output row set is identical (oracle
     // re-gated); the batch is tokenized/hashed once instead of twice.
-    batch
+    val bg = graft.Scratch.writeRead(batch
       .select(col("doc_id"), col("text"),
         TextFns.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
@@ -1315,9 +1312,8 @@ object TextQueries {
       .select(col("rep_id"), col("members"), TextFns.tokens(col("text")).as("tk"))
       .select(col("rep_id"), col("members"), TextFns.shingles(col("tk"), 2).as("sh"))
       .select(col("rep_id"), col("members"),
-        TextFns.minhashSignature(col("sh"), 16).as("sig"))
-      .write.mode("overwrite").parquet(s"$scratch/bgroups")
-    val bg = s.read.parquet(s"$scratch/bgroups")
+        TextFns.minhashSignature(col("sh"), 16).as("sig")),
+      s"$scratch/bgroups")
     // rep-grain band index — minhashBandIndex's (band, band_hash) shape
     // over the staged signature
     val bIdx = bg.select(col("rep_id").as("doc_id"), col("sig"),
@@ -1371,14 +1367,13 @@ object TextQueries {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
     // fresh pairs staged once: the fold, the endpoint set, and the
     // touched-cluster derivation all read this small batch-bounded file
-    probePairs
-      .unionByName(intraPairs)
-      .unionByName(crossPairs)
-      .write.mode("overwrite").parquet(s"$scratch/fresh")
-    val fresh = s.read.parquet(s"$scratch/fresh")
-    graft.operators.TextDedup.foldIntoComponents(histLabels, fresh)
-      .write.mode("overwrite").parquet(s"$scratch/folded")
-    val folded = s.read.parquet(s"$scratch/folded")
+    val fresh = graft.Scratch.writeRead(
+      probePairs
+        .unionByName(intraPairs)
+        .unionByName(crossPairs), s"$scratch/fresh")
+    val folded = graft.Scratch.writeRead(
+      graft.operators.TextDedup.foldIntoComponents(histLabels, fresh),
+      s"$scratch/folded")
     val ends = fresh.select(col("doc_a").as("doc_id"))
       .unionByName(fresh.select(col("doc_b").as("doc_id"))).distinct()
     // touched = clusters holding a fresh endpoint: their NEW labels name

@@ -60,12 +60,12 @@ object DeconStream {
     // the frozen benchmark artifact: eval docs' distinct 5-gram index,
     // staged once at definition (benchmark-sized at any corpus scale)
     val evalShPath = graft.Scratch.dir(s, "graft_decon_evalsh_") + "/evalsh"
-    docs.filter(col("doc_id") % 20 === 0)
-      .select(col("doc_id").as("eval_id"), TextFns.tokens(col("text")).as("tk"))
-      .select(col("eval_id"),
-        explode(array_distinct(TextFns.shingles(col("tk"), 5))).as("g"))
-      .write.mode("overwrite").parquet(evalShPath)
-    val evalSh = s.read.parquet(evalShPath)
+    val evalSh = graft.Scratch.writeRead(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), TextFns.tokens(col("text")).as("tk"))
+        .select(col("eval_id"),
+          explode(array_distinct(TextFns.shingles(col("tk"), 5))).as("g")),
+      evalShPath)
     val reader = s.readStream.schema("doc_id BIGINT, text STRING")
       .option("recursiveFileLookup", "true")
     val stream = maxFilesPerTrigger
@@ -108,8 +108,7 @@ object DeconStream {
     // stage the eval distance tables once — every micro-batch joins
     // against the parquet artifact, never re-deriving the probe side
     val dtPath = graft.Scratch.dir(s, "graft_decon_dt_") + "/dt"
-    dt.write.mode("overwrite").parquet(dtPath)
-    val dtS = s.read.parquet(dtPath)
+    val dtS = graft.Scratch.writeRead(dt, dtPath)
     val reader = s.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
       .option("recursiveFileLookup", "true")
     val stream = maxFilesPerTrigger

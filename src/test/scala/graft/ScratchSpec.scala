@@ -65,6 +65,60 @@ class ScratchSpec extends SparkSuite {
     assert(!(a eq b), "hits must be fresh reads, not a cached DataFrame")
   }
 
+  test("writeRead returns the writer's frame exactly — schema, rows, and " +
+    "agreement with a bare inferred read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // aggregate output carries non-nullable columns and an array — the
+    // shapes whose round-trip through an explicit read schema must match
+    // what footer inference would have produced
+    val src = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sort_array(collect_list("v")).as("vs"))
+    val path = Scratch.dir(spark, "spec_wr_") + "/t"
+    val back = Scratch.writeRead(src, path)
+    // file sources force nullability on read (a file can't be trusted),
+    // for explicit schemas exactly as for inferred ones — so the contract
+    // is NOT "back.schema == src.schema" but "identical to what the old
+    // bare inferred read produced": same names/types, file-source
+    // nullability, same rows. That identity is what makes writeRead a
+    // pure job-count optimization.
+    val inferred = spark.read.parquet(path)
+    assert(back.schema == inferred.schema,
+      "explicit writer schema and footer inference must agree — " +
+        s"${back.schema} vs ${inferred.schema}")
+    // names and types match the writer (nullability-free rendering:
+    // the forcing applies to nested containsNull too)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+      == src.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
+    assert(back.collect().toSet == inferred.collect().toSet
+      && back.count() == 2)
+  }
+
+  test("stagedFrame read-back carries the build-time schema (no inference)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val key = "staged_schema_spec_" + System.nanoTime()
+    val built = Scratch.stagedFrame(spark, key) {
+      Seq((1L, 2.5), (2L, 3.5)).toDF("k", "x")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+    }
+    val hit = Scratch.stagedFrame(spark, key) {
+      fail("builder must not re-run on a memo hit"); null
+    }
+    // file-source nullability applies (see the writeRead spec above):
+    // the carried build-time schema reads back with the same names/types
+    // and the same forced-nullable fields a bare inferred read produces
+    val expected = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    assert(built.schema == expected && hit.schema == expected,
+      s"${built.schema} / ${hit.schema} vs $expected")
+    assert(hit.collect().toSet == built.collect().toSet && hit.count() == 2)
+  }
+
   test("concurrent sessions and repeated calls never collide") {
     val s2 = spark.newSession()
     val s3 = spark.newSession()
